@@ -1,0 +1,67 @@
+"""Joint conventions and CPM↔SMPL joint correspondence.
+
+The reference glues a 14-joint CPM 2D detector (MPII/LSP body convention
+[K — CPM Caffe→TF port lineage, SURVEY.md §2 rows 3–4]) to the 24-joint
+SMPL skeleton inside the fit energy. The correspondence below is the
+standard LSP-style mapping used throughout the SMPLify family.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# CPM / MPII 14-joint order (detector output channels 0..13; channel 14 is
+# background in the heatmap tensor).
+CPM_JOINT_NAMES = [
+    "head",        # 0
+    "neck",        # 1
+    "r_shoulder",  # 2
+    "r_elbow",     # 3
+    "r_wrist",     # 4
+    "l_shoulder",  # 5
+    "l_elbow",     # 6
+    "l_wrist",     # 7
+    "r_hip",       # 8
+    "r_knee",      # 9
+    "r_ankle",     # 10
+    "l_hip",       # 11
+    "l_knee",      # 12
+    "l_ankle",     # 13
+]
+NUM_CPM_JOINTS = len(CPM_JOINT_NAMES)
+
+# SMPL 24-joint names (standard numbering).
+SMPL_JOINT_NAMES = [
+    "pelvis", "l_hip", "r_hip", "spine1", "l_knee", "r_knee", "spine2",
+    "l_ankle", "r_ankle", "spine3", "l_foot", "r_foot", "neck", "l_collar",
+    "r_collar", "head", "l_shoulder", "r_shoulder", "l_elbow", "r_elbow",
+    "l_wrist", "r_wrist", "l_hand", "r_hand",
+]
+
+# CPM joint index → SMPL joint index (LSP↔SMPL convention of the SMPLify
+# family; 'head' maps to the SMPL head joint).
+CPM_TO_SMPL = np.array(
+    [15, 12, 17, 19, 21, 16, 18, 20, 2, 5, 8, 1, 4, 7], dtype=np.int32)
+
+
+def select_smpl_joints(joints3d_smpl24: jnp.ndarray) -> jnp.ndarray:
+    """(..., 24, 3) SMPL joints → (..., 14, 3) in CPM order, for the
+    reprojection energy (SURVEY.md §2 row 8)."""
+    return joints3d_smpl24[..., CPM_TO_SMPL, :]
+
+
+# Human3.6M 17-joint convention for evaluation (SURVEY.md §2 row 12).
+H36M_JOINT_NAMES = [
+    "pelvis", "r_hip", "r_knee", "r_ankle", "l_hip", "l_knee", "l_ankle",
+    "spine", "neck", "head", "site", "l_shoulder", "l_elbow", "l_wrist",
+    "r_shoulder", "r_elbow", "r_wrist",
+]
+# SMPL joints closest to the H3.6M convention (spine→spine2, head/site→head).
+H36M_TO_SMPL = np.array(
+    [0, 2, 5, 8, 1, 4, 7, 6, 12, 15, 15, 16, 18, 20, 17, 19, 21],
+    dtype=np.int32)
+
+
+def select_h36m_joints(joints3d_smpl24: jnp.ndarray) -> jnp.ndarray:
+    return joints3d_smpl24[..., H36M_TO_SMPL, :]

@@ -1,0 +1,170 @@
+"""SMPL model-data schema, loaders, and a synthetic-model generator.
+
+Capability parity with the reference's SMPL pickle loader (SURVEY.md §2 row 6:
+the tf_smpl-lineage ``pickle → tf.constant`` conversion). Here the model file
+becomes a frozen pytree of jnp arrays, cacheable as ``.npz``.
+
+The real SMPL model file is license-gated and user-supplied (SURVEY.md §7
+"hard parts" #2); :func:`synthetic_smpl` generates a random-but-deterministic
+stand-in with the exact real shapes/dtypes so the whole framework and test
+suite are hermetic.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical SMPL dimensions (standardized by the released model files).
+NUM_VERTS = 6890
+NUM_JOINTS = 24
+NUM_BETAS = 10
+NUM_POSE_BASIS = 207  # 23 non-root joints × 9 rotation-matrix entries
+NUM_FACES = 13776
+
+# Standard SMPL kinematic tree: PARENTS[k] is the parent joint of joint k,
+# -1 for the root. Topologically sorted (PARENTS[k] < k), which the
+# kinematic-chain scan in models/smpl.py relies on.
+PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18,
+     19, 20, 21],
+    dtype=np.int32,
+)
+
+
+class SMPLData(NamedTuple):
+    """Frozen SMPL model tensors. A NamedTuple of arrays is a JAX pytree,
+    so it can be closed over or passed straight through ``jit``/``vmap``.
+
+    Shapes follow the standardized SMPL pickle schema (SURVEY.md §2 row 6).
+    """
+
+    v_template: jnp.ndarray   # (6890, 3)   rest-pose template vertices
+    shapedirs: jnp.ndarray    # (6890, 3, 10)  shape blend-shape basis
+    posedirs: jnp.ndarray     # (6890, 3, 207) pose blend-shape basis
+    J_regressor: jnp.ndarray  # (24, 6890)  rest-joint regressor (densified)
+    weights: jnp.ndarray      # (6890, 24)  LBS skinning weights
+    parents: jnp.ndarray      # (24,) int32 kinematic-tree parents
+    faces: jnp.ndarray        # (13776, 3) int32 mesh triangles (viz only)
+
+
+def _densify(x) -> np.ndarray:
+    """Densify scipy-sparse / chumpy-wrapped arrays from real SMPL pickles."""
+    if hasattr(x, "toarray"):  # scipy.sparse
+        return np.asarray(x.toarray())
+    if hasattr(x, "r"):  # chumpy array
+        return np.asarray(x.r)
+    return np.asarray(x)
+
+
+def load_smpl_pickle(path: str, dtype=jnp.float32) -> SMPLData:
+    """Load a real (user-supplied, license-gated) SMPL ``.pkl`` model file.
+
+    Mirrors the reference's loader contract (SURVEY.md §2 row 6): reads the
+    standardized dict keys ``v_template, shapedirs, posedirs, J_regressor,
+    weights, kintree_table, f`` and densifies sparse/chumpy members.
+    """
+    with open(path, "rb") as f:
+        dd = pickle.load(f, encoding="latin1")
+
+    posedirs = _densify(dd["posedirs"]).reshape(NUM_VERTS, 3, NUM_POSE_BASIS)
+    parents = _densify(dd["kintree_table"])[0].astype(np.int64)
+    parents[0] = -1  # root parent is stored as 4294967295 in the pickle
+    return SMPLData(
+        v_template=jnp.asarray(_densify(dd["v_template"]), dtype),
+        shapedirs=jnp.asarray(
+            _densify(dd["shapedirs"])[..., :NUM_BETAS], dtype),
+        posedirs=jnp.asarray(posedirs, dtype),
+        J_regressor=jnp.asarray(_densify(dd["J_regressor"]), dtype),
+        weights=jnp.asarray(_densify(dd["weights"]), dtype),
+        parents=jnp.asarray(parents, jnp.int32),
+        faces=jnp.asarray(_densify(dd["f"]), jnp.int32),
+    )
+
+
+def save_npz(path: str, data: SMPLData) -> None:
+    """Cache a model as ``.npz`` (fast reload; no pickle dependency)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in data._asdict().items()})
+
+
+def load_npz(path: str, dtype=jnp.float32) -> SMPLData:
+    with np.load(path) as z:
+        return SMPLData(
+            v_template=jnp.asarray(z["v_template"], dtype),
+            shapedirs=jnp.asarray(z["shapedirs"], dtype),
+            posedirs=jnp.asarray(z["posedirs"], dtype),
+            J_regressor=jnp.asarray(z["J_regressor"], dtype),
+            weights=jnp.asarray(z["weights"], dtype),
+            parents=jnp.asarray(z["parents"], jnp.int32),
+            faces=jnp.asarray(z["faces"], jnp.int32),
+        )
+
+
+def synthetic_smpl(
+    seed: int = 0,
+    num_verts: int = NUM_VERTS,
+    num_joints: int = NUM_JOINTS,
+    num_betas: int = NUM_BETAS,
+    dtype=jnp.float32,
+) -> SMPLData:
+    """Deterministic synthetic SMPL model with the real shapes/dtypes.
+
+    Used by the hermetic test suite (SURVEY.md §4.1) and as a stand-in until
+    the user supplies the license-gated real model file. The construction is
+    shaped to be *well-conditioned* for fitting tests:
+
+    - vertices lie on a vertical capsule-ish cloud (body-like extent),
+    - joints are a scaled copy of the real SMPL joint layout's bounding
+      structure (chain distances > 0 so the kinematic chain is non-trivial),
+    - ``J_regressor`` rows are normalized soft-assignments to the nearest
+      vertices of each joint,
+    - ``weights`` rows are normalized soft-assignments of vertices to their
+      two nearest joints (valid convex LBS weights).
+    """
+    rng = np.random.RandomState(seed)
+    if num_joints == NUM_JOINTS:
+        parents = PARENTS.copy()
+    else:  # tiny-model path for fast unit tests
+        parents = np.arange(-1, num_joints - 1, dtype=np.int32)
+
+    # Body-like template: points in a vertical ellipsoid, ~1.7 m tall.
+    v = rng.randn(num_verts, 3) * np.array([0.18, 0.45, 0.10])
+    v[:, 1] += 0.2 * np.sin(v[:, 0] * 7.0)  # mild structure
+    v_template = v.astype(np.float64)
+
+    # Joint rest positions: spread along the vertical axis per chain depth.
+    depth = np.zeros(num_joints)
+    for k in range(1, num_joints):
+        depth[k] = depth[parents[k]] + 1.0
+    j_rest = np.stack(
+        [0.08 * rng.randn(num_joints),
+         0.75 - 0.12 * depth + 0.02 * rng.randn(num_joints),
+         0.05 * rng.randn(num_joints)], axis=1)
+
+    # J_regressor: softmax over negative distance to each joint.
+    d = np.linalg.norm(v_template[None, :, :] - j_rest[:, None, :], axis=-1)
+    jr = np.exp(-d / 0.05)
+    J_regressor = jr / jr.sum(axis=1, keepdims=True)
+
+    # LBS weights: vertices soft-assigned to nearest joints.
+    w = np.exp(-d.T / 0.08)  # (V, J)
+    weights = w / w.sum(axis=1, keepdims=True)
+
+    shapedirs = 0.03 * rng.randn(num_verts, 3, num_betas)
+    posedirs = 0.01 * rng.randn(num_verts, 3, 9 * (num_joints - 1))
+
+    n_faces = min(NUM_FACES, max(1, num_verts - 2))
+    faces = rng.randint(0, num_verts, size=(n_faces, 3))
+
+    return SMPLData(
+        v_template=jnp.asarray(v_template, dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype),
+        posedirs=jnp.asarray(posedirs, dtype),
+        J_regressor=jnp.asarray(J_regressor, dtype),
+        weights=jnp.asarray(weights, dtype),
+        parents=jnp.asarray(parents, jnp.int32),
+        faces=jnp.asarray(faces, jnp.int32),
+    )
