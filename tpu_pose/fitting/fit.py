@@ -1,0 +1,189 @@
+"""SMPLify-style fit as a fully traced on-device optimization loop.
+
+TPU-native replacement for the reference's python-level ``sess.run``-per-
+iteration loop (SURVEY.md §3.3 — its central inefficiency). Here the staged
+schedule compiles to a sequence of ``lax.scan`` phases over an optax
+optimizer; a whole fit is ONE device program, and ``jax.vmap`` batches it
+across frames and people (SURVEY.md §2 rows 10, 15).
+
+Staging (camera-first, then annealed full optimization) is expressed as a
+static python loop over ``FitConfig.stages`` — each stage contributes one
+scan to the trace, with per-parameter-group masking instead of re-declared
+variables (masking, not control flow, is what composes with vmap —
+SURVEY.md §7 hard parts #3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpu_pose.fitting.energy import fit_energy
+from tpu_pose.models import camera as camera_lib
+from tpu_pose.models import joints as joints_lib
+from tpu_pose.models import smpl as smpl_lib
+from tpu_pose.models.smpl_data import SMPLData
+from tpu_pose.utils.config import FitConfig, StageConfig
+
+
+class FitResult(NamedTuple):
+    theta: jnp.ndarray        # (72,) fitted pose
+    beta: jnp.ndarray         # (10,) fitted shape
+    cam: jnp.ndarray          # (3,) fitted camera
+    energy: jnp.ndarray       # () final energy value
+    energy_history: jnp.ndarray  # (total_iters,) or (0,) if not kept
+
+
+def _stage_mask(stage: StageConfig, params) -> dict:
+    """0/1 gradient mask implementing the stage's parameter groups."""
+    theta_mask = jnp.concatenate([
+        jnp.full(3, 1.0 if stage.opt_global else 0.0),
+        jnp.full(params["theta"].shape[0] - 3,
+                 1.0 if stage.opt_pose else 0.0),
+    ]).astype(params["theta"].dtype)
+    return {
+        "theta": theta_mask,
+        "beta": jnp.full_like(params["beta"],
+                              1.0 if stage.opt_shape else 0.0),
+        "cam": jnp.full_like(params["cam"], 1.0 if stage.opt_cam else 0.0),
+    }
+
+
+def _normalize_obs(joints2d, cfg: FitConfig):
+    """Map pixel observations to [-1, 1] (see FitConfig.normalize_obs)."""
+    if not cfg.normalize_obs:
+        return joints2d
+    half = cfg.img_size / 2.0
+    return (joints2d - half) / half
+
+
+def default_init(model: SMPLData, joints2d_norm, conf, cfg: FitConfig):
+    """Initial parameter pytree: mean pose (zeros), zero shape, camera from
+    the rest-pose extents heuristic (SURVEY.md §3.3 init line)."""
+    theta0 = jnp.zeros(cfg.num_joints_smpl * 3, jnp.float32)
+    beta0 = jnp.zeros(cfg.num_betas, jnp.float32)
+    j_rest = jnp.matmul(model.J_regressor, model.v_template,
+                        precision=jax.lax.Precision.HIGHEST)
+    j_rest14 = joints_lib.select_smpl_joints(j_rest)
+    if cfg.camera_model == camera_lib.WEAK_PERSPECTIVE:
+        cam0 = camera_lib.init_weak_perspective(joints2d_norm, j_rest14, conf)
+    else:
+        cam0 = camera_lib.init_perspective(
+            joints2d_norm, j_rest14, focal=cfg.focal, conf=conf)
+    return {"theta": theta0, "beta": beta0, "cam": cam0}
+
+
+def _run_stage_adam(energy_fn, params, stage: StageConfig,
+                    keep_history: bool):
+    opt = optax.adam(stage.lr)
+    mask = _stage_mask(stage, params)
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        e, g = jax.value_and_grad(energy_fn)(p)
+        g = jax.tree.map(lambda gi, mi: gi * mi, g, mask)
+        updates, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), (e if keep_history else None)
+
+    (params, _), hist = jax.lax.scan(
+        step, (params, opt_state), None, length=stage.iters)
+    return params, hist
+
+
+def _run_stage_lbfgs(energy_fn, params, stage: StageConfig,
+                     keep_history: bool):
+    """L-BFGS stage (optax zoom linesearch) — the traced analogue of the
+    reference lineage's ScipyOptimizerInterface path (SURVEY.md §2 row 10).
+
+    Parameter-group freezing is applied by zeroing gradients; frozen
+    coordinates then never enter the curvature pairs, so the Hessian
+    approximation stays consistent within the stage.
+    """
+    mask = _stage_mask(stage, params)
+
+    def masked_energy(p):
+        # stop_gradient on frozen coords keeps linesearch directional
+        # derivatives consistent with the masked gradient.
+        p_eff = jax.tree.map(
+            lambda pi, mi: pi * mi + jax.lax.stop_gradient(pi) * (1 - mi),
+            p, mask)
+        return energy_fn(p_eff)
+
+    opt = optax.lbfgs()
+    opt_state = opt.init(params)
+    value_and_grad = optax.value_and_grad_from_state(masked_energy)
+
+    def step(carry, _):
+        p, s = carry
+        e, g = value_and_grad(p, state=s)
+        updates, s = opt.update(
+            g, s, p, value=e, grad=g, value_fn=masked_energy)
+        p = optax.apply_updates(p, updates)
+        return (p, s), (e if keep_history else None)
+
+    (params, _), hist = jax.lax.scan(
+        step, (params, opt_state), None, length=stage.iters)
+    return params, hist
+
+
+def fit_smpl_single(
+    model: SMPLData,
+    joints2d: jnp.ndarray,              # (P, 2) pixels, CPM joint order
+    conf: jnp.ndarray,                  # (P,)
+    cfg: FitConfig = FitConfig(),
+    prior: Any = None,
+    init: Optional[dict] = None,        # warm start {'theta','beta','cam'}
+) -> FitResult:
+    """Fit SMPL pose/shape/camera to one frame's 2D joints. Jit-safe;
+    ``cfg`` must be static. Entry point parity: reference ``fit_smpl``
+    (SURVEY.md §2 row 14)."""
+    obs = _normalize_obs(joints2d, cfg)
+    params = default_init(model, obs, conf, cfg) if init is None else init
+
+    hists = []
+    for stage in cfg.stages:  # static: one scan per stage in the trace
+        energy_fn = functools.partial(
+            fit_energy, model=model, joints2d_obs=obs, conf=conf,
+            stage=stage, cfg=cfg, prior=prior)
+        runner = (_run_stage_lbfgs if cfg.optimizer == "lbfgs"
+                  else _run_stage_adam)
+        params, hist = runner(energy_fn, params, stage, cfg.keep_history)
+        if cfg.keep_history:
+            hists.append(hist)
+
+    final_stage = cfg.stages[-1]
+    final_e = fit_energy(params, model, obs, conf, final_stage, cfg, prior)
+    history = (jnp.concatenate(hists) if cfg.keep_history
+               else jnp.zeros((0,), jnp.float32))
+    return FitResult(theta=params["theta"], beta=params["beta"],
+                     cam=params["cam"], energy=final_e,
+                     energy_history=history)
+
+
+def fit_smpl_batch(model, joints2d, conf, cfg: FitConfig = FitConfig(),
+                   prior: Any = None, init: Optional[dict] = None
+                   ) -> FitResult:
+    """vmapped batch fit over a leading frames×people axis
+    (SURVEY.md §2 row 15: within-chip batching is vmap)."""
+    fn = functools.partial(fit_smpl_single, cfg=cfg, prior=prior)
+    if init is None:
+        return jax.vmap(lambda j, c: fn(model, j, c))(joints2d, conf)
+    return jax.vmap(lambda j, c, i: fn(model, j, c, init=i))(
+        joints2d, conf, init)
+
+
+def reproject(model: SMPLData, result: FitResult, cfg: FitConfig):
+    """Project the fitted model's joints back to (normalized) 2D — used by
+    tests and the eval harness to measure residual reprojection error."""
+    out = smpl_lib.smpl_forward(model, result.beta, result.theta)
+    j3d = joints_lib.select_smpl_joints(out.joints)
+    return camera_lib.project(
+        j3d, result.cam, model=cfg.camera_model,
+        **({"focal": cfg.focal} if cfg.camera_model == camera_lib.PERSPECTIVE
+           else {}))

@@ -1,0 +1,89 @@
+"""Frozen config dataclasses (SURVEY.md §5 'Config / flag system').
+
+Every SMPLify λ-weight and stage schedule is config-visible because parity
+tuning against the reference will need to sweep them (SURVEY.md §7 hard
+parts #1). Configs are hashable (frozen, tuples only) so they can be passed
+as jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from tpu_pose.models import camera as camera_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class CPMConfig:
+    """Convolutional Pose Machines architecture (paper arXiv:1602.00134 §3;
+    SURVEY.md §2 row 3). Defaults reproduce the MPII body model family the
+    reference's Caffe→TF ckpt lineage uses: 368×368 input, stride-8 46×46
+    belief maps, 14 parts + background, 6 stages."""
+    num_joints: int = 14          # body parts P (output channels = P + 1)
+    num_stages: int = 6
+    input_size: int = 368
+    stride: int = 8
+    features: int = 128           # trunk conv width
+    stage1_head_width: int = 512
+    refine_width: int = 128
+    center_sigma: float = 21.0    # px, Gaussian center-map std (CPM default)
+    use_center_map: bool = True
+    # bf16 conv compute (MXU-native); params & outputs stay f32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def heatmap_size(self) -> int:
+        return self.input_size // self.stride
+
+    @property
+    def out_channels(self) -> int:
+        return self.num_joints + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class StageConfig:
+    """One phase of the staged SMPLify schedule (SURVEY.md §3.3)."""
+    iters: int = 100
+    lr: float = 0.02
+    opt_pose: bool = True        # optimize body pose θ[3:]
+    opt_global: bool = True      # optimize global orientation θ[:3]
+    opt_shape: bool = True       # optimize β
+    opt_cam: bool = True         # optimize camera params
+    # Per-stage prior weights (SMPLify anneals these across stages).
+    w_pose_prior: float = 4.0
+    w_shape_prior: float = 5.0
+    w_angle_prior: float = 15.0
+
+
+# Default staged schedule, SMPLify-style (camera-first, then annealed joint
+# optimization — SURVEY.md §3.3 stages A..N). Constants are config-visible
+# for parity sweeps.
+DEFAULT_STAGES: Tuple[StageConfig, ...] = (
+    # Stage A: camera + global orientation only, strong priors irrelevant.
+    StageConfig(iters=80, lr=0.05, opt_pose=False, opt_shape=False,
+                opt_global=True, opt_cam=True,
+                w_pose_prior=0.0, w_shape_prior=0.0, w_angle_prior=0.0),
+    # Stages B..D: everything, with annealed pose-prior weight.
+    StageConfig(iters=80, lr=0.02, w_pose_prior=16.0, w_shape_prior=10.0),
+    StageConfig(iters=80, lr=0.01, w_pose_prior=8.0, w_shape_prior=6.0),
+    StageConfig(iters=120, lr=0.005, w_pose_prior=4.0, w_shape_prior=5.0),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """SMPLify-style fit configuration (SURVEY.md §2 rows 8–10)."""
+    stages: Tuple[StageConfig, ...] = DEFAULT_STAGES
+    camera_model: str = camera_lib.WEAK_PERSPECTIVE
+    focal: float = 5000.0         # perspective only
+    img_size: int = 368           # pixel frame of the 2D observations
+    gmof_sigma: float = 100.0     # GMoF robustifier width, in PIXELS
+    # Observations are normalized to [-1, 1] inside the fit so one Adam lr
+    # serves pose (radians), shape (σ-units) and camera; set False for
+    # raw-pixel parity experiments against the reference.
+    normalize_obs: bool = True
+    optimizer: str = "adam"       # "adam" | "lbfgs"
+    num_betas: int = 10
+    num_joints_smpl: int = 24
+    keep_history: bool = False    # return per-iteration energy trace

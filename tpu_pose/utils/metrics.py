@@ -1,0 +1,60 @@
+"""Evaluation metrics (SURVEY.md §2 row 12): MPJPE and PA-MPJPE.
+
+Pure jnp; batched over leading axes; used by the Human3.6M-style eval
+pipeline (parallel/eval.py) and the parity harness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def mpjpe(pred: jnp.ndarray, gt: jnp.ndarray,
+          align_root: bool = True, root_index: int = 0) -> jnp.ndarray:
+    """Mean per-joint position error, in the input's length units.
+
+    Args:
+      pred, gt: (..., J, 3).
+      align_root: subtract the root joint first (standard H3.6M protocol 1).
+    Returns: (...) per-example MPJPE.
+    """
+    if align_root:
+        pred = pred - pred[..., root_index: root_index + 1, :]
+        gt = gt - gt[..., root_index: root_index + 1, :]
+    return jnp.mean(
+        jnp.linalg.norm(pred - gt, axis=-1), axis=-1)
+
+
+def procrustes_align(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Similarity-transform (scale+rot+trans) alignment of pred onto gt —
+    one (J,3) pair; vmap for batches. Classic Umeyama solution via SVD."""
+    mu_p = jnp.mean(pred, axis=0, keepdims=True)
+    mu_g = jnp.mean(gt, axis=0, keepdims=True)
+    pc = pred - mu_p
+    gc = gt - mu_g
+    cov = jnp.matmul(gc.T, pc, precision=HIGHEST) / pred.shape[0]
+    u, s, vt = jnp.linalg.svd(cov)
+    # Reflection guard: det(U Vᵀ) must be +1.
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(u, vt, precision=HIGHEST)))
+    dsign = jnp.ones(3).at[-1].set(d)
+    rot = jnp.matmul(u * dsign[None, :], vt, precision=HIGHEST)
+    var_p = jnp.mean(jnp.sum(pc * pc, axis=-1))
+    scale = jnp.sum(s * dsign) / (var_p + 1e-12)
+    return scale * jnp.matmul(pc, rot.T, precision=HIGHEST) + mu_g
+
+
+def pa_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Procrustes-aligned MPJPE for one (J,3) pair; vmap for batches."""
+    aligned = procrustes_align(pred, gt)
+    return jnp.mean(jnp.linalg.norm(aligned - gt, axis=-1))
+
+
+def pck(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
+        threshold: float) -> jnp.ndarray:
+    """Percentage of correct 2D keypoints within ``threshold`` (same units
+    as the inputs). pred2d/gt2d: (..., P, 2); returns (...) fraction."""
+    dist = jnp.linalg.norm(pred2d - gt2d, axis=-1)
+    return jnp.mean((dist < threshold).astype(jnp.float32), axis=-1)
