@@ -1,0 +1,110 @@
+"""CPM graph tests (SURVEY.md §4.3): per-stage shapes (368→46 stride-8),
+jit/eager equality with fixed random weights, decode fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pose.models import cpm
+from tpu_pose.ops import preprocess as pre
+from tpu_pose.utils.config import CPMConfig
+
+# Small config for fast CPU tests; full-size covered in bench/TPU runs.
+SMALL = CPMConfig(input_size=64, features=16, stage1_head_width=32,
+                  refine_width=16, num_stages=3)
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    return cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+
+
+def test_stage_shapes(small_params):
+    b = 2
+    imgs = jnp.zeros((b, SMALL.input_size, SMALL.input_size, 3))
+    cmap = jnp.zeros((b, SMALL.input_size, SMALL.input_size, 1))
+    beliefs = cpm.cpm_forward(small_params, imgs, cmap, SMALL)
+    assert len(beliefs) == SMALL.num_stages
+    hm = SMALL.heatmap_size
+    for bel in beliefs:
+        assert bel.shape == (b, hm, hm, SMALL.out_channels)
+        assert bel.dtype == jnp.float32
+
+
+def test_full_size_config_shapes():
+    """Paper geometry: 368 → 46 at stride 8 (arXiv:1602.00134)."""
+    cfg = CPMConfig()
+    assert cfg.heatmap_size == 46
+    assert cfg.out_channels == 15
+
+
+def test_jit_matches_eager(small_params):
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) - 0.5
+    cmap = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    cfg32 = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
+    eager = cpm.cpm_forward(small_params, imgs, cmap, cfg32)
+    jitted = jax.jit(
+        lambda p, i, c: cpm.cpm_forward(p, i, c, cfg32))(
+            small_params, imgs, cmap)
+    for a, b in zip(eager, jitted):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_close_to_f32(small_params):
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32) - 0.5
+    cmap = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    cfg32 = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
+    f32 = cpm.cpm_forward(small_params, imgs, cmap, cfg32)[-1]
+    bf16 = cpm.cpm_forward(small_params, imgs, cmap, SMALL)[-1]
+    # bf16 activations: expect agreement to ~1e-2 absolute on beliefs.
+    np.testing.assert_allclose(np.asarray(f32), np.asarray(bf16), atol=5e-2)
+
+
+def test_estimate_2d_from_images_traced(small_params):
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 100, 80, 3)), jnp.uint8)
+    hm, joints, conf = jax.jit(
+        lambda p, i: cpm.estimate_2d_from_images(p, i, SMALL))(
+            small_params, imgs)
+    assert hm.shape == (2, 8, 8, 15)
+    assert joints.shape == (2, 14, 2)
+    assert conf.shape == (2, 14)
+    assert np.all(np.isfinite(np.asarray(joints)))
+    # Decoded joints land inside the input frame.
+    assert float(joints.max()) <= SMALL.input_size
+    assert float(joints.min()) >= 0.0
+
+
+def test_no_centermap_config(small_params):
+    cfg = CPMConfig(**{**SMALL.__dict__, "use_center_map": False})
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    beliefs = cpm.cpm_forward(params, imgs, None, cfg)
+    assert beliefs[-1].shape == (1, 8, 8, 15)
+
+
+def test_preprocess_normalization():
+    img = jnp.full((10, 10, 3), 128, jnp.uint8)
+    out = pre.preprocess(img, 16)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    assert out.shape == (16, 16, 3)
+
+
+def test_center_map_peak_at_center():
+    cm = pre.gaussian_center_map(368, 21.0)
+    assert cm.shape == (368, 368, 1)
+    idx = np.unravel_index(np.argmax(np.asarray(cm)), (368, 368, 1))
+    assert abs(idx[0] - 183.5) <= 1 and abs(idx[1] - 183.5) <= 1
+    np.testing.assert_allclose(float(cm.max()), 1.0, atol=1e-3)
+
+
+def test_param_count_full_model():
+    """Full MPII-geometry model: parameter budget sanity (~N million)."""
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), CPMConfig())
+    n = sum(int(np.prod(v["w"].shape)) + int(np.prod(v["b"].shape))
+            for v in params.values())
+    # CPM MPII family is a few tens of millions of parameters.
+    assert 5e6 < n < 60e6, n

@@ -1,0 +1,157 @@
+"""Public API — entry-point parity with the reference (SURVEY.md §2 row 14):
+
+- ``estimate_2d(images)``     — CPM heatmaps + decoded 2D joints.
+- ``fit_smpl(joints2d, conf)``— SMPLify-style 3D fit from 2D joints.
+- ``estimate_and_fit(images)``— the fused raw-images→(θ, β, cam, mesh)
+                                path (BASELINE north star), one jitted
+                                device program per batch.
+
+``PoseEstimator`` bundles weights/model/configs; the module-level functions
+mirror the reference's loose-function feel for drop-in use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pose.fitting import fit as fit_lib
+from tpu_pose.fitting import priors as priors_lib
+from tpu_pose.fitting.fit import FitResult
+from tpu_pose.models import cpm as cpm_lib
+from tpu_pose.models import smpl as smpl_lib
+from tpu_pose.models import smpl_data as smpl_data_lib
+from tpu_pose.utils.config import CPMConfig, FitConfig
+
+
+class Estimate2DResult(NamedTuple):
+    heatmaps: jnp.ndarray   # (B, 46, 46, P+1)
+    joints2d: jnp.ndarray   # (B, P, 2) input-frame pixels
+    conf: jnp.ndarray       # (B, P)
+
+
+class EstimateAndFitResult(NamedTuple):
+    joints2d: jnp.ndarray   # (B, P, 2)
+    conf: jnp.ndarray       # (B, P)
+    theta: jnp.ndarray      # (B, 72)
+    beta: jnp.ndarray       # (B, 10)
+    cam: jnp.ndarray        # (B, 3)
+    vertices: jnp.ndarray   # (B, 6890, 3) fitted mesh
+    joints3d: jnp.ndarray   # (B, 24, 3)
+    energy: jnp.ndarray     # (B,)
+
+
+class PoseEstimator:
+    """Bundles CPM weights, SMPL model data, prior, and configs.
+
+    Construction:
+      - ``PoseEstimator.create_synthetic(seed)`` — hermetic (random CPM
+        weights + synthetic SMPL); used until the license-gated real
+        weights are supplied.
+      - ``PoseEstimator.from_files(cpm_npz, smpl_pkl, gmm_pkl)`` — real
+        assets via the converters (utils/tf_converter.py,
+        models/smpl_data.py, fitting/priors.py).
+    """
+
+    def __init__(self, cpm_params, smpl_model, prior=None,
+                 cpm_cfg: CPMConfig = CPMConfig(),
+                 fit_cfg: FitConfig = FitConfig()):
+        self.cpm_params = cpm_params
+        self.smpl_model = smpl_model
+        self.prior = prior
+        self.cpm_cfg = cpm_cfg
+        self.fit_cfg = fit_cfg
+        # Jitted entry points (donate nothing; configs closed over).
+        self._estimate_2d = jax.jit(functools.partial(
+            cpm_lib.estimate_2d_from_images, cfg=cpm_cfg))
+        self._fit_batch = jax.jit(functools.partial(
+            fit_lib.fit_smpl_batch, cfg=fit_cfg, prior=prior))
+        self._fit_single = jax.jit(functools.partial(
+            fit_lib.fit_smpl_single, cfg=fit_cfg, prior=prior))
+        self._fused = jax.jit(self._estimate_and_fit_impl)
+        self._smpl_batch = jax.jit(smpl_lib.smpl_forward_batch)
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def create_synthetic(cls, seed: int = 0,
+                         cpm_cfg: CPMConfig = CPMConfig(),
+                         fit_cfg: FitConfig = FitConfig(),
+                         with_prior: bool = True) -> "PoseEstimator":
+        params = cpm_lib.init_cpm_params(jax.random.PRNGKey(seed), cpm_cfg)
+        model = smpl_data_lib.synthetic_smpl(seed=seed)
+        prior = priors_lib.synthetic_gmm_prior(seed) if with_prior else None
+        return cls(params, model, prior, cpm_cfg, fit_cfg)
+
+    @classmethod
+    def from_files(cls, cpm_params_npz: str, smpl_pkl: str,
+                   gmm_pkl: Optional[str] = None,
+                   cpm_cfg: CPMConfig = CPMConfig(),
+                   fit_cfg: FitConfig = FitConfig()) -> "PoseEstimator":
+        from tpu_pose.utils import tf_converter
+        params = tf_converter.load_params_npz(cpm_params_npz)
+        model = smpl_data_lib.load_smpl_pickle(smpl_pkl)
+        prior = (priors_lib.load_gmm_pickle(gmm_pkl) if gmm_pkl else None)
+        return cls(params, model, prior, cpm_cfg, fit_cfg)
+
+    # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
+
+    def estimate_2d(self, images: jnp.ndarray) -> Estimate2DResult:
+        """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf."""
+        hm, joints, conf = self._estimate_2d(self.cpm_params, images)
+        return Estimate2DResult(hm, joints, conf)
+
+    def fit_smpl(self, joints2d: jnp.ndarray, conf: jnp.ndarray,
+                 init: Optional[dict] = None) -> FitResult:
+        """2D joints (pixels, CPM order) → (θ, β, cam). Batched if a
+        leading axis is present."""
+        if joints2d.ndim == 2:
+            return self._fit_single(self.smpl_model, joints2d, conf)
+        if init is None:
+            return self._fit_batch(self.smpl_model, joints2d, conf)
+        return self._fit_batch(self.smpl_model, joints2d, conf, init=init)
+
+    def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
+        _, joints, conf = cpm_lib.estimate_2d_from_images(
+            cpm_params, images, cfg=self.cpm_cfg)
+        res = fit_lib.fit_smpl_batch(
+            smpl_model, joints, conf, cfg=self.fit_cfg, prior=self.prior)
+        out = smpl_lib.smpl_forward_batch(smpl_model, res.beta, res.theta)
+        return EstimateAndFitResult(
+            joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
+            cam=res.cam, vertices=out.vertices, joints3d=out.joints,
+            energy=res.energy)
+
+    def estimate_and_fit(self, images: jnp.ndarray) -> EstimateAndFitResult:
+        """The fused path (BASELINE north star; SURVEY.md §3.4): raw image
+        batch → 2D inference → batched traced fit → posed mesh, ONE device
+        program end to end."""
+        return self._fused(self.cpm_params, self.smpl_model, images)
+
+
+# -- module-level functional forms ----------------------------------------
+
+_default_estimator: Optional[PoseEstimator] = None
+
+
+def _default() -> PoseEstimator:
+    global _default_estimator
+    if _default_estimator is None:
+        _default_estimator = PoseEstimator.create_synthetic()
+    return _default_estimator
+
+
+def estimate_2d(images, estimator: Optional[PoseEstimator] = None):
+    return (estimator or _default()).estimate_2d(images)
+
+
+def fit_smpl(joints2d, conf, estimator: Optional[PoseEstimator] = None,
+             **kw):
+    return (estimator or _default()).fit_smpl(joints2d, conf, **kw)
+
+
+def estimate_and_fit(images, estimator: Optional[PoseEstimator] = None):
+    return (estimator or _default()).estimate_and_fit(images)

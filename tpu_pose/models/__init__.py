@@ -1,1 +1,1 @@
-from tpu_pose.models import camera, joints, smpl, smpl_data  # noqa: F401
+from tpu_pose.models import camera, cpm, joints, smpl, smpl_data  # noqa: F401

@@ -1,0 +1,199 @@
+"""Convolutional Pose Machines — 2D heatmap network in pure JAX.
+
+TPU-native rebuild of the reference's TF1 CPM graph (SURVEY.md §2 row 3,
+§3.1; paper arXiv:1602.00134 §3). Architecture follows the MPII Caffe
+deploy graph the reference's ckpt lineage is converted from [K]:
+
+  stage 1:   conv1..3_stage1 (9×9×128 + 3×3/2 maxpools) → conv4_stage1
+             (5×5×32) → conv5_stage1 (9×9×512) → conv6 (1×1×512)
+             → conv7 (1×1×(P+1))  — belief maps b₁ (46×46)
+  shared:    conv1..3_stage2 (9×9×128 + pools) — 128-ch feature map F,
+             computed ONCE and reused by every refinement stage
+  stage t≥2: convN_t = conv{t}_stageN? — per-stage 5×5×32 on F, then
+             concat(feat_t, b_{t−1}, center_lowres) → Mconv1..3_stageT
+             (11×11×128) → Mconv4 (1×1×128) → Mconv5 (1×1×(P+1)) = b_t
+
+Parameters are a flat dict keyed by Caffe layer names (conv1_stage1, …,
+Mconv5_stage6) so the TF-ckpt converter (utils/tf_converter.py) is a pure
+name-mapping exercise once the real checkpoint is present (SURVEY.md §7
+step 4).
+
+TPU-first choices: NHWC layout, bf16 conv compute with f32 accumulation
+(MXU-native; cfg.compute_dtype), all six stages in one jitted XLA program,
+decode fused in (ops/softargmax.py). The 46×46 refinement convs are the
+hot loop (SURVEY.md §3.1) — Pallas fusion for them lives in ops/.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pose.ops import preprocess as pre
+from tpu_pose.ops import softargmax as decode_lib
+from tpu_pose.utils.config import CPMConfig
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+def _layer_defs(cfg: CPMConfig):
+    """(name, kernel, in_ch, out_ch, has_relu) for every conv layer."""
+    p1 = cfg.out_channels
+    f = cfg.features
+    defs = [
+        # Stage-1 belief path.
+        ("conv1_stage1", 9, 3, f, True),
+        ("conv2_stage1", 9, f, f, True),
+        ("conv3_stage1", 9, f, f, True),
+        ("conv4_stage1", 5, f, 32, True),
+        ("conv5_stage1", 9, 32, cfg.stage1_head_width, True),
+        ("conv6_stage1", 1, cfg.stage1_head_width, cfg.stage1_head_width,
+         True),
+        ("conv7_stage1", 1, cfg.stage1_head_width, p1, False),
+        # Shared refinement trunk (Caffe names it the *_stage2 image path).
+        ("conv1_stage2", 9, 3, f, True),
+        ("conv2_stage2", 9, f, f, True),
+        ("conv3_stage2", 9, f, f, True),
+    ]
+    cat_ch = 32 + p1 + (1 if cfg.use_center_map else 0)
+    for t in range(2, cfg.num_stages + 1):
+        feat_name = ("conv4_stage2" if t == 2
+                     else f"conv1_stage{t}")  # Caffe naming quirk
+        defs.append((feat_name, 5, f, 32, True))
+        defs += [
+            (f"Mconv1_stage{t}", 11, cat_ch, cfg.refine_width, True),
+            (f"Mconv2_stage{t}", 11, cfg.refine_width, cfg.refine_width,
+             True),
+            (f"Mconv3_stage{t}", 11, cfg.refine_width, cfg.refine_width,
+             True),
+            (f"Mconv4_stage{t}", 1, cfg.refine_width, cfg.refine_width,
+             True),
+            (f"Mconv5_stage{t}", 1, cfg.refine_width, p1, False),
+        ]
+    return defs
+
+
+def init_cpm_params(key: jax.Array, cfg: CPMConfig = CPMConfig()) -> Params:
+    """He-initialized parameter pytree, keyed by Caffe layer names.
+
+    Weight layout: (kh, kw, in_ch, out_ch) = HWIO (XLA-native for NHWC)."""
+    params: Params = {}
+    for name, k, cin, cout, _ in _layer_defs(cfg):
+        key, sub = jax.random.split(key)
+        fan_in = k * k * cin
+        w = jax.random.normal(sub, (k, k, cin, cout), jnp.float32)
+        w = w * jnp.sqrt(2.0 / fan_in)
+        params[name] = {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+def _conv(x, p, relu: bool, dtype):
+    """SAME conv + bias (+ReLU). bf16 inputs/weights, f32 accumulation —
+    the MXU-native configuration (pallas_guide.md 'Tiling Constraints')."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + p["b"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(dtype)
+
+
+def _pool(x):
+    """Caffe CPM pooling: 3×3 max, stride 2, SAME (368→184→92→46)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding="SAME")
+
+
+def cpm_forward(params: Params, images: jnp.ndarray,
+                center_map: jnp.ndarray | None = None,
+                cfg: CPMConfig = CPMConfig()) -> List[jnp.ndarray]:
+    """All-stage forward pass.
+
+    Args:
+      images: (B, S, S, 3) normalized inputs (see ops/preprocess.py).
+      center_map: (B, S, S, 1) full-res center map, or None.
+    Returns:
+      list of per-stage belief maps, each (B, H, H, P+1) float32 —
+      intermediate supervision needs every stage (SURVEY.md §2 row 3);
+      inference uses [-1].
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = images
+
+    def c(name, h, relu=True):
+        return _conv(h, params[name], relu, dtype)
+
+    # Stage-1 belief path.
+    h = _pool(c("conv1_stage1", x))
+    h = _pool(c("conv2_stage1", h))
+    h = _pool(c("conv3_stage1", h))
+    h = c("conv4_stage1", h)
+    h = c("conv5_stage1", h)
+    h = c("conv6_stage1", h)
+    b = c("conv7_stage1", h, relu=False).astype(jnp.float32)
+    beliefs = [b]
+
+    # Shared refinement trunk (computed once).
+    f = _pool(c("conv1_stage2", x))
+    f = _pool(c("conv2_stage2", f))
+    f = _pool(c("conv3_stage2", f))
+
+    if cfg.use_center_map and center_map is not None:
+        cmap_lo = pre.downsample_center_map(
+            center_map, cfg.stride).astype(dtype)
+    else:
+        cmap_lo = None
+
+    for t in range(2, cfg.num_stages + 1):
+        feat_name = "conv4_stage2" if t == 2 else f"conv1_stage{t}"
+        feat = c(feat_name, f)
+        parts = [feat, beliefs[-1].astype(dtype)]
+        if cmap_lo is not None:
+            parts.append(cmap_lo)
+        h = jnp.concatenate(parts, axis=-1)
+        h = c(f"Mconv1_stage{t}", h)
+        h = c(f"Mconv2_stage{t}", h)
+        h = c(f"Mconv3_stage{t}", h)
+        h = c(f"Mconv4_stage{t}", h)
+        b = c(f"Mconv5_stage{t}", h, relu=False).astype(jnp.float32)
+        beliefs.append(b)
+
+    return beliefs
+
+
+def estimate_2d_from_images(params: Params, images: jnp.ndarray,
+                            cfg: CPMConfig = CPMConfig(),
+                            beta: float = 100.0):
+    """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
+    program (SURVEY.md §3.1 rebuilt without the host boundary).
+
+    Args: images (B, H₀, W₀, 3), any size — resized in-graph.
+    Returns: (heatmaps (B, 46, 46, P+1), joints_px (B, P, 2), conf (B, P)).
+    """
+    x = jax.vmap(lambda im: pre.preprocess(im, cfg.input_size))(images)
+    if cfg.use_center_map:
+        cmap = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
+        cmap = jnp.broadcast_to(
+            cmap, (x.shape[0], *cmap.shape))
+    else:
+        cmap = None
+    beliefs = cpm_forward(params, x, cmap, cfg)
+    heatmaps = beliefs[-1]
+    joints, conf = decode_lib.soft_argmax(heatmaps, beta=beta,
+                                          stride=cfg.stride)
+    return heatmaps, joints, conf

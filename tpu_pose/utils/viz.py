@@ -1,0 +1,76 @@
+"""Visualization / export helpers (SURVEY.md §2 row 13).
+
+Host-side, out of the perf path: 2D skeleton drawing (numpy canvas — no
+cv2 dependency needed), mesh export as Wavefront OBJ, heatmap tiling for
+inspection. The reference draws with cv2/matplotlib; capability parity is
+"the user can see the skeleton and export the fitted mesh".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# CPM-14 limb connectivity (pairs of joint indices, models/joints.py order).
+CPM_LIMBS = (
+    (0, 1),                      # head-neck
+    (1, 2), (2, 3), (3, 4),      # right arm
+    (1, 5), (5, 6), (6, 7),      # left arm
+    (1, 8), (8, 9), (9, 10),     # right leg (via torso)
+    (1, 11), (11, 12), (12, 13)  # left leg
+)
+
+
+def draw_skeleton(image: np.ndarray, joints_px: np.ndarray,
+                  conf: np.ndarray | None = None,
+                  conf_threshold: float = 0.2,
+                  radius: int = 4) -> np.ndarray:
+    """Rasterize joints + limbs onto a copy of ``image`` (H, W, 3) uint8."""
+    img = np.array(image, copy=True)
+    h, w = img.shape[:2]
+    joints = np.asarray(joints_px)
+    ok = (np.asarray(conf) >= conf_threshold if conf is not None
+          else np.ones(len(joints), bool))
+
+    def clip(v, lo, hi):
+        return int(max(lo, min(hi, v)))
+
+    for a, b in CPM_LIMBS:
+        if not (ok[a] and ok[b]):
+            continue
+        xa, ya, xb, yb = *joints[a], *joints[b]
+        n = int(max(abs(xb - xa), abs(yb - ya), 1))
+        for t in range(n + 1):
+            x = clip(xa + (xb - xa) * t / n, 0, w - 1)
+            y = clip(ya + (yb - ya) * t / n, 0, h - 1)
+            img[y, x] = (0, 255, 0)
+    for j, (x, y) in enumerate(joints):
+        if not ok[j]:
+            continue
+        y0, y1 = clip(y - radius, 0, h - 1), clip(y + radius, 0, h - 1)
+        x0, x1 = clip(x - radius, 0, w - 1), clip(x + radius, 0, w - 1)
+        img[y0:y1 + 1, x0:x1 + 1] = (255, 0, 0)
+    return img
+
+
+def export_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+    """Write the fitted SMPL mesh as Wavefront OBJ (1-indexed faces)."""
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    with open(path, "w") as f:
+        for v in vertices:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in faces:
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+
+
+def tile_heatmaps(heatmaps: np.ndarray, cols: int = 5) -> np.ndarray:
+    """(H, W, C) belief maps → one uint8 grayscale contact sheet."""
+    hm = np.asarray(heatmaps)
+    h, w, c = hm.shape
+    rows = -(-c // cols)
+    sheet = np.zeros((rows * h, cols * w), np.float32)
+    for i in range(c):
+        r, cc = divmod(i, cols)
+        sheet[r * h:(r + 1) * h, cc * w:(cc + 1) * w] = hm[..., i]
+    lo, hi = sheet.min(), sheet.max()
+    return ((sheet - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
