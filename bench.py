@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §4.6, §6; BASELINE.md configs).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric = BASELINE north star: fused 2D-infer + SMPL-fit
+frames/sec/chip (target ≥500 on TPU v5e → vs_baseline = value/500).
+Per-config details go to stderr (--all to run every BASELINE config).
+
+IMPORTANT timing note: under the axon TPU platform jax.block_until_ready
+is a NO-OP (verified); every measurement here forces a real sync via a
+scalar device_get.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Force completion: device_get of one scalar reduction."""
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree.leaves(x)
+    return float(jax.device_get(jnp.sum(leaves[0].ravel()[:1])))
+
+
+def timeit(fn, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small batch / fewer timing iters (smoke test)")
+    ap.add_argument("--all", action="store_true",
+                    help="also run BASELINE configs 1,3,4 to stderr")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override fused-path batch size")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pose.api import PoseEstimator
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    est = PoseEstimator.create_synthetic(seed=0)
+    rng = np.random.RandomState(0)
+
+    def images(b):
+        return jnp.asarray(rng.randint(0, 255, (b, 368, 368, 3)), jnp.uint8)
+
+    titers = 2 if args.quick else 5
+
+    # ---- headline: fused estimate_and_fit frames/sec/chip --------------
+    if args.batch:
+        batches = [args.batch]
+    elif args.quick:
+        batches = [32]
+    else:
+        batches = [32, 64, 128]
+    best_fps, best_b = 0.0, 0
+    for b in batches:
+        imgs = images(b)
+        dt = timeit(est.estimate_and_fit, imgs, iters=titers, warmup=1)
+        fps = b / dt
+        log(f"fused estimate_and_fit b={b}: {dt*1e3:.1f} ms -> "
+            f"{fps:.1f} frames/s/chip")
+        if fps > best_fps:
+            best_fps, best_b = fps, b
+
+    # ---- auxiliary configs (stderr only) --------------------------------
+    if args.all:
+        # Config 1: batch-1 2D inference.
+        dt = timeit(est.estimate_2d, images(1), iters=titers)
+        log(f"config1 CPM b=1: {dt*1e3:.2f} ms/frame")
+        # Config 2: batch-32 2D inference + decode.
+        dt = timeit(est.estimate_2d, images(32), iters=titers)
+        log(f"config2 CPM b=32: {dt*1e3:.1f} ms -> {32/dt:.1f} fps")
+        # Config 3: single-frame fit.
+        j = jnp.asarray(rng.rand(14, 2) * 368, jnp.float32)
+        c = jnp.ones(14)
+        dt = timeit(est.fit_smpl, j, c, iters=titers)
+        iters_total = sum(s.iters for s in est.fit_cfg.stages)
+        log(f"config3 single fit: {dt*1e3:.1f} ms "
+            f"({iters_total/dt:.0f} fit-iters/s)")
+        # Config 4: 64-frame video with temporal init.
+        from tpu_pose.fitting import temporal
+        jseq = jnp.asarray(rng.rand(64, 14, 2) * 368, jnp.float32)
+        cseq = jnp.ones((64, 14))
+        vid = jax.jit(lambda a, b_: temporal.fit_video(
+            est.smpl_model, a, b_, cfg=est.fit_cfg, prior=est.prior))
+        dt = timeit(vid, jseq, cseq, iters=max(1, titers - 2), warmup=1)
+        log(f"config4 video-64 temporal fit: {dt*1e3:.0f} ms -> "
+            f"{64/dt:.1f} frames/s")
+
+    result = {
+        "metric": "fused_2d_infer_smpl_fit_throughput",
+        "value": round(best_fps, 2),
+        "unit": f"frames/sec/chip (batch={best_b})",
+        "vs_baseline": round(best_fps / 500.0, 4),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Distributed tests without a cluster (SURVEY.md §4.5): 8 fake CPU
+devices; sharded pipelines must equal single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpu_pose.api import PoseEstimator
+from tpu_pose.models import cpm as cpm_lib
+from tpu_pose.models import cpm_train
+from tpu_pose.parallel import eval as eval_lib
+from tpu_pose.parallel import mesh as mesh_lib
+from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+SMALL_CPM = CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                      refine_width=8, num_stages=2, compute_dtype="float32")
+SMALL_FIT = FitConfig(
+    stages=(StageConfig(iters=15, lr=0.05, opt_pose=False, opt_shape=False,
+                        w_pose_prior=0, w_shape_prior=0, w_angle_prior=0),
+            StageConfig(iters=25, lr=0.02, w_pose_prior=0.5,
+                        w_shape_prior=1.0)),
+    img_size=64)
+
+
+def test_eight_fake_devices():
+    assert jax.device_count() == 8, jax.devices()
+
+
+@pytest.fixture(scope="module")
+def est():
+    return PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+
+
+def test_sharded_fused_matches_single(est):
+    mesh = mesh_lib.make_mesh()
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (8, 64, 64, 3)), jnp.uint8)
+
+    single = est.estimate_and_fit(imgs)
+    run = eval_lib.sharded_fused_fn(est, mesh)
+    sharded = run(jax.device_put(imgs, mesh_lib.batch_sharding(mesh)))
+
+    # XLA chooses different fusions/layouts per sharding: tiny f32
+    # differences in the conv stack (~5e-4 px) amplify through the
+    # 40-iteration nonconvex fit; tolerances are set accordingly.
+    np.testing.assert_allclose(
+        np.asarray(sharded.joints2d), np.asarray(single.joints2d),
+        atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(sharded.theta), np.asarray(single.theta), atol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(sharded.vertices), np.asarray(single.vertices),
+        atol=3e-2)
+
+
+def test_train_step_dp_matches_single():
+    """shard_map DP train step == single-device step (same init, same
+    global batch) — gradient psum correctness."""
+    cfg = SMALL_CPM
+    key = jax.random.PRNGKey(0)
+    params, opt_state, opt = cpm_train.init_train_state(key, cfg, lr=1e-3)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "images": jnp.asarray(rng.rand(8, 64, 64, 3), jnp.float32) - 0.5,
+        "center_maps": jnp.asarray(rng.rand(8, 64, 64, 1), jnp.float32),
+        "heatmaps": jnp.asarray(rng.rand(8, 8, 8, 15), jnp.float32),
+    }
+
+    step1 = cpm_train.make_train_step(cfg, opt)
+    p1, _, loss1 = step1(params, opt_state, batch)
+
+    mesh = mesh_lib.make_mesh()
+    stepN = cpm_train.make_train_step(cfg, opt, mesh=mesh)
+    batch_sharded = mesh_lib.shard_batch(batch, mesh)
+    pN, _, lossN = stepN(mesh_lib.replicate(params, mesh),
+                         mesh_lib.replicate(opt_state, mesh), batch_sharded)
+
+    np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-5)
+    flat1 = jax.tree.leaves(p1)
+    flatN = jax.tree.leaves(pN)
+    for a, b in zip(flat1, flatN):
+        # psum reduction order != serial sum order; ~2e-5 worst-case after
+        # one Adam step (rescaling amplifies tiny grad diffs).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_train_loss_decreases():
+    cfg = SMALL_CPM
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(2), cfg, lr=3e-4)
+    rng = np.random.RandomState(3)
+    batch = {
+        "images": jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32) - 0.5,
+        "center_maps": jnp.asarray(rng.rand(4, 64, 64, 1), jnp.float32),
+        "heatmaps": jnp.asarray(rng.rand(4, 8, 8, 15), jnp.float32),
+    }
+    step = cpm_train.make_train_step(cfg, opt)
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_pipeline_resumable(est, tmp_path):
+    rng = np.random.RandomState(4)
+
+    def batches():
+        for _ in range(4):
+            yield {
+                "images": jnp.asarray(
+                    rng.randint(0, 255, (4, 64, 64, 3)), jnp.uint8),
+                "gt_joints3d": jnp.asarray(
+                    rng.rand(4, 24, 3), jnp.float32),
+            }
+
+    ckpt = str(tmp_path / "eval_state.json")
+    full = eval_lib.evaluate_h36m_style(
+        est, batches(), checkpoint_path=ckpt, save_every=1)
+    assert full["num_frames"] == 16
+    assert np.isfinite(full["mpjpe"]) and np.isfinite(full["pa_mpjpe"])
+
+    # Resume from a cursor mid-way: pre-load state at cursor 2 and verify
+    # only the remaining batches accumulate.
+    state = eval_lib.EvalState.load(ckpt)
+    assert state.cursor == 4
+
+    state2 = eval_lib.EvalState(cursor=2, n=8, sum_mpjpe=1.0,
+                                sum_pa_mpjpe=1.0)
+    state2.save(ckpt)
+    resumed = eval_lib.evaluate_h36m_style(
+        est, batches(), checkpoint_path=ckpt, save_every=1)
+    assert resumed["num_frames"] == 16  # 8 carried + 8 new
+
+
+def test_pad_to_multiple():
+    x = np.ones((5, 3))
+    padded, n = mesh_lib.pad_to_multiple(x, 8)
+    assert padded.shape == (8, 3) and n == 5
+    same, n2 = mesh_lib.pad_to_multiple(np.ones((8, 3)), 8)
+    assert same.shape == (8, 3) and n2 == 8

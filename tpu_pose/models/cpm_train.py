@@ -1,0 +1,84 @@
+"""CPM training: intermediate supervision loss + data-parallel train step.
+
+The reference is inference-only from a pretrained checkpoint (SURVEY.md §2
+row 3); the paper trains with per-stage MSE to ground-truth belief maps
+(arXiv:1602.00134 §3.3, "intermediate supervision"). The rebuild includes
+the training path so (a) the framework can produce its own weights when
+the license-gated checkpoint is absent, and (b) the multi-chip story has a
+real gradient step: loss/grads computed per shard, ``psum``-ed over the
+``data`` mesh axis inside ``shard_map`` — the canonical JAX DP recipe
+(SURVEY.md §2 row 16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpu_pose.models import cpm as cpm_lib
+from tpu_pose.parallel.mesh import DATA_AXIS
+from tpu_pose.utils.config import CPMConfig
+
+
+def stage_supervision_loss(params, images, center_maps, target_heatmaps,
+                           cfg: CPMConfig) -> jnp.ndarray:
+    """Σ_stages ‖b_t − b*‖² (mean over batch/pixels) — every stage gets the
+    same ground-truth belief maps, per the CPM paper."""
+    beliefs = cpm_lib.cpm_forward(params, images, center_maps, cfg)
+    loss = 0.0
+    for b in beliefs:
+        loss = loss + jnp.mean((b - target_heatmaps) ** 2)
+    return loss / len(beliefs)
+
+
+def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
+                    mesh=None):
+    """Returns ``step(params, opt_state, batch) → (params, opt_state, loss)``.
+
+    Single-device if ``mesh`` is None; otherwise a ``shard_map`` over the
+    ``data`` axis with replicated params and ``psum``-averaged grads (ICI
+    collective — the only cross-chip traffic in the whole framework).
+    """
+
+    def loss_fn(params, batch):
+        return stage_supervision_loss(
+            params, batch["images"], batch["center_maps"],
+            batch["heatmaps"], cfg)
+
+    def local_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(local_step)
+
+    replicated = P()
+    sharded = P(DATA_AXIS)
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(replicated, replicated,
+                  {"images": sharded, "center_maps": sharded,
+                   "heatmaps": sharded}),
+        out_specs=(replicated, replicated, replicated),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def init_train_state(key, cfg: CPMConfig, lr: float = 1e-4
+                     ) -> Tuple[Dict, optax.OptState,
+                                optax.GradientTransformation]:
+    params = cpm_lib.init_cpm_params(key, cfg)
+    opt = optax.adam(lr)
+    return params, opt.init(params), opt
