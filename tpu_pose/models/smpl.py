@@ -12,9 +12,11 @@ Design (idiomatic JAX, not a TF translation):
                             quaternion formulation (grad-safe at θ→0, same
                             numerics as the tf_smpl ``batch_rodrigues``
                             lineage the reference vendors).
-- ``global_rigid_transform`` — kinematic chain as a ``lax.scan`` over the
-                            topologically-sorted kintree (SURVEY.md §7 step 1)
-                            instead of the reference's unrolled python loop.
+- ``global_rigid_transform`` — kinematic chain statically unrolled over the
+                            topologically-sorted kintree (the tree is
+                            compile-time constant aux data of SMPLData);
+                            XLA fuses the 23 batched 4×4 composes, ~2×
+                            faster per fit iteration than a device scan.
 - blend shapes / LBS      — einsums; everything is single-example and
                             ``vmap``-able over batch (frames × people).
 
@@ -28,6 +30,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tpu_pose.models.smpl_data import SMPLData
@@ -93,11 +96,10 @@ def global_rigid_transform(
     """Compose the kinematic chain; TPU-native replacement for the reference's
     ``batch_global_rigid_transformation`` (SURVEY.md §3.2).
 
-    Implemented as ``lax.scan`` over joints 1..J-1 carrying the (J,4,4) stack
-    of world transforms; the topological sort of the SMPL kintree guarantees
-    each parent is finalized before its children. The scan keeps the HLO
-    O(1) in J (vs an unrolled loop), which matters once the fit loop wraps
-    this in ~hundreds of scanned optimizer steps.
+    With a static (numpy) kintree — the SMPLData contract — the composition
+    unrolls into 23 batched 4×4 matmuls XLA fuses into one kernel; the
+    topological sort guarantees each parent is finalized before its
+    children. A ``lax.scan`` fallback covers traced-parents callers.
 
     Returns:
       joints_world: (J, 3) posed joint positions.
@@ -106,22 +108,32 @@ def global_rigid_transform(
     """
     num_j = rotmats.shape[0]
     # Local (bone) translations: joint k sits at j_rest[k] - j_rest[parent].
-    parent_idx = jnp.maximum(parents, 0)
+    parent_idx = jnp.maximum(jnp.asarray(parents), 0)
     t_local = j_rest - j_rest[parent_idx]
     t_local = t_local.at[0].set(j_rest[0])
     local = _rigid(rotmats, t_local)  # (J, 4, 4)
 
-    init = jnp.zeros((num_j, 4, 4), rotmats.dtype).at[0].set(local[0])
+    if isinstance(parents, np.ndarray):
+        # STATIC kintree (the SMPLData contract): unroll the composition.
+        # 23 fused batched matmuls beat a 23-step sequential device scan
+        # ~2× on the whole fit iteration (see SMPLData docstring).
+        worlds = [local[0]]
+        for k in range(1, num_j):
+            worlds.append(jnp.matmul(
+                worlds[int(parents[k])], local[k], precision=HIGHEST))
+        world = jnp.stack(worlds)
+    else:
+        # Traced-parents fallback: lax.scan over the sorted kintree.
+        init = jnp.zeros((num_j, 4, 4), rotmats.dtype).at[0].set(local[0])
 
-    def step(world, inp):
-        k, p, loc = inp
-        world = world.at[k].set(
-            jnp.matmul(world[p], loc, precision=HIGHEST))
-        return world, None
+        def step(w, inp):
+            k, p, loc = inp
+            return w.at[k].set(
+                jnp.matmul(w[p], loc, precision=HIGHEST)), None
 
-    ks = jnp.arange(1, num_j, dtype=jnp.int32)
-    world, _ = jax.lax.scan(
-        step, init, (ks, parents[1:], local[1:]))
+        ks = jnp.arange(1, num_j, dtype=jnp.int32)
+        world, _ = jax.lax.scan(
+            step, init, (ks, jnp.asarray(parents)[1:], local[1:]))
 
     joints_world = world[:, :3, 3]
     # Remove the rest pose: A_k ← A_k · [[I, -j_rest_k], [0, 1]], i.e.

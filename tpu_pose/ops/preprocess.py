@@ -22,7 +22,11 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def resize_image(img: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Bilinear resize to (size, size, C), traced (jax.image.resize)."""
+    """Bilinear resize to (size, size, C), traced (jax.image.resize).
+    No-op (cast only) when the image is already the target size — saves a
+    full gather/interp pass in the common pre-cropped pipeline."""
+    if img.shape[0] == size and img.shape[1] == size:
+        return img.astype(jnp.float32)
     return jax.image.resize(
         img.astype(jnp.float32), (size, size, img.shape[-1]),
         method="linear")
