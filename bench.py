@@ -45,6 +45,18 @@ def timeit(fn, *args, iters=5, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: the fused fit program takes
+    minutes to compile; caching makes repeat bench runs start hot."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log(f"compilation cache unavailable: {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -53,8 +65,13 @@ def main():
                     help="also run BASELINE configs 1,3,4 to stderr")
     ap.add_argument("--batch", type=int, default=0,
                     help="override fused-path batch size")
+    ap.add_argument("--no-int8", action="store_true",
+                    help="disable the calibrated-int8 CPM serving path "
+                         "(accuracy-gated in tests/test_quantize.py) and "
+                         "run bf16")
     args = ap.parse_args()
 
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -62,21 +79,32 @@ def main():
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    est = PoseEstimator.create_synthetic(seed=0)
     rng = np.random.RandomState(0)
 
     def images(b):
         return jnp.asarray(rng.randint(0, 255, (b, 368, 368, 3)), jnp.uint8)
 
+    if args.no_int8:
+        est = PoseEstimator.create_synthetic(seed=0)
+    else:
+        # Serving config: calibrated-int8 CPM (models/cpm.py) — ~1.3×
+        # over bf16 on v5e; joint-drift accuracy gated by
+        # tests/test_quantize.py. Static activation scales let XLA fuse
+        # the quantize→conv→dequant chain with no reduction barriers.
+        est = PoseEstimator.create_synthetic(
+            seed=0, quantize=True, calibration_images=images(4))
+
     titers = 2 if args.quick else 5
 
     # ---- headline: fused estimate_and_fit frames/sec/chip --------------
+    # (int8 path: batch ≤128 — the int32 conv1 buffer OOMs 16 GB HBM at
+    # b=256; bf16 scales to 256 but peaks lower.)
     if args.batch:
         batches = [args.batch]
     elif args.quick:
         batches = [32]
     else:
-        batches = [32, 64, 128]
+        batches = [64, 128]
     best_fps, best_b = 0.0, 0
     for b in batches:
         imgs = images(b)
@@ -112,10 +140,11 @@ def main():
         log(f"config4 video-64 temporal fit: {dt*1e3:.0f} ms -> "
             f"{64/dt:.1f} frames/s")
 
+    mode = "bf16" if args.no_int8 else "int8-calibrated"
     result = {
         "metric": "fused_2d_infer_smpl_fit_throughput",
         "value": round(best_fps, 2),
-        "unit": f"frames/sec/chip (batch={best_b})",
+        "unit": f"frames/sec/chip (batch={best_b}, {mode})",
         "vs_baseline": round(best_fps / 500.0, 4),
     }
     print(json.dumps(result), flush=True)

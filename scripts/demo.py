@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Demo entry point (SURVEY.md §1 L6, §3.4): image(s) → 2D joints → SMPL
+fit → mesh, mirroring the reference's demo-script flow as one fused TPU
+program per batch.
+
+Usage:
+  python scripts/demo.py --images img1.png,img2.png --out_dir /tmp/demo
+  python scripts/demo.py --synthetic 8 --out_dir /tmp/demo   # no assets
+
+With no real weights supplied (--cpm_npz/--smpl_pkl), runs the hermetic
+synthetic estimator — useful for smoke-testing the full path on-device.
+Outputs per image: fitted params npz, OBJ mesh, and a 2D-skeleton overlay.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("images", "", "comma-separated image paths (png/jpg "
+                    "via PIL if present, else raw .npy)")
+flags.DEFINE_integer("synthetic", 0, "render N synthetic frames instead of "
+                     "loading images")
+flags.DEFINE_string("out_dir", "/tmp/tpu_pose_demo", "output directory")
+flags.DEFINE_string("cpm_npz", "", "converted CPM weights (.npz); synthetic "
+                    "weights if empty")
+flags.DEFINE_string("smpl_pkl", "", "SMPL model pickle; synthetic model if "
+                    "empty")
+flags.DEFINE_string("gmm_pkl", "", "GMM pose-prior pickle (optional)")
+flags.DEFINE_string("optimizer", "adam", "fit optimizer: adam | lbfgs")
+flags.DEFINE_boolean("thorough", False, "use the long fit schedule")
+
+
+def load_images(paths):
+    import numpy as np
+    out = []
+    for p in paths:
+        if p.endswith(".npy"):
+            out.append(np.load(p))
+        else:
+            from PIL import Image
+            out.append(np.asarray(Image.open(p).convert("RGB")))
+    return np.stack(out)
+
+
+def main(argv):
+    del argv
+    import numpy as np
+
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.utils import checkpoint as ckpt_lib
+    from tpu_pose.utils import viz
+    from tpu_pose.utils.config import FitConfig, THOROUGH_STAGES
+
+    fit_cfg = FitConfig(
+        optimizer=FLAGS.optimizer,
+        **({"stages": THOROUGH_STAGES} if FLAGS.thorough else {}))
+
+    if FLAGS.cpm_npz and FLAGS.smpl_pkl:
+        est = PoseEstimator.from_files(
+            FLAGS.cpm_npz, FLAGS.smpl_pkl, FLAGS.gmm_pkl or None,
+            fit_cfg=fit_cfg)
+    else:
+        print("note: no weights supplied — synthetic estimator "
+              "(smoke-test mode)")
+        est = PoseEstimator.create_synthetic(seed=0, fit_cfg=fit_cfg)
+
+    if FLAGS.synthetic:
+        from tpu_pose.data import synthetic
+        ex = synthetic.make_examples(est.smpl_model, FLAGS.synthetic,
+                                     est.cpm_cfg, seed=0)
+        images = ex["images"]
+    elif FLAGS.images:
+        images = load_images(FLAGS.images.split(","))
+    else:
+        raise app.UsageError("provide --images or --synthetic N")
+
+    res = est.estimate_and_fit(images)
+
+    os.makedirs(FLAGS.out_dir, exist_ok=True)
+    ckpt_lib.save_fit_results(
+        os.path.join(FLAGS.out_dir, "fits.npz"),
+        res.theta, res.beta, res.cam, energy=res.energy,
+        extra={"joints2d": np.asarray(res.joints2d),
+               "conf": np.asarray(res.conf)})
+    for i in range(len(images)):
+        viz.save_obj(os.path.join(FLAGS.out_dir, f"mesh_{i:03d}.obj"),
+                     np.asarray(res.vertices[i]),
+                     np.asarray(est.smpl_model.faces))
+        viz.save_skeleton_overlay(
+            os.path.join(FLAGS.out_dir, f"pose2d_{i:03d}.png"),
+            images[i], np.asarray(res.joints2d[i]),
+            np.asarray(res.conf[i]))
+    print(f"wrote {len(images)} fits to {FLAGS.out_dir} "
+          f"(mean energy {float(np.mean(np.asarray(res.energy))):.4f})")
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Dataset-scale evaluation entry point (SURVEY.md §3.5; BASELINE config 5).
+
+Streams batches through the fused estimate→fit pipeline sharded over all
+visible devices, accumulates MPJPE / PA-MPJPE, and is resumable via a
+cursor checkpoint. Runs on Human3.6M-style npz shards (images +
+gt_joints3d in the SMPL 24-joint frame) or --synthetic stand-in data.
+
+  python scripts/eval_h36m.py --synthetic_batches 10 --batch 32
+  python scripts/eval_h36m.py --data_dir /data/h36m_shards --batch 64 \
+      --resume /tmp/eval_cursor.json
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("data_dir", "", "npz-shard dir with images/gt_joints3d")
+flags.DEFINE_integer("synthetic_batches", 0, "evaluate N synthetic batches "
+                     "instead of reading shards")
+flags.DEFINE_integer("batch", 32, "global batch size")
+flags.DEFINE_string("cpm_npz", "", "converted CPM weights (synthetic if "
+                    "empty)")
+flags.DEFINE_string("smpl_pkl", "", "SMPL pickle (synthetic if empty)")
+flags.DEFINE_string("gmm_pkl", "", "GMM prior pickle (optional)")
+flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
+flags.DEFINE_boolean("h36m_joints", False, "score in the 17-joint H3.6M "
+                     "convention instead of SMPL-24")
+
+
+def main(argv):
+    del argv
+    import jax
+
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.data import pipeline, synthetic
+    from tpu_pose.models import joints as joints_lib
+    from tpu_pose.parallel import eval as eval_lib
+    from tpu_pose.parallel import mesh as mesh_lib
+
+    if FLAGS.cpm_npz and FLAGS.smpl_pkl:
+        est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
+                                       FLAGS.gmm_pkl or None)
+    else:
+        print("note: no weights supplied — synthetic estimator")
+        est = PoseEstimator.create_synthetic(seed=0)
+
+    if FLAGS.synthetic_batches:
+        batches = synthetic.eval_batches(
+            est.smpl_model, FLAGS.batch, FLAGS.synthetic_batches,
+            est.cpm_cfg)
+    elif FLAGS.data_dir:
+        batches = pipeline.batches(FLAGS.data_dir, FLAGS.batch,
+                                   keys=("images", "gt_joints3d"))
+    else:
+        raise app.UsageError("provide --data_dir or --synthetic_batches")
+
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    select = joints_lib.select_h36m_joints if FLAGS.h36m_joints else None
+    out = eval_lib.evaluate_h36m_style(
+        est, batches, mesh=mesh, select_joints=select,
+        checkpoint_path=FLAGS.resume or None)
+    print(f"frames={out['num_frames']}  MPJPE={out['mpjpe'] * 1000:.1f} mm  "
+          f"PA-MPJPE={out['pa_mpjpe'] * 1000:.1f} mm")
+
+
+if __name__ == "__main__":
+    app.run(main)

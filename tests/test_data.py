@@ -1,0 +1,145 @@
+"""Tests for the data subsystem (synthetic generator + npz/grain pipeline)
+and the checkpoint utilities."""
+
+import numpy as np
+import pytest
+
+from tpu_pose.data import pipeline, synthetic
+from tpu_pose.models import smpl_data as smpl_data_lib
+from tpu_pose.utils import checkpoint as ckpt_lib
+from tpu_pose.utils.config import CPMConfig
+
+SMALL_CPM = CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                      refine_width=8, num_stages=2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return smpl_data_lib.synthetic_smpl(seed=0)
+
+
+@pytest.fixture(scope="module")
+def examples(model):
+    return synthetic.make_examples(model, 6, SMALL_CPM, seed=3)
+
+
+def test_make_examples_shapes(examples):
+    n, s = 6, SMALL_CPM.input_size
+    h = s // SMALL_CPM.stride
+    assert examples["images"].shape == (n, s, s, 3)
+    assert examples["images"].dtype == np.uint8
+    assert examples["heatmaps"].shape == (n, h, h, 15)
+    assert examples["joints2d"].shape == (n, 14, 2)
+    assert examples["gt_joints3d"].shape == (n, 24, 3)
+
+
+def test_heatmap_peaks_at_joints(examples):
+    """Target heatmap argmax must land within one stride of the 2D joint."""
+    hm = examples["heatmaps"][0]
+    j2d = examples["joints2d"][0]
+    stride = SMALL_CPM.stride
+    for j in range(14):
+        idx = np.unravel_index(np.argmax(hm[..., j]), hm[..., j].shape)
+        peak_px = (np.array([idx[1], idx[0]]) * stride + stride / 2.0)
+        assert np.all(np.abs(peak_px - j2d[j]) <= stride), (j, peak_px, j2d[j])
+
+
+def test_heatmaps_background_channel(examples):
+    hm = examples["heatmaps"]
+    assert np.allclose(hm[..., -1], 1.0 - hm[..., :-1].max(-1), atol=1e-6)
+
+
+def test_examples_deterministic(model):
+    a = synthetic.make_examples(model, 2, SMALL_CPM, seed=7)
+    b = synthetic.make_examples(model, 2, SMALL_CPM, seed=7)
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["theta"], b["theta"])
+
+
+def test_train_and_eval_batch_schemas(model):
+    tb = next(synthetic.cpm_train_batches(model, 2, 1, SMALL_CPM))
+    assert set(tb) == {"images", "center_maps", "heatmaps"}
+    assert tb["images"].shape == (2, 64, 64, 3)
+    assert tb["images"].dtype == np.float32
+    eb = next(synthetic.eval_batches(model, 2, 1, SMALL_CPM))
+    assert set(eb) == {"images", "gt_joints3d"}
+
+
+# ---------------------------------------------------------------------------
+# npz shard pipeline
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory, examples):
+    d = tmp_path_factory.mktemp("shards")
+    pipeline.write_npz_shards(
+        str(d), {"images": examples["images"],
+                 "gt_joints3d": examples["gt_joints3d"]}, shard_size=4)
+    return str(d)
+
+
+def test_shard_source_roundtrip(shard_dir, examples):
+    src = pipeline.NpzShardSource(shard_dir)
+    assert len(src) == 6
+    np.testing.assert_array_equal(src[0]["images"], examples["images"][0])
+    np.testing.assert_array_equal(src[5]["images"], examples["images"][5])
+
+
+def test_batches_sequential(shard_dir, examples):
+    out = list(pipeline.batches(shard_dir, 2, shard_by_process=False))
+    assert len(out) == 3
+    np.testing.assert_array_equal(
+        np.concatenate([b["images"] for b in out]), examples["images"])
+
+
+def test_batches_shuffle_deterministic(shard_dir):
+    a = [b["gt_joints3d"] for b in pipeline.batches(
+        shard_dir, 2, shuffle=True, seed=5, shard_by_process=False)]
+    b = [b["gt_joints3d"] for b in pipeline.batches(
+        shard_dir, 2, shuffle=True, seed=5, shard_by_process=False)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint utils
+# ---------------------------------------------------------------------------
+
+def test_fit_results_roundtrip(tmp_path):
+    path = str(tmp_path / "fits.npz")
+    theta = np.random.RandomState(0).randn(4, 72).astype(np.float32)
+    ckpt_lib.save_fit_results(path, theta, np.zeros((4, 10)),
+                              np.ones((4, 3)), energy=np.arange(4.0))
+    out = ckpt_lib.load_fit_results(path)
+    np.testing.assert_array_equal(out["theta"], theta)
+    assert out["energy"].shape == (4,)
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    jax = pytest.importorskip("jax")
+    pytest.importorskip("orbax.checkpoint")
+    import optax
+    from tpu_pose.models import cpm_train
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), SMALL_CPM, lr=1e-3)
+    d = str(tmp_path / "ckpt")
+    ckpt_lib.save_train_state(d, 3, params, opt_state)
+    assert ckpt_lib.latest_step(d) == 3
+    step, p2, s2 = ckpt_lib.restore_train_state(d, params, opt_state)
+    assert step == 3
+    np.testing.assert_allclose(
+        np.asarray(p2["conv1_stage1"]["w"]),
+        np.asarray(params["conv1_stage1"]["w"]))
+
+
+def test_cpm_params_npz_matches_converter_format(tmp_path):
+    import jax
+    from tpu_pose.models import cpm as cpm_lib
+    from tpu_pose.utils import tf_converter
+    params = cpm_lib.init_cpm_params(jax.random.PRNGKey(0), SMALL_CPM)
+    path = str(tmp_path / "cpm.npz")
+    ckpt_lib.save_cpm_params(path, params)
+    loaded = tf_converter.load_params_npz(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded["conv1_stage1"]["w"]),
+        np.asarray(params["conv1_stage1"]["w"]))

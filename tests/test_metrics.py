@@ -1,0 +1,49 @@
+"""Metrics: MPJPE / PA-MPJPE golden behavior (SURVEY.md §2 row 12)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pose.utils import metrics
+
+
+def test_mpjpe_zero_for_identical():
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 24, 3))
+    assert np.allclose(np.asarray(metrics.mpjpe(x, x)), 0.0)
+
+
+def test_mpjpe_known_offset():
+    x = jnp.zeros((1, 4, 3))
+    y = x.at[..., 0].add(0.05)
+    # root-aligned: constant offset cancels
+    assert np.allclose(np.asarray(metrics.mpjpe(y, x)), 0.0, atol=1e-7)
+    assert np.allclose(
+        np.asarray(metrics.mpjpe(y, x, align_root=False)), 0.05)
+
+
+def test_pa_mpjpe_invariant_to_similarity_transform():
+    rng = np.random.RandomState(1)
+    gt = rng.rand(14, 3)
+    # random rotation via QR
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    q = q * np.linalg.det(q)  # proper rotation
+    pred = 2.3 * gt @ q.T + np.array([0.5, -1.0, 2.0])
+    err = float(metrics.pa_mpjpe(jnp.asarray(pred), jnp.asarray(gt)))
+    assert err < 1e-5, err
+
+
+def test_pa_mpjpe_np_matches_jnp():
+    rng = np.random.RandomState(2)
+    gt = rng.rand(4, 14, 3).astype(np.float32)
+    pred = gt + rng.randn(4, 14, 3).astype(np.float32) * 0.05
+    ref = np.asarray(jax.vmap(metrics.pa_mpjpe)(
+        jnp.asarray(pred), jnp.asarray(gt)))
+    host = metrics.pa_mpjpe_np(pred, gt)
+    np.testing.assert_allclose(host, ref, rtol=1e-4)
+
+
+def test_pck():
+    gt = jnp.zeros((1, 4, 2))
+    pred = jnp.asarray(np.array(
+        [[[0.0, 0.0], [1.0, 0.0], [3.0, 0.0], [10.0, 0.0]]]))
+    assert np.allclose(np.asarray(metrics.pck(pred, gt, 2.0)), 0.5)

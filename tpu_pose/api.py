@@ -58,7 +58,27 @@ class PoseEstimator:
 
     def __init__(self, cpm_params, smpl_model, prior=None,
                  cpm_cfg: CPMConfig = CPMConfig(),
-                 fit_cfg: FitConfig = FitConfig()):
+                 fit_cfg: FitConfig = FitConfig(),
+                 quantize: bool = False,
+                 calibration_images=None):
+        if quantize and not cpm_lib._is_quantized(cpm_params):
+            # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
+            # joint drift vs bf16 bench-gated to sub-pixel. With
+            # calibration images, activation scales are static (faster:
+            # no per-layer max-reduction barriers); else dynamic.
+            act_scales = None
+            if calibration_images is not None:
+                from tpu_pose.ops import preprocess as pre
+                x = jax.vmap(lambda im: pre.preprocess(
+                    im, cpm_cfg.input_size))(calibration_images)
+                cmap = None
+                if cpm_cfg.use_center_map:
+                    cmap = pre.gaussian_center_map(
+                        cpm_cfg.input_size, cpm_cfg.center_sigma)
+                    cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
+                act_scales = cpm_lib.calibrate_act_scales(
+                    cpm_params, x, cmap, cpm_cfg)
+            cpm_params = cpm_lib.quantize_params(cpm_params, act_scales)
         self.cpm_params = cpm_params
         self.smpl_model = smpl_model
         self.prior = prior
@@ -80,11 +100,15 @@ class PoseEstimator:
     def create_synthetic(cls, seed: int = 0,
                          cpm_cfg: CPMConfig = CPMConfig(),
                          fit_cfg: FitConfig = FitConfig(),
-                         with_prior: bool = True) -> "PoseEstimator":
+                         with_prior: bool = True,
+                         quantize: bool = False,
+                         calibration_images=None) -> "PoseEstimator":
         params = cpm_lib.init_cpm_params(jax.random.PRNGKey(seed), cpm_cfg)
         model = smpl_data_lib.synthetic_smpl(seed=seed)
         prior = priors_lib.synthetic_gmm_prior(seed) if with_prior else None
-        return cls(params, model, prior, cpm_cfg, fit_cfg)
+        return cls(params, model, prior, cpm_cfg, fit_cfg,
+                   quantize=quantize,
+                   calibration_images=calibration_images)
 
     @classmethod
     def from_files(cls, cpm_params_npz: str, smpl_pkl: str,

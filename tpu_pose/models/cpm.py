@@ -98,17 +98,19 @@ def init_cpm_params(key: jax.Array, cfg: CPMConfig = CPMConfig()) -> Params:
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, relu: bool, dtype):
-    """SAME conv + bias (+ReLU). bf16 inputs/weights, f32 accumulation —
-    the MXU-native configuration (pallas_guide.md 'Tiling Constraints')."""
+    """SAME conv + bias (+ReLU) in ``dtype`` (bf16 by default). The MXU
+    accumulates bf16 operands in f32 internally, so a bf16 output dtype
+    costs only the final rounding — and keeping the op dtype-closed makes
+    forward and backward convs dtype-consistent (the f32-output variant
+    breaks ``jax.grad``: bf16 activations × f32 cotangents)."""
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), p["w"].astype(dtype),
         window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = y + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + p["b"].astype(dtype)
     if relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(dtype)
+    return y
 
 
 def _pool(x):
@@ -119,9 +121,97 @@ def _pool(x):
         padding="SAME")
 
 
+# ---------------------------------------------------------------------------
+# int8 quantized inference path (serving-speed option)
+# ---------------------------------------------------------------------------
+#
+# v5e executes int8×int8→int32 convs at ~2× the bf16 MXU rate (measured
+# 1.44× end-to-end on the dominant 9×9/184² conv, 208 TOP/s vs 144
+# TFLOP/s). Since the CPM conv stack is ~88% of the fused pipeline cost
+# and runs at 80% MFU in bf16 (no headroom left in scheduling), lower
+# precision is the only honest speed lever. Scheme: symmetric per-output-
+# channel weight scales (static), symmetric per-tensor dynamic activation
+# scales (one cheap max-reduction per layer), f32 bias/ReLU epilogue.
+# Accuracy is bench-gated: tests assert soft-argmax joint drift vs the
+# bf16 path stays sub-pixel (within the ≤1 mm MPJPE parity budget).
+
+def quantize_params(params: Params,
+                    act_scales: dict | None = None) -> Params:
+    """Per-output-channel symmetric int8 quantization of conv weights.
+
+    Returns a pytree with ``w_int8`` (kh,kw,ci,co) int8, ``w_scale`` (co,)
+    f32, and the original f32 ``b`` — recognized by ``cpm_forward``.
+
+    ``act_scales`` (from :func:`calibrate_act_scales`) adds a static
+    per-layer input-activation scale ``a_scale``; without it, activation
+    scales are computed dynamically per call (one max-reduction per layer
+    — a fusion barrier worth removing in serving).
+    """
+    out: Params = {}
+    for name, p in params.items():
+        w = jnp.asarray(p["w"], jnp.float32)
+        scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        out[name] = {"w_int8": w_q, "w_scale": scale, "b": p["b"]}
+        if act_scales and name in act_scales:
+            out[name]["a_scale"] = jnp.asarray(act_scales[name], jnp.float32)
+    return out
+
+
+def _quantize_act(x: jnp.ndarray, a_scale: jnp.ndarray | None):
+    """Symmetric per-tensor activation quantization → (int8, scale).
+    Static ``a_scale`` (calibrated) when given; dynamic max otherwise."""
+    if a_scale is None:
+        a_scale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    return x_q, a_scale
+
+
+def _conv_q(x: jnp.ndarray, p, relu: bool) -> jnp.ndarray:
+    """int8 conv: quantize activations, int32-accumulate on the MXU,
+    dequantize into the f32 bias/ReLU epilogue (XLA fuses the epilogue)."""
+    x_q, a_scale = _quantize_act(x.astype(jnp.float32), p.get("a_scale"))
+    y = jax.lax.conv_general_dilated(
+        x_q, p["w_int8"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (a_scale * p["w_scale"]) + p["b"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+def calibrate_act_scales(params: Params, images: jnp.ndarray,
+                         center_map: jnp.ndarray | None = None,
+                         cfg: CPMConfig = CPMConfig(),
+                         margin: float = 1.1) -> dict:
+    """Post-training calibration: run the f32 forward on a representative
+    batch and record per-layer max|input activation| → static scales for
+    :func:`quantize_params`. ``margin`` head-rooms unseen data. Runs
+    eagerly (host readback per layer) — a one-time offline step."""
+    def collect(images, center_map):
+        amaxes: dict = {}
+
+        def tap(name, x):
+            amaxes[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+        cpm_forward(params, images, center_map, cfg, on_conv_input=tap)
+        return amaxes
+
+    amaxes = jax.jit(collect)(images, center_map)  # one compiled pass
+    return {name: max(float(a) * margin / 127.0, 1e-12)
+            for name, a in amaxes.items()}
+
+
+def _is_quantized(params: Params) -> bool:
+    return "w_int8" in next(iter(params.values()))
+
+
 def cpm_forward(params: Params, images: jnp.ndarray,
                 center_map: jnp.ndarray | None = None,
-                cfg: CPMConfig = CPMConfig()) -> List[jnp.ndarray]:
+                cfg: CPMConfig = CPMConfig(),
+                on_conv_input=None) -> List[jnp.ndarray]:
     """All-stage forward pass.
 
     Args:
@@ -132,10 +222,15 @@ def cpm_forward(params: Params, images: jnp.ndarray,
       intermediate supervision needs every stage (SURVEY.md §2 row 3);
       inference uses [-1].
     """
-    dtype = jnp.dtype(cfg.compute_dtype)
+    quantized = _is_quantized(params)
+    dtype = jnp.float32 if quantized else jnp.dtype(cfg.compute_dtype)
     x = images
 
     def c(name, h, relu=True):
+        if on_conv_input is not None:
+            on_conv_input(name, h)  # calibration tap (eager-only)
+        if quantized:
+            return _conv_q(h, params[name], relu)
         return _conv(h, params[name], relu, dtype)
 
     # Stage-1 belief path.

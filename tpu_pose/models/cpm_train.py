@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax ≥ 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from tpu_pose.models import cpm as cpm_lib
 from tpu_pose.parallel.mesh import DATA_AXIS
@@ -71,7 +75,6 @@ def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
                   {"images": sharded, "center_maps": sharded,
                    "heatmaps": sharded}),
         out_specs=(replicated, replicated, replicated),
-        check_rep=False,
     )
     return jax.jit(step)
 

@@ -83,7 +83,9 @@ def evaluate_h36m_style(
     run = (sharded_fused_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_and_fit(im)))
 
-    pa_fn = jax.jit(jax.vmap(metrics_lib.pa_mpjpe))
+    # PA-MPJPE runs on host: jnp SVD wedges the TPU compiler (see
+    # metrics.pa_mpjpe_np docstring); the (B,J,3) transfer is tiny.
+    pa_fn = metrics_lib.pa_mpjpe_np
 
     for i, batch in enumerate(batches):
         if i < state.cursor:

@@ -11,7 +11,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-from tpu_pose.models import camera as camera_lib
+# Camera-model names, mirrored from models/camera.py (string constants, not
+# an import — utils.config must stay import-cycle-free since models/* and
+# ops/* both depend on it).
+WEAK_PERSPECTIVE = "weak_perspective"
+PERSPECTIVE = "perspective"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,7 +93,7 @@ THOROUGH_STAGES: Tuple[StageConfig, ...] = (
 class FitConfig:
     """SMPLify-style fit configuration (SURVEY.md §2 rows 8–10)."""
     stages: Tuple[StageConfig, ...] = DEFAULT_STAGES
-    camera_model: str = camera_lib.WEAK_PERSPECTIVE
+    camera_model: str = WEAK_PERSPECTIVE
     focal: float = 5000.0         # perspective only
     img_size: int = 368           # pixel frame of the 2D observations
     gmof_sigma: float = 100.0     # GMoF robustifier width, in PIXELS

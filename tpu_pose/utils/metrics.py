@@ -52,6 +52,34 @@ def pa_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.linalg.norm(aligned - gt, axis=-1))
 
 
+def pa_mpjpe_np(pred, gt) -> "np.ndarray":
+    """Host-numpy batched PA-MPJPE: (B,J,3),(B,J,3) → (B,).
+
+    Metrics are not on the device perf path, and ``jnp.linalg.svd``
+    compiles to a pathologically slow iterative HLO on TPU (observed to
+    wedge the axon remote-compile helper for 15+ min) — so dataset eval
+    computes Procrustes alignment on host. Matches :func:`pa_mpjpe`.
+    """
+    import numpy as np
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    out = np.empty(pred.shape[0])
+    for i in range(pred.shape[0]):
+        p, g = pred[i], gt[i]
+        mu_p, mu_g = p.mean(0), g.mean(0)
+        pc, gc = p - mu_p, g - mu_g
+        cov = gc.T @ pc / p.shape[0]
+        u, s, vt = np.linalg.svd(cov)
+        d = np.sign(np.linalg.det(u @ vt))
+        dsign = np.array([1.0, 1.0, d])
+        rot = (u * dsign) @ vt
+        var_p = (pc * pc).sum(-1).mean()
+        scale = (s * dsign).sum() / (var_p + 1e-12)
+        aligned = scale * pc @ rot.T + mu_g
+        out[i] = np.linalg.norm(aligned - g, axis=-1).mean()
+    return out
+
+
 def pck(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
         threshold: float) -> jnp.ndarray:
     """Percentage of correct 2D keypoints within ``threshold`` (same units

@@ -63,6 +63,24 @@ def export_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
 
 
+save_obj = export_obj  # script-facing alias
+
+
+def save_image(path: str, image: np.ndarray) -> None:
+    """PNG via PIL when available; falls back to .npy next to ``path``."""
+    try:
+        from PIL import Image
+        Image.fromarray(np.asarray(image)).save(path)
+    except ImportError:  # hermetic environments
+        np.save(path + ".npy", np.asarray(image))
+
+
+def save_skeleton_overlay(path: str, image: np.ndarray,
+                          joints_px: np.ndarray,
+                          conf: np.ndarray | None = None) -> None:
+    save_image(path, draw_skeleton(image, joints_px, conf))
+
+
 def tile_heatmaps(heatmaps: np.ndarray, cols: int = 5) -> np.ndarray:
     """(H, W, C) belief maps → one uint8 grayscale contact sheet."""
     hm = np.asarray(heatmaps)
