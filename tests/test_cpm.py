@@ -108,3 +108,30 @@ def test_param_count_full_model():
             for v in params.values())
     # CPM MPII family is a few tens of millions of parameters.
     assert 5e6 < n < 60e6, n
+
+
+def test_stage1_only_forward(small_params):
+    """num_stages=1 short-circuit used by center refinement."""
+    imgs = jnp.zeros((2, 64, 64, 3))
+    beliefs = cpm.cpm_forward(small_params, imgs, None, SMALL, num_stages=1)
+    assert len(beliefs) == 1
+    assert beliefs[0].shape == (2, 8, 8, 15)
+
+
+def test_estimate_person_centers_peaked():
+    """Center estimate = expectation of the stage-1 foreground mass: a
+    delta-peaked synthetic belief decodes to that cell's pixel coords."""
+    s1 = np.zeros((1, 8, 8, 15), np.float32)
+    s1[0, 2, 5, 3] = 8.0  # one strong part at (row 2, col 5)
+    c = cpm.estimate_person_centers(jnp.asarray(s1), SMALL)
+    np.testing.assert_allclose(np.asarray(c)[0], [5 * 8, 2 * 8], atol=0.5)
+
+
+def test_refine_center_runs_end_to_end(small_params):
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    hm, joints, conf = cpm.estimate_2d_from_images(
+        small_params, imgs, SMALL, refine_center=True)
+    assert hm.shape == (2, 8, 8, 15)
+    assert joints.shape == (2, 14, 2)
+    assert bool(jnp.all(jnp.isfinite(joints)))

@@ -87,6 +87,9 @@ class PoseEstimator:
         # Jitted entry points (donate nothing; configs closed over).
         self._estimate_2d = jax.jit(functools.partial(
             cpm_lib.estimate_2d_from_images, cfg=cpm_cfg))
+        self._estimate_2d_refined = jax.jit(functools.partial(
+            cpm_lib.estimate_2d_from_images, cfg=cpm_cfg,
+            refine_center=True))
         self._fit_batch = jax.jit(functools.partial(
             fit_lib.fit_smpl_batch, cfg=fit_cfg, prior=prior))
         self._fit_single = jax.jit(functools.partial(
@@ -123,9 +126,15 @@ class PoseEstimator:
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
 
-    def estimate_2d(self, images: jnp.ndarray) -> Estimate2DResult:
-        """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf."""
-        hm, joints, conf = self._estimate_2d(self.cpm_params, images)
+    def estimate_2d(self, images: jnp.ndarray,
+                    refine_center: bool = False) -> Estimate2DResult:
+        """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
+
+        ``refine_center=True`` localizes the person from stage-1 beliefs
+        instead of assuming a centered crop (SURVEY.md §2 row 2)."""
+        fn = (self._estimate_2d_refined if refine_center
+              else self._estimate_2d)
+        hm, joints, conf = fn(self.cpm_params, images)
         return Estimate2DResult(hm, joints, conf)
 
     def fit_smpl(self, joints2d: jnp.ndarray, conf: jnp.ndarray,

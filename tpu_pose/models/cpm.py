@@ -211,7 +211,8 @@ def _is_quantized(params: Params) -> bool:
 def cpm_forward(params: Params, images: jnp.ndarray,
                 center_map: jnp.ndarray | None = None,
                 cfg: CPMConfig = CPMConfig(),
-                on_conv_input=None) -> List[jnp.ndarray]:
+                on_conv_input=None,
+                num_stages: int | None = None) -> List[jnp.ndarray]:
     """All-stage forward pass.
 
     Args:
@@ -243,6 +244,10 @@ def cpm_forward(params: Params, images: jnp.ndarray,
     b = c("conv7_stage1", h, relu=False).astype(jnp.float32)
     beliefs = [b]
 
+    n_stages = cfg.num_stages if num_stages is None else num_stages
+    if n_stages == 1:
+        return beliefs
+
     # Shared refinement trunk (computed once).
     f = _pool(c("conv1_stage2", x))
     f = _pool(c("conv2_stage2", f))
@@ -254,7 +259,7 @@ def cpm_forward(params: Params, images: jnp.ndarray,
     else:
         cmap_lo = None
 
-    for t in range(2, cfg.num_stages + 1):
+    for t in range(2, n_stages + 1):
         feat_name = "conv4_stage2" if t == 2 else f"conv1_stage{t}"
         feat = c(feat_name, f)
         parts = [feat, beliefs[-1].astype(dtype)]
@@ -271,24 +276,67 @@ def cpm_forward(params: Params, images: jnp.ndarray,
     return beliefs
 
 
+def estimate_person_centers(stage1_beliefs: jnp.ndarray,
+                            cfg: CPMConfig = CPMConfig()) -> jnp.ndarray:
+    """(B, h, h, P+1) stage-1 beliefs → (B, 2) person centers in input px.
+
+    TPU-native center localization (SURVEY.md §2 row 2): the reference
+    lineage assumes a centered person (or a separate PersonNet); here the
+    center is refined IN-GRAPH as the spatial expectation of the stage-1
+    foreground mass (max over part channels), so off-center crops still
+    get a well-placed centering hint for stages 2+."""
+    fg = jnp.max(stage1_beliefs[..., :-1], axis=-1)        # (B, h, h)
+    b, h, w = fg.shape
+    flat = fg.reshape(b, h * w)
+    m = jnp.max(flat, axis=-1, keepdims=True)
+    p = jax.nn.softmax(50.0 * (flat - m), axis=-1).reshape(b, h, w)
+    ys = jnp.arange(h, dtype=jnp.float32) * cfg.stride
+    xs = jnp.arange(w, dtype=jnp.float32) * cfg.stride
+    cy = jnp.einsum("bhw,h->b", p, ys)
+    cx = jnp.einsum("bhw,w->b", p, xs)
+    return jnp.stack([cx, cy], axis=-1)
+
+
 def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             cfg: CPMConfig = CPMConfig(),
-                            beta: float = 100.0):
+                            beta: float = 100.0,
+                            refine_center: bool = False):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
-    Args: images (B, H₀, W₀, 3), any size — resized in-graph.
+    Args:
+      images: (B, H₀, W₀, 3), any size — resized in-graph.
+      refine_center: estimate per-image person centers from stage-1
+        beliefs and center the stages-2+ hint there (SURVEY.md §2 row 2)
+        instead of assuming a centered person. Costs one extra stage-1
+        pass of the belief head (the trunk is shared).
     Returns: (heatmaps (B, 46, 46, P+1), joints_px (B, P, 2), conf (B, P)).
     """
     x = jax.vmap(lambda im: pre.preprocess(im, cfg.input_size))(images)
     if cfg.use_center_map:
-        cmap = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
-        cmap = jnp.broadcast_to(
-            cmap, (x.shape[0], *cmap.shape))
+        if refine_center:
+            # Pass 1: stage-1 beliefs only (no center map needed) →
+            # per-image centers → per-image Gaussian hints.
+            s1 = cpm_forward(params, x, None, cfg, num_stages=1)[-1]
+            centers = estimate_person_centers(s1, cfg)
+            cmap = jax.vmap(
+                lambda c: pre.gaussian_center_map(
+                    cfg.input_size, cfg.center_sigma, center=c))(centers)
+        else:
+            cmap = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
+            cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
     else:
         cmap = None
     beliefs = cpm_forward(params, x, cmap, cfg)
     heatmaps = beliefs[-1]
-    joints, conf = decode_lib.soft_argmax(heatmaps, beta=beta,
-                                          stride=cfg.stride)
+    impl = cfg.decode_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from tpu_pose.ops import pallas_kernels
+        joints, conf = pallas_kernels.soft_argmax_pallas(
+            heatmaps, beta=beta, stride=cfg.stride)
+    else:
+        joints, conf = decode_lib.soft_argmax(heatmaps, beta=beta,
+                                              stride=cfg.stride)
     return heatmaps, joints, conf

@@ -35,6 +35,10 @@ class CPMConfig:
     use_center_map: bool = True
     # bf16 conv compute (MXU-native); params & outputs stay f32.
     compute_dtype: str = "bfloat16"
+    # Decode implementation: "auto" = Pallas fused soft-argmax on TPU
+    # (measured 1.77× vs XLA at b=128, exact-equal outputs), XLA
+    # elsewhere; force with "pallas" | "xla".
+    decode_impl: str = "auto"
 
     @property
     def heatmap_size(self) -> int:
