@@ -17,8 +17,7 @@ from typing import Any
 
 import jax
 
-from tpu_pose.fitting.fit import FitResult, fit_smpl_single, _normalize_obs
-from tpu_pose.fitting.fit import default_init
+from tpu_pose.fitting.fit import FitResult, fit_smpl_single
 from tpu_pose.models.smpl_data import SMPLData
 from tpu_pose.utils.config import FitConfig
 
@@ -47,8 +46,6 @@ def fit_video(
     Pass 2 (parallel): every frame refined with the full last stage,
     vmapped — wall-clock is one fit, not T fits.
     """
-    obs_seq = _normalize_obs(joints2d_seq, cfg)
-
     # Frame 0: full staged fit from the cold-start init.
     first = fit_smpl_single(model, joints2d_seq[0], conf_seq[0],
                             cfg=cfg, prior=prior)
