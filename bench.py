@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -27,22 +26,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def sync(x):
-    """Force completion: device_get of one scalar reduction."""
-    import jax
-    import jax.numpy as jnp
-    leaves = jax.tree.leaves(x)
-    return float(jax.device_get(jnp.sum(leaves[0].ravel()[:1])))
-
-
 def timeit(fn, *args, iters=5, warmup=2):
-    for _ in range(warmup):
-        sync(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    """Fenced mean seconds/call — tpu_pose.utils.profiling.Timer (which
+    owns the axon block_until_ready workaround)."""
+    from tpu_pose.utils.profiling import Timer
+    return Timer(fn, *args, warmup=warmup, iters=iters).run()
 
 
 def enable_compilation_cache():

@@ -86,13 +86,18 @@ def main(argv):
         res.theta, res.beta, res.cam, energy=res.energy,
         extra={"joints2d": np.asarray(res.joints2d),
                "conf": np.asarray(res.conf)})
+    # Decoded joints live in the network's input frame (cfg.input_size px);
+    # rescale to each source image's resolution before drawing.
+    h0, w0 = images.shape[1:3]
+    s = np.array([w0 / est.cpm_cfg.input_size,
+                  h0 / est.cpm_cfg.input_size], np.float32)
     for i in range(len(images)):
         viz.save_obj(os.path.join(FLAGS.out_dir, f"mesh_{i:03d}.obj"),
                      np.asarray(res.vertices[i]),
                      np.asarray(est.smpl_model.faces))
         viz.save_skeleton_overlay(
             os.path.join(FLAGS.out_dir, f"pose2d_{i:03d}.png"),
-            images[i], np.asarray(res.joints2d[i]),
+            images[i], np.asarray(res.joints2d[i]) * s,
             np.asarray(res.conf[i]))
     print(f"wrote {len(images)} fits to {FLAGS.out_dir} "
           f"(mean energy {float(np.mean(np.asarray(res.energy))):.4f})")

@@ -60,7 +60,21 @@ def main(argv):
         raise app.UsageError("provide --data_dir or --synthetic_batches")
 
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
-    select = joints_lib.select_h36m_joints if FLAGS.h36m_joints else None
+    select = None
+    if FLAGS.h36m_joints:
+        select = joints_lib.select_h36m_joints
+
+        def to_h36m_gt(bs):
+            # GT supplied in the SMPL-24 frame (e.g. synthetic batches)
+            # must be mapped to the same 17-joint convention as preds.
+            for b in bs:
+                gt = b["gt_joints3d"]
+                if gt.shape[-2] == 24:
+                    b = dict(b, gt_joints3d=gt[..., joints_lib.H36M_TO_SMPL,
+                                               :])
+                yield b
+
+        batches = to_h36m_gt(batches)
     out = eval_lib.evaluate_h36m_style(
         est, batches, mesh=mesh, select_joints=select,
         checkpoint_path=FLAGS.resume or None)

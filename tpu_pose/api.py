@@ -141,11 +141,10 @@ class PoseEstimator:
                  init: Optional[dict] = None) -> FitResult:
         """2D joints (pixels, CPM order) → (θ, β, cam). Batched if a
         leading axis is present."""
-        if joints2d.ndim == 2:
-            return self._fit_single(self.smpl_model, joints2d, conf)
+        fn = self._fit_single if joints2d.ndim == 2 else self._fit_batch
         if init is None:
-            return self._fit_batch(self.smpl_model, joints2d, conf)
-        return self._fit_batch(self.smpl_model, joints2d, conf, init=init)
+            return fn(self.smpl_model, joints2d, conf)
+        return fn(self.smpl_model, joints2d, conf, init=init)
 
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
         _, joints, conf = cpm_lib.estimate_2d_from_images(

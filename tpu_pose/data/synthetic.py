@@ -60,9 +60,12 @@ def gaussian_heatmaps(joints_px: np.ndarray, size: int, stride: int,
     """
     h = size // stride
     ys, xs = np.mgrid[0:h, 0:h].astype(np.float32)
-    # Heatmap cell centers in input-pixel coordinates.
-    cx = xs * stride + stride / 2.0
-    cy = ys * stride + stride / 2.0
+    # Cell-CORNER convention (x = col·stride), matching the decoders
+    # (ops/softargmax.py) and the canonical painter
+    # (ops/preprocess.paint_heatmaps) — a cell-center (+stride/2)
+    # convention here would bake a 4 px train/decode bias.
+    cx = xs * stride
+    cy = ys * stride
     maps = []
     for (jx, jy) in joints_px:
         d2 = (cx - jx) ** 2 + (cy - jy) ** 2

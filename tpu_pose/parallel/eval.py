@@ -50,8 +50,12 @@ class EvalState:
     sum_pa_mpjpe: float = 0.0
 
     def save(self, path: str):
-        with open(path, "w") as f:
+        # Atomic write: a crash mid-save must not truncate the resume
+        # cursor (same tmp+replace idiom as utils/checkpoint.py).
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(dataclasses.asdict(self), f)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "EvalState":
