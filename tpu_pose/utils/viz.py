@@ -66,6 +66,43 @@ def export_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
 save_obj = export_obj  # script-facing alias
 
 
+def project_vertices_weak_perspective(vertices: np.ndarray,
+                                      cam: np.ndarray,
+                                      img_size: int) -> np.ndarray:
+    """Fitted-mesh vertices (V,3) + weak-perspective cam (s, tx, ty) →
+    (V,2) pixel coords, matching models/camera.py's normalized frame."""
+    v = np.asarray(vertices)
+    s, tx, ty = np.asarray(cam)
+    norm = s * v[:, :2] + np.array([tx, ty])  # [-1, 1] frame
+    return (norm + 1.0) * (img_size / 2.0)
+
+
+def draw_mesh_overlay(image: np.ndarray, vertices_px: np.ndarray,
+                      color=(120, 200, 255), alpha: float = 0.6
+                      ) -> np.ndarray:
+    """Splat projected mesh vertices onto the image (reference-capability
+    'render fitted mesh' without a renderer dependency: a dense 6890-point
+    splat reads as a body silhouette)."""
+    img = np.array(image, copy=True)
+    h, w = img.shape[:2]
+    pts = np.asarray(vertices_px)
+    xs = np.clip(pts[:, 0].astype(np.int64), 0, w - 1)
+    ys = np.clip(pts[:, 1].astype(np.int64), 0, h - 1)
+    blended = (img[ys, xs].astype(np.float32) * (1 - alpha)
+               + np.asarray(color, np.float32) * alpha)
+    img[ys, xs] = blended.astype(img.dtype)
+    return img
+
+
+def save_mesh_overlay(path: str, image: np.ndarray, vertices: np.ndarray,
+                      cam: np.ndarray, img_size: int) -> None:
+    pts = project_vertices_weak_perspective(vertices, cam, img_size)
+    # rescale from the network frame to this image's resolution
+    hh, ww = np.asarray(image).shape[:2]
+    pts = pts * np.array([ww / img_size, hh / img_size])
+    save_image(path, draw_mesh_overlay(image, pts))
+
+
 def save_image(path: str, image: np.ndarray) -> None:
     """PNG via PIL when available; falls back to .npy next to ``path``."""
     try:
