@@ -214,3 +214,44 @@ def test_video_temporal_fit(model):
                           res.energy[t], jnp.zeros(0)),
         j_seq[t], FAST_CFG) for t in range(T)]
     assert max(errs) < 4.0, errs
+
+
+def test_multistart_beats_single_on_flipped_pose(model):
+    """A back-facing GT (yaw ≈ π) traps the single cold-start fit in the
+    front-facing basin; the multi-start fit must find the flipped basin
+    and land at materially lower energy / reprojection error."""
+    rng = np.random.RandomState(11)
+    theta_gt = jnp.zeros(72).at[1].set(jnp.pi).at[3:].set(
+        jnp.asarray(rng.randn(69) * 0.15, jnp.float32))
+    beta_gt = jnp.zeros(10)
+    out = smpl_lib.smpl_forward(model, beta_gt, theta_gt)
+    j3d = joints_lib.select_smpl_joints(out.joints)
+    cam_gt = jnp.asarray([0.9, 0.0, 0.0], jnp.float32)
+    j2d_px = (camera_lib.weak_perspective_project(j3d, cam_gt) + 1.0) * (
+        IMG / 2.0)
+    conf = jnp.ones(j3d.shape[0], jnp.float32)
+
+    single = fit_lib.fit_smpl_single(model, j2d_px, conf, cfg=FAST_CFG)
+    multi = fit_lib.fit_smpl_multistart(model, j2d_px, conf, cfg=FAST_CFG,
+                                        restarts=4)
+    e1 = reproj_err_px(model, single, j2d_px, FAST_CFG)
+    e4 = reproj_err_px(model, multi, j2d_px, FAST_CFG)
+    assert float(multi.energy) <= float(single.energy) + 1e-6
+    assert e4 < 10.0, (e1, e4)  # flipped basin found → near-exact reproj
+
+
+def test_multistart_api(model):
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.utils.config import CPMConfig
+    est = PoseEstimator.create_synthetic(
+        seed=0,
+        cpm_cfg=CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                          refine_width=8, num_stages=2),
+        fit_cfg=FAST_CFG, with_prior=False)
+    rng = np.random.RandomState(0)
+    j = jnp.asarray(rng.rand(2, 14, 2) * IMG, jnp.float32)
+    c = jnp.ones((2, 14))
+    res = est.fit_smpl(j, c, restarts=2)
+    assert res.theta.shape == (2, 72)
+    with pytest.raises(ValueError):
+        est.fit_smpl(j, c, init={"theta": None}, restarts=2)

@@ -96,6 +96,7 @@ class PoseEstimator:
             fit_lib.fit_smpl_single, cfg=fit_cfg, prior=prior))
         self._fused = jax.jit(self._estimate_and_fit_impl)
         self._smpl_batch = jax.jit(smpl_lib.smpl_forward_batch)
+        self._fit_multistart = {}  # (restarts, ndim) → jitted fn
 
     # -- constructors -----------------------------------------------------
 
@@ -138,9 +139,27 @@ class PoseEstimator:
         return Estimate2DResult(hm, joints, conf)
 
     def fit_smpl(self, joints2d: jnp.ndarray, conf: jnp.ndarray,
-                 init: Optional[dict] = None) -> FitResult:
+                 init: Optional[dict] = None,
+                 restarts: int = 1) -> FitResult:
         """2D joints (pixels, CPM order) → (θ, β, cam). Batched if a
-        leading axis is present."""
+        leading axis is present. ``restarts > 1`` runs that many
+        global-orientation hypotheses per sample in parallel and keeps
+        the lowest-energy one (escapes the facing ambiguity; ~×restarts
+        fit FLOPs, same wall-clock shape)."""
+        if restarts > 1:
+            if init is not None:
+                raise ValueError("init and restarts>1 are exclusive")
+            key = (restarts, joints2d.ndim)
+            if key not in self._fit_multistart:
+                single = functools.partial(
+                    fit_lib.fit_smpl_multistart, cfg=self.fit_cfg,
+                    prior=self.prior, restarts=restarts)
+                fn = (single if joints2d.ndim == 2 else
+                      (lambda m, j, c: jax.vmap(
+                          lambda jj, cc: single(m, jj, cc))(j, c)))
+                self._fit_multistart[key] = jax.jit(fn)
+            return self._fit_multistart[key](self.smpl_model, joints2d,
+                                             conf)
         fn = self._fit_single if joints2d.ndim == 2 else self._fit_batch
         if init is None:
             return fn(self.smpl_model, joints2d, conf)

@@ -166,6 +166,34 @@ def fit_smpl_single(
                      energy_history=history)
 
 
+def fit_smpl_multistart(
+    model: SMPLData,
+    joints2d: jnp.ndarray,              # (P, 2) pixels
+    conf: jnp.ndarray,                  # (P,)
+    cfg: FitConfig = FitConfig(),
+    prior: Any = None,
+    restarts: int = 4,
+) -> FitResult:
+    """Multi-hypothesis fit: ``restarts`` global-orientation inits (evenly
+    spaced yaw), all optimized in parallel via ``vmap``, lowest final
+    energy wins. The SMPLify lineage restarts from flipped orientations to
+    escape the facing-direction ambiguity of monocular 2D evidence; on TPU
+    the hypotheses batch for (almost) free — wall-clock is one fit with a
+    ×restarts batch, not ``restarts`` sequential fits."""
+    obs = _normalize_obs(joints2d, cfg)
+    base = default_init(model, obs, conf, cfg)
+    yaws = jnp.linspace(0.0, 2.0 * jnp.pi, restarts, endpoint=False)
+
+    def run(yaw):
+        init = dict(base, theta=base["theta"].at[1].set(yaw))
+        return fit_smpl_single(model, joints2d, conf, cfg=cfg,
+                               prior=prior, init=init)
+
+    results = jax.vmap(run)(yaws)
+    best = jnp.argmin(results.energy)
+    return jax.tree.map(lambda x: x[best], results)
+
+
 def fit_smpl_batch(model, joints2d, conf, cfg: FitConfig = FitConfig(),
                    prior: Any = None, init: Optional[dict] = None
                    ) -> FitResult:
