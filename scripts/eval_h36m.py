@@ -30,6 +30,8 @@ flags.DEFINE_string("gmm_pkl", "", "GMM prior pickle (optional)")
 flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
 flags.DEFINE_boolean("h36m_joints", False, "score in the 17-joint H3.6M "
                      "convention instead of SMPL-24")
+flags.DEFINE_integer("restarts", 1, "global-yaw fit hypotheses per frame "
+                     "(accuracy mode; >1 costs ~x restarts fit time)")
 
 
 def main(argv):
@@ -44,10 +46,12 @@ def main(argv):
 
     if FLAGS.cpm_npz and FLAGS.smpl_pkl:
         est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
-                                       FLAGS.gmm_pkl or None)
+                                       FLAGS.gmm_pkl or None,
+                                       fit_restarts=FLAGS.restarts)
     else:
         print("note: no weights supplied — synthetic estimator")
-        est = PoseEstimator.create_synthetic(seed=0)
+        est = PoseEstimator.create_synthetic(seed=0,
+                                             fit_restarts=FLAGS.restarts)
 
     if FLAGS.synthetic_batches:
         batches = synthetic.eval_batches(

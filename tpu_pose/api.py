@@ -60,7 +60,8 @@ class PoseEstimator:
                  cpm_cfg: CPMConfig = CPMConfig(),
                  fit_cfg: FitConfig = FitConfig(),
                  quantize: bool = False,
-                 calibration_images=None):
+                 calibration_images=None,
+                 fit_restarts: int = 1):
         if quantize and not cpm_lib._is_quantized(cpm_params):
             # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
             # joint drift vs bf16 bench-gated to sub-pixel. With
@@ -84,6 +85,10 @@ class PoseEstimator:
         self.prior = prior
         self.cpm_cfg = cpm_cfg
         self.fit_cfg = fit_cfg
+        # >1: the fused path fits this many global-yaw hypotheses per
+        # frame and keeps the lowest energy (accuracy mode; ~×N fit cost,
+        # CPM cost unchanged).
+        self.fit_restarts = fit_restarts
         # Jitted entry points (donate nothing; configs closed over).
         self._estimate_2d = jax.jit(functools.partial(
             cpm_lib.estimate_2d_from_images, cfg=cpm_cfg))
@@ -106,24 +111,26 @@ class PoseEstimator:
                          fit_cfg: FitConfig = FitConfig(),
                          with_prior: bool = True,
                          quantize: bool = False,
-                         calibration_images=None) -> "PoseEstimator":
+                         calibration_images=None,
+                         **kw) -> "PoseEstimator":
         params = cpm_lib.init_cpm_params(jax.random.PRNGKey(seed), cpm_cfg)
         model = smpl_data_lib.synthetic_smpl(seed=seed)
         prior = priors_lib.synthetic_gmm_prior(seed) if with_prior else None
         return cls(params, model, prior, cpm_cfg, fit_cfg,
                    quantize=quantize,
-                   calibration_images=calibration_images)
+                   calibration_images=calibration_images, **kw)
 
     @classmethod
     def from_files(cls, cpm_params_npz: str, smpl_pkl: str,
                    gmm_pkl: Optional[str] = None,
                    cpm_cfg: CPMConfig = CPMConfig(),
-                   fit_cfg: FitConfig = FitConfig()) -> "PoseEstimator":
+                   fit_cfg: FitConfig = FitConfig(),
+                   **kw) -> "PoseEstimator":
         from tpu_pose.utils import tf_converter
         params = tf_converter.load_params_npz(cpm_params_npz)
         model = smpl_data_lib.load_smpl_pickle(smpl_pkl)
         prior = (priors_lib.load_gmm_pickle(gmm_pkl) if gmm_pkl else None)
-        return cls(params, model, prior, cpm_cfg, fit_cfg)
+        return cls(params, model, prior, cpm_cfg, fit_cfg, **kw)
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
 
@@ -168,8 +175,14 @@ class PoseEstimator:
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
         _, joints, conf = cpm_lib.estimate_2d_from_images(
             cpm_params, images, cfg=self.cpm_cfg)
-        res = fit_lib.fit_smpl_batch(
-            smpl_model, joints, conf, cfg=self.fit_cfg, prior=self.prior)
+        if self.fit_restarts > 1:
+            res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
+                smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
+                restarts=self.fit_restarts))(joints, conf)
+        else:
+            res = fit_lib.fit_smpl_batch(
+                smpl_model, joints, conf, cfg=self.fit_cfg,
+                prior=self.prior)
         out = smpl_lib.smpl_forward_batch(smpl_model, res.beta, res.theta)
         return EstimateAndFitResult(
             joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
