@@ -143,3 +143,17 @@ def test_cpm_params_npz_matches_converter_format(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded["conv1_stage1"]["w"]),
         np.asarray(params["conv1_stage1"]["w"]))
+
+
+def test_video_examples_smooth(model):
+    ex = synthetic.make_video_examples(model, 12, SMALL_CPM, seed=4,
+                                       keyframe_every=4)
+    assert ex["theta"].shape == (12, 72)
+    # one body throughout
+    assert np.allclose(ex["beta"], ex["beta"][0])
+    # adjacent frames are close in pose space (the warm-start premise) —
+    # much closer than i.i.d. samples.
+    step = np.linalg.norm(np.diff(ex["theta"], axis=0), axis=1)
+    iid = np.linalg.norm(ex["theta"][1:] - ex["theta"][0], axis=1)
+    assert step.mean() < iid.mean()
+    assert ex["images"].shape == (12, 64, 64, 3)

@@ -104,20 +104,55 @@ def make_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     """
     rng = np.random.RandomState(seed)
     theta, beta = sample_poses(rng, n)
-    j3d = _smpl_joints_np(model, theta, beta)            # (n, 24, 3)
-    j3d14 = j3d[:, joints_lib.CPM_TO_SMPL]               # (n, 14, 3)
+    return _examples_from_params(model, theta, beta, cfg, heatmap_sigma)
 
-    # Weak-perspective camera framing the skeleton into the image.
+
+def make_video_examples(model, num_frames: int,
+                        cfg: CPMConfig = CPMConfig(), seed: int = 0,
+                        keyframe_every: int = 16,
+                        **kw) -> Dict[str, np.ndarray]:
+    """A smooth synthetic motion sequence (BASELINE config 4 data).
+
+    Keyframe poses are sampled like :func:`sample_poses` and interpolated
+    with a cosine ease between keyframes — adjacent frames are close (the
+    temporal-warm-start premise) while the sequence still covers pose
+    space. Returns the same dict schema as :func:`make_examples`, ordered
+    in time.
+    """
+    rng = np.random.RandomState(seed)
+    n_keys = max(2, num_frames // keyframe_every + 2)
+    k_theta, k_beta = sample_poses(rng, n_keys)
+    beta = k_beta[0]                      # one body per sequence
+
+    t = np.arange(num_frames, dtype=np.float64) / keyframe_every
+    i0 = np.minimum(t.astype(np.int64), n_keys - 2)
+    frac = t - i0
+    w = (1.0 - np.cos(np.pi * frac)) / 2.0          # cosine ease
+    theta = ((1.0 - w)[:, None] * k_theta[i0]
+             + w[:, None] * k_theta[i0 + 1]).astype(np.float32)
+
+    ex = _examples_from_params(
+        model, theta, np.tile(beta, (num_frames, 1)), cfg, **kw)
+    return ex
+
+
+def _examples_from_params(model, theta: np.ndarray, beta: np.ndarray,
+                          cfg: CPMConfig, heatmap_sigma: float = 3.0
+                          ) -> Dict[str, np.ndarray]:
+    """Shared renderer: (θ, β) arrays → full labeled example dict."""
+    n = len(theta)
+    j3d = _smpl_joints_np(model, theta, beta)
+    j3d14 = j3d[:, joints_lib.CPM_TO_SMPL]
     size = cfg.input_size
     extent = np.abs(j3d14 - j3d14.mean(1, keepdims=True)).max(axis=(1, 2))
-    scale = 0.8 / np.maximum(extent, 1e-3)               # normalized units
+    scale = 0.8 / np.maximum(extent, 1e-3)
     images = np.zeros((n, size, size, 3), np.uint8)
     heatmaps = np.zeros((n, size // cfg.stride, size // cfg.stride,
                          cfg.num_joints + 1), np.float32)
     joints2d = np.zeros((n, len(joints_lib.CPM_TO_SMPL), 2), np.float32)
     for i in range(n):
         centered = j3d14[i] - j3d14[i].mean(0)
-        norm2d = centered[:, :2] * scale[i]              # [-0.8, 0.8]
+        norm2d = centered[:, :2] * scale[i]
         px = (norm2d + 1.0) * (size / 2.0)
         joints2d[i] = px
         images[i] = render_blob_image(px, size)
