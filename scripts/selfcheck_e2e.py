@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""End-to-end self-check (hermetic, no license-gated assets):
+
+1. Train the full-geometry CPM on synthetic labeled frames.
+2. Evaluate the fused estimate→fit pipeline with the trained weights
+   (MPJPE / PA-MPJPE vs ground truth), against the random-weight baseline.
+3. Compare temporal warm-start video fitting vs independent per-frame fits
+   on a smooth synthetic sequence.
+
+This exercises every subsystem in one run: data generation, DP training,
+checkpointing, quantization (optional), fused inference+fit, temporal
+fitting, metrics. Takes ~15 min on one v5e (mostly training steps).
+
+  python scripts/selfcheck_e2e.py --steps 800 --out /tmp/selfcheck
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_integer("steps", 800, "CPM training steps")
+flags.DEFINE_integer("train_batch", 16, "training batch size")
+flags.DEFINE_integer("eval_frames", 64, "eval frames (fused pipeline)")
+flags.DEFINE_integer("video_frames", 32, "temporal-fit sequence length")
+flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
+flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
+
+
+def main(argv):
+    del argv
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.data import synthetic
+    from tpu_pose.fitting import temporal
+    from tpu_pose.models import cpm_train, smpl_data
+    from tpu_pose.models import smpl as smpl_lib
+    from tpu_pose.utils import checkpoint as ckpt_lib
+    from tpu_pose.utils import metrics, profiling
+    from tpu_pose.utils.config import CPMConfig
+
+    os.makedirs(FLAGS.out, exist_ok=True)
+    t0 = time.time()
+    results = {}
+
+    def log(msg):
+        print(f"[{time.time() - t0:6.0f}s] {msg}", flush=True)
+
+    cfg = CPMConfig()
+    model = smpl_data.synthetic_smpl(seed=0)
+
+    # ---- 1. train ------------------------------------------------------
+    log("generating training pool...")
+    pool = list(synthetic.cpm_train_batches(model, FLAGS.train_batch, 16,
+                                            cfg, seed=0))
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), cfg, lr=2e-4)
+    rand_params = params
+    step = cpm_train.make_train_step(cfg, opt)
+    log(f"training {FLAGS.steps} steps...")
+    for s in range(FLAGS.steps):
+        b = {k: jnp.asarray(v) for k, v in pool[s % len(pool)].items()}
+        params, opt_state, loss = step(params, opt_state, b)
+        if (s + 1) % 100 == 0:
+            log(f"step {s + 1}: loss {float(loss):.5f}")
+    results["train_final_loss"] = float(loss)
+    ckpt_lib.save_cpm_params(os.path.join(FLAGS.out, "cpm_weights.npz"),
+                             jax.tree.map(np.asarray, params))
+
+    # ---- 2. fused-pipeline eval: trained vs random weights --------------
+    ex = synthetic.make_examples(model, FLAGS.eval_frames, cfg, seed=1234)
+    imgs = jnp.asarray(ex["images"])
+    gt3d = jnp.asarray(ex["gt_joints3d"])
+
+    def fused_eval(tag, p):
+        est = PoseEstimator(p, model,
+                            prior=None, cpm_cfg=cfg,
+                            fit_restarts=FLAGS.restarts)
+        res = est.estimate_and_fit(imgs)
+        profiling.sync(res.theta)
+        px_err = float(jnp.mean(jnp.linalg.norm(
+            res.joints2d - jnp.asarray(ex["joints2d"]), axis=-1)))
+        # scale-aligned MPJPE (monocular scale ambiguity)
+        pred, gt = res.joints3d, gt3d
+        pred_c = pred - pred.mean(-2, keepdims=True)
+        gt_c = gt - gt.mean(-2, keepdims=True)
+        s = (jnp.sqrt((gt_c ** 2).sum((-2, -1)))
+             / (jnp.sqrt((pred_c ** 2).sum((-2, -1))) + 1e-9))
+        mp = float(jnp.mean(jnp.linalg.norm(
+            pred_c * s[..., None, None] - gt_c, axis=-1))) * 1000
+        pa = float(np.mean(metrics.pa_mpjpe_np(
+            np.asarray(pred), np.asarray(gt)))) * 1000
+        log(f"{tag}: 2D px err {px_err:.2f} | MPJPE {mp:.1f} mm | "
+            f"PA {pa:.1f} mm")
+        results[tag] = {"px_err": px_err, "mpjpe_mm": mp, "pa_mpjpe_mm": pa}
+
+    fused_eval("fused_random_weights", rand_params)
+    fused_eval("fused_trained_weights", params)
+
+    # ---- 3. temporal warm-start vs independent --------------------------
+    vex = synthetic.make_video_examples(model, FLAGS.video_frames, cfg,
+                                        seed=77)
+    est = PoseEstimator(params, model, prior=None, cpm_cfg=cfg)
+    e2d = est.estimate_2d(jnp.asarray(vex["images"]))
+    gt3d_v = jnp.asarray(vex["gt_joints3d"])
+
+    def video_eval(tag, fn):
+        t1 = time.time()
+        res = jax.jit(fn)(e2d.joints2d, e2d.conf)
+        profiling.sync(res.theta)
+        dt = time.time() - t1
+        out = jax.jit(smpl_lib.smpl_forward_batch)(model, res.beta,
+                                                   res.theta)
+        pa = float(np.mean(metrics.pa_mpjpe_np(
+            np.asarray(out.joints), np.asarray(gt3d_v)))) * 1000
+        log(f"{tag}: PA-MPJPE {pa:.1f} mm ({dt:.1f}s inc. compile)")
+        results[tag] = {"pa_mpjpe_mm": pa}
+
+    video_eval("video_temporal", lambda j, c: temporal.fit_video(
+        model, j, c, cfg=est.fit_cfg))
+    video_eval("video_independent",
+               lambda j, c: temporal.fit_video_independent(
+                   model, j, c, cfg=est.fit_cfg))
+
+    with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"done → {FLAGS.out}/results.json")
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,6 +1,5 @@
 """Public-API tests: entry-point parity surface (SURVEY.md §2 row 14)."""
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

@@ -118,7 +118,6 @@ def test_fit_results_roundtrip(tmp_path):
 def test_orbax_train_state_roundtrip(tmp_path):
     jax = pytest.importorskip("jax")
     pytest.importorskip("orbax.checkpoint")
-    import optax
     from tpu_pose.models import cpm_train
     params, opt_state, opt = cpm_train.init_train_state(
         jax.random.PRNGKey(0), SMALL_CPM, lr=1e-3)

@@ -4,11 +4,9 @@ devices; sharded pipelines must equal single-device results."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from tpu_pose.api import PoseEstimator
-from tpu_pose.models import cpm as cpm_lib
 from tpu_pose.models import cpm_train
 from tpu_pose.parallel import eval as eval_lib
 from tpu_pose.parallel import mesh as mesh_lib

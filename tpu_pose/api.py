@@ -13,7 +13,7 @@ mirror the reference's loose-function feel for drop-in use.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,11 @@ Everything is numpy on host (input pipeline ≠ TPU work); the arrays feed
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 
-from tpu_pose.models import camera as camera_lib
 from tpu_pose.models import joints as joints_lib
-from tpu_pose.models import smpl_data as smpl_data_lib
 from tpu_pose.utils.config import CPMConfig
 
 

@@ -12,7 +12,6 @@ real gradient step: loss/grads computed per shard, ``psum``-ed over the
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -15,7 +15,6 @@ from typing import Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpu_pose.parallel import mesh as mesh_lib
 from tpu_pose.utils import metrics as metrics_lib
