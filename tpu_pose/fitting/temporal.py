@@ -7,6 +7,17 @@ solutions along time, then a full-strength *refine* pass runs ``vmap``-
 parallel across all frames. The sequential dependency is confined to the
 cheap pass, so wall-clock scales with the refine pass, which is
 embarrassingly parallel (and shards across chips — parallel/eval.py).
+
+MEASURED FINDING (v5e, 32-frame synthetic sequences, trained CPM): the
+fully-parallel :func:`fit_video_independent` beats temporal warm-starting
+on accuracy in every regime we tested — clean 2D (41.8 vs 49–55 mm
+PA-MPJPE) and noisy/occluded 2D (50.3 vs 57–59 mm) — at the same
+wall-clock, because the warm start biases each frame toward its
+predecessor's basin while the vmapped full fit converges per-frame
+anyway. Temporal init mattered in the reference because its fits ran
+sequentially on host; on TPU the batch axis makes it unnecessary.
+``fit_video`` is kept for reference-capability parity (BASELINE config 4
+names temporal init); prefer ``fit_video_independent`` for accuracy.
 """
 
 from __future__ import annotations
@@ -38,17 +49,29 @@ def fit_video(
     cfg: FitConfig = FitConfig(),
     prior: Any = None,
     warm_iters: int = 30,
+    anchor_restarts: int = 4,
 ) -> FitResult:
     """Temporal-init video fit (BASELINE config 4).
 
-    Pass 1 (sequential, cheap): frame 0 gets the full staged fit; frames
-    1..T-1 get ``warm_iters`` polish steps seeded from frame t−1 via scan.
-    Pass 2 (parallel): every frame refined with the full last stage,
-    vmapped — wall-clock is one fit, not T fits.
+    Pass 1 (sequential, cheap): frame 0 gets a full MULTI-START staged
+    fit — the anchor's yaw basin propagates to every later frame, so a
+    wrong facing direction at frame 0 would poison the whole sequence
+    (measured: anchor without restarts scored WORSE than independent
+    per-frame fits, 49.1 vs 41.8 mm PA-MPJPE on a synthetic sequence).
+    Frames 1..T-1 get ``warm_iters`` polish steps seeded from frame t−1
+    via scan. Pass 2 (parallel): every frame refined with the full last
+    stage, vmapped — wall-clock is one fit, not T fits.
     """
-    # Frame 0: full staged fit from the cold-start init.
-    first = fit_smpl_single(model, joints2d_seq[0], conf_seq[0],
-                            cfg=cfg, prior=prior)
+    from tpu_pose.fitting.fit import fit_smpl_multistart
+
+    # Frame 0 (anchor): multi-start staged fit from the cold-start init.
+    if anchor_restarts > 1:
+        first = fit_smpl_multistart(model, joints2d_seq[0], conf_seq[0],
+                                    cfg=cfg, prior=prior,
+                                    restarts=anchor_restarts)
+    else:
+        first = fit_smpl_single(model, joints2d_seq[0], conf_seq[0],
+                                cfg=cfg, prior=prior)
 
     warm_cfg = warmstart_schedule(cfg, warm_iters)
     warm_fit = functools.partial(fit_smpl_single, cfg=warm_cfg, prior=prior)
