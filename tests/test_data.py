@@ -156,3 +156,21 @@ def test_video_examples_smooth(model):
     iid = np.linalg.norm(ex["theta"][1:] - ex["theta"][0], axis=1)
     assert step.mean() < iid.mean()
     assert ex["images"].shape == (12, 64, 64, 3)
+
+
+def test_batches_shuffle_coverage_stress(shard_dir, examples):
+    """Regression: a thread-unsafe shard cache raced under grain's
+    prefetch threads, returning wrong-shard records nondeterministically.
+    Repeated iterations must be identical AND cover every record once."""
+    ref = None
+    want = np.sort(examples["gt_joints3d"].ravel())
+    for _ in range(10):
+        got = [b["gt_joints3d"] for b in pipeline.batches(
+            shard_dir, 2, shuffle=True, seed=5, shard_by_process=False)]
+        flat = np.concatenate([g.reshape(-1) for g in got])
+        np.testing.assert_array_equal(np.sort(flat), want)
+        if ref is None:
+            ref = got
+        else:
+            for x, y in zip(ref, got):
+                np.testing.assert_array_equal(x, y)

@@ -40,11 +40,14 @@ class NpzShardSource:
     """Random-access record source over a directory of npz shards.
 
     Implements ``__len__`` / ``__getitem__`` (the grain RandomAccess
-    protocol) with an LRU of one open shard — access patterns from
-    sequential or shard-local shuffled reads stay cheap.
+    protocol) with a small thread-safe LRU of open shards. The cache MUST
+    be thread-safe: grain's DataLoader prefetches from worker threads,
+    and a naive single-slot cache raced under it, returning wrong-shard
+    records nondeterministically (caught by the determinism stress test).
     """
 
     def __init__(self, data_dir: str, keys: Optional[Sequence[str]] = None):
+        import functools
         self.paths = sorted(
             os.path.join(data_dir, f) for f in os.listdir(data_dir)
             if f.endswith(".npz"))
@@ -57,21 +60,22 @@ class NpzShardSource:
                 self._sizes.append(len(z[first]))
         self._offsets = np.cumsum([0] + self._sizes)
         self.keys = keys
-        self._cache_idx: Optional[int] = None
-        self._cache: Optional[Dict[str, np.ndarray]] = None
+        # lru_cache is safe under concurrent readers (consistent returns;
+        # at worst a duplicated load on a racing miss).
+        self._shard = functools.lru_cache(maxsize=4)(self._load_shard)
 
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
-    def _shard(self, shard_idx: int) -> Dict[str, np.ndarray]:
-        if self._cache_idx != shard_idx:
-            with np.load(self.paths[shard_idx]) as z:
-                keys = self.keys or z.files
-                self._cache = {k: z[k] for k in keys}
-            self._cache_idx = shard_idx
-        return self._cache
+    def _load_shard(self, shard_idx: int) -> Dict[str, np.ndarray]:
+        with np.load(self.paths[shard_idx]) as z:
+            keys = self.keys or z.files
+            return {k: z[k] for k in keys}
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # grain's MapDataset may pass indices beyond len (its epoch
+        # semantics wrap by modulo at the source boundary).
+        idx = int(idx) % len(self)
         shard_idx = int(np.searchsorted(self._offsets, idx, "right") - 1)
         local = idx - self._offsets[shard_idx]
         shard = self._shard(shard_idx)
@@ -106,15 +110,30 @@ def batches(
         shard_idx, shard_cnt = jax.process_index(), jax.process_count()
 
     try:
-        import grain.python as grain  # noqa: F401
-        ds = grain.MapDataset.source(source)
-        if shuffle:
-            ds = ds.seed(seed).shuffle()
-        ds = ds[shard_idx::shard_cnt]
-        ds = ds.repeat(num_epochs)
-        ds = ds.batch(batch_size, drop_remainder=drop_remainder,
-                      batch_fn=_stack)
-        yield from ds
+        # The documented grain pipeline: IndexSampler owns epoch/shuffle/
+        # shard semantics; DataLoader drives the source + batching.
+        # (A MapDataset.shuffle chain was measured NONDETERMINISTIC across
+        # identical iterations and epoch-incorrect with sharded sources —
+        # do not switch back without re-running the determinism stress in
+        # tests/test_data.py.)
+        import grain.python as grain
+        sampler = grain.IndexSampler(
+            num_records=len(source),
+            shuffle=shuffle,
+            seed=seed,
+            num_epochs=num_epochs,
+            shard_options=grain.ShardOptions(
+                shard_index=shard_idx, shard_count=shard_cnt,
+                drop_remainder=drop_remainder),
+        )
+        loader = grain.DataLoader(
+            data_source=source,
+            sampler=sampler,
+            operations=[grain.Batch(batch_size,
+                                    drop_remainder=drop_remainder)],
+            worker_count=0,
+        )
+        yield from loader
         return
     except ImportError:
         pass
