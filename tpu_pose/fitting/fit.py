@@ -101,6 +101,14 @@ def _run_stage_lbfgs(energy_fn, params, stage: StageConfig,
     """L-BFGS stage (optax zoom linesearch) — the traced analogue of the
     reference lineage's ScipyOptimizerInterface path (SURVEY.md §2 row 10).
 
+    Measured on v5e (b=64 noisy synthetic observations, 2026-08-16):
+    L-BFGS reaches far lower ENERGY than Adam but WORSE 3D recovery
+    (187.9 vs 146.5 mm MPJPE single-start; 172.2 vs 146.5 multistart-4) at
+    3-10× the wall-clock — it optimizes the noisy objective too well,
+    while Adam's fixed-iteration schedule acts as implicit regularization.
+    Adam stays the default; this path exists for reference parity and for
+    clean-observation use where exact minimization is wanted.
+
     Parameter-group freezing is applied by zeroing gradients; frozen
     coordinates then never enter the curvature pairs, so the Hessian
     approximation stays consistent within the stage.
