@@ -90,3 +90,23 @@ def test_converter_npz_roundtrip(tmp_path, est):
     for k in loaded:
         np.testing.assert_array_equal(
             np.asarray(loaded[k]["w"]), np.asarray(est.cpm_params[k]["w"]))
+
+
+def test_fused_with_refine_center_and_restarts():
+    """Fused path with both accuracy options on: in-graph center refine
+    plus multi-start fitting."""
+    import numpy as np
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+    est = PoseEstimator.create_synthetic(
+        seed=0,
+        cpm_cfg=CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                          refine_width=8, num_stages=2),
+        fit_cfg=FitConfig(stages=(StageConfig(iters=8, lr=0.05),),
+                          img_size=64),
+        with_prior=False, fit_restarts=2, refine_center=True)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    res = est.estimate_and_fit(imgs)
+    assert res.theta.shape == (2, 72)
+    assert bool(jnp.all(jnp.isfinite(res.vertices)))

@@ -61,7 +61,8 @@ class PoseEstimator:
                  fit_cfg: FitConfig = FitConfig(),
                  quantize: bool = False,
                  calibration_images=None,
-                 fit_restarts: int = 1):
+                 fit_restarts: int = 1,
+                 refine_center: bool = False):
         if quantize and not cpm_lib._is_quantized(cpm_params):
             # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
             # joint drift vs bf16 bench-gated to sub-pixel. With
@@ -89,6 +90,9 @@ class PoseEstimator:
         # frame and keeps the lowest energy (accuracy mode; ~×N fit cost,
         # CPM cost unchanged).
         self.fit_restarts = fit_restarts
+        # True: the fused path localizes the person from stage-1 beliefs
+        # instead of assuming centered crops (SURVEY.md §2 row 2).
+        self.refine_center = refine_center
         # Jitted entry points (donate nothing; configs closed over).
         self._estimate_2d = jax.jit(functools.partial(
             cpm_lib.estimate_2d_from_images, cfg=cpm_cfg))
@@ -174,7 +178,8 @@ class PoseEstimator:
 
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
         _, joints, conf = cpm_lib.estimate_2d_from_images(
-            cpm_params, images, cfg=self.cpm_cfg)
+            cpm_params, images, cfg=self.cpm_cfg,
+            refine_center=self.refine_center)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
                 smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
