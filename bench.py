@@ -105,9 +105,14 @@ def main():
 
     # ---- auxiliary configs (stderr only) --------------------------------
     if args.all:
-        # Config 1: batch-1 2D inference.
-        dt = timeit(est.estimate_2d, images(1), iters=titers)
-        log(f"config1 CPM b=1: {dt*1e3:.2f} ms/frame")
+        # Config 1: batch-1 2D inference LATENCY — bf16 wins at batch 1
+        # (per-layer quantize overhead dominates tiny tensors: 19.8 ms
+        # int8 vs 12.6 ms bf16 measured), so report the latency-optimal
+        # configuration.
+        est_b1 = (est if args.no_int8
+                  else PoseEstimator.create_synthetic(seed=0))
+        dt = timeit(est_b1.estimate_2d, images(1), iters=titers)
+        log(f"config1 CPM b=1 (bf16): {dt*1e3:.2f} ms/frame")
         # Config 2: batch-32 2D inference + decode.
         dt = timeit(est.estimate_2d, images(32), iters=titers)
         log(f"config2 CPM b=32: {dt*1e3:.1f} ms -> {32/dt:.1f} fps")
@@ -127,6 +132,17 @@ def main():
         dt = timeit(vid, jseq, cseq, iters=max(1, titers - 2), warmup=1)
         log(f"config4 video-64 temporal fit: {dt*1e3:.0f} ms -> "
             f"{64/dt:.1f} frames/s")
+        # share_trunk training-from-scratch layout (non-reference arch;
+        # informational — the headline stays on the reference layout).
+        from tpu_pose.utils.config import CPMConfig
+        est_st = PoseEstimator.create_synthetic(
+            seed=0, cpm_cfg=CPMConfig(share_trunk=True),
+            quantize=not args.no_int8,
+            calibration_images=None if args.no_int8 else images(4))
+        dt = timeit(est_st.estimate_and_fit, images(best_b or 128),
+                    iters=max(1, titers - 2), warmup=1)
+        log(f"share_trunk fused b={best_b or 128}: {dt*1e3:.0f} ms -> "
+            f"{(best_b or 128)/dt:.1f} frames/s")
 
     mode = "bf16" if args.no_int8 else "int8-calibrated"
     result = {

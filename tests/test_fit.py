@@ -255,3 +255,15 @@ def test_multistart_api(model):
     assert res.theta.shape == (2, 72)
     with pytest.raises(ValueError):
         est.fit_smpl(j, c, init={"theta": None}, restarts=2)
+
+
+def test_fit_all_zero_confidence_stays_finite(model):
+    """Fully-occluded detection (conf = 0): the energy reduces to priors
+    only and the camera init degenerates to scale 0 — the fit must still
+    produce finite outputs (no NaN through 0/0 paths)."""
+    j2d = jnp.full((14, 2), 184.0)
+    conf = jnp.zeros(14)
+    res = fit_lib.fit_smpl_single(model, j2d, conf, cfg=FAST_CFG)
+    assert bool(jnp.all(jnp.isfinite(res.theta)))
+    assert bool(jnp.all(jnp.isfinite(res.cam)))
+    assert np.isfinite(float(res.energy))
