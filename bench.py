@@ -53,6 +53,9 @@ def main():
                     help="also run BASELINE configs 1,3,4 to stderr")
     ap.add_argument("--batch", type=int, default=0,
                     help="override fused-path batch size")
+    ap.add_argument("--trace", default="",
+                    help="write a jax.profiler trace of one fused batch "
+                         "to this directory (Perfetto/TensorBoard)")
     ap.add_argument("--no-int8", action="store_true",
                     help="disable the calibrated-int8 CPM serving path "
                          "(accuracy-gated in tests/test_quantize.py) and "
@@ -143,6 +146,12 @@ def main():
                     iters=max(1, titers - 2), warmup=1)
         log(f"share_trunk fused b={best_b or 128}: {dt*1e3:.0f} ms -> "
             f"{(best_b or 128)/dt:.1f} frames/s")
+
+    if args.trace:
+        from tpu_pose.utils import profiling
+        with profiling.trace(args.trace):
+            profiling.sync(est.estimate_and_fit(images(best_b or 32)))
+        log(f"profiler trace written to {args.trace}")
 
     mode = "bf16" if args.no_int8 else "int8-calibrated"
     result = {
