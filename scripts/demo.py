@@ -32,6 +32,9 @@ flags.DEFINE_string("smpl_pkl", "", "SMPL model pickle; synthetic model if "
 flags.DEFINE_string("gmm_pkl", "", "GMM pose-prior pickle (optional)")
 flags.DEFINE_string("optimizer", "adam", "fit optimizer: adam | lbfgs")
 flags.DEFINE_boolean("thorough", False, "use the long fit schedule")
+flags.DEFINE_boolean("letterbox", True, "aspect-preserving resize+pad "
+                     "preprocessing (recommended for non-square images); "
+                     "joints come back in source-image pixels")
 
 
 def load_images(paths):
@@ -59,14 +62,19 @@ def main(argv):
         optimizer=FLAGS.optimizer,
         **({"stages": THOROUGH_STAGES} if FLAGS.thorough else {}))
 
+    # Synthetic frames are generated pre-cropped at network size, so the
+    # letterbox would be a no-op there; real images get the aspect-
+    # preserving path (joints returned in source-image pixels).
+    letterbox = FLAGS.letterbox and not FLAGS.synthetic
     if FLAGS.cpm_npz and FLAGS.smpl_pkl:
         est = PoseEstimator.from_files(
             FLAGS.cpm_npz, FLAGS.smpl_pkl, FLAGS.gmm_pkl or None,
-            fit_cfg=fit_cfg)
+            fit_cfg=fit_cfg, letterbox=letterbox)
     else:
         print("note: no weights supplied — synthetic estimator "
               "(smoke-test mode)")
-        est = PoseEstimator.create_synthetic(seed=0, fit_cfg=fit_cfg)
+        est = PoseEstimator.create_synthetic(seed=0, fit_cfg=fit_cfg,
+                                             letterbox=letterbox)
 
     if FLAGS.synthetic:
         from tpu_pose.data import synthetic
@@ -86,11 +94,14 @@ def main(argv):
         res.theta, res.beta, res.cam, energy=res.energy,
         extra={"joints2d": np.asarray(res.joints2d),
                "conf": np.asarray(res.conf)})
-    # Decoded joints live in the network's input frame (cfg.input_size px);
-    # rescale to each source image's resolution before drawing.
+    # Letterboxed joints are already in source-image pixels; square-resize
+    # joints live in the network frame and rescale at this edge.
     h0, w0 = images.shape[1:3]
-    s = np.array([w0 / est.cpm_cfg.input_size,
-                  h0 / est.cpm_cfg.input_size], np.float32)
+    if letterbox:
+        s = np.array([1.0, 1.0], np.float32)
+    else:
+        s = np.array([w0 / est.cpm_cfg.input_size,
+                      h0 / est.cpm_cfg.input_size], np.float32)
     for i in range(len(images)):
         viz.save_obj(os.path.join(FLAGS.out_dir, f"mesh_{i:03d}.obj"),
                      np.asarray(res.vertices[i]),

@@ -62,7 +62,8 @@ class PoseEstimator:
                  quantize: bool = False,
                  calibration_images=None,
                  fit_restarts: int = 1,
-                 refine_center: bool = False):
+                 refine_center: bool = False,
+                 letterbox: bool = False):
         if quantize and not cpm_lib._is_quantized(cpm_params):
             # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
             # joint drift vs bf16 bench-gated to sub-pixel. With
@@ -93,12 +94,13 @@ class PoseEstimator:
         # True: the fused path localizes the person from stage-1 beliefs
         # instead of assuming centered crops (SURVEY.md §2 row 2).
         self.refine_center = refine_center
-        # Jitted entry points (donate nothing; configs closed over).
-        self._estimate_2d = jax.jit(functools.partial(
-            cpm_lib.estimate_2d_from_images, cfg=cpm_cfg))
-        self._estimate_2d_refined = jax.jit(functools.partial(
-            cpm_lib.estimate_2d_from_images, cfg=cpm_cfg,
-            refine_center=True))
+        # True: aspect-preserving resize+pad preprocessing (the reference's
+        # "resize → pad" contract); decoded joints come back in SOURCE
+        # image pixels. Default False = square resize, network-frame px.
+        self.letterbox = letterbox
+        # Jitted entry points (donate nothing; configs closed over),
+        # keyed by (refine_center, letterbox).
+        self._estimate_2d_cache = {}
         self._fit_batch = jax.jit(functools.partial(
             fit_lib.fit_smpl_batch, cfg=fit_cfg, prior=prior))
         self._fit_single = jax.jit(functools.partial(
@@ -138,14 +140,25 @@ class PoseEstimator:
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
 
+    def _estimate_2d_fn(self, refine_center: bool, letterbox: bool):
+        key = (refine_center, letterbox)
+        if key not in self._estimate_2d_cache:
+            self._estimate_2d_cache[key] = jax.jit(functools.partial(
+                cpm_lib.estimate_2d_from_images, cfg=self.cpm_cfg,
+                refine_center=refine_center, letterbox=letterbox))
+        return self._estimate_2d_cache[key]
+
     def estimate_2d(self, images: jnp.ndarray,
-                    refine_center: bool = False) -> Estimate2DResult:
+                    refine_center: bool = False,
+                    letterbox: Optional[bool] = None) -> Estimate2DResult:
         """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
 
         ``refine_center=True`` localizes the person from stage-1 beliefs
-        instead of assuming a centered crop (SURVEY.md §2 row 2)."""
-        fn = (self._estimate_2d_refined if refine_center
-              else self._estimate_2d)
+        instead of assuming a centered crop (SURVEY.md §2 row 2).
+        ``letterbox`` (default: the constructor setting) preserves aspect
+        via resize+pad and returns joints in SOURCE image pixels."""
+        lb = self.letterbox if letterbox is None else letterbox
+        fn = self._estimate_2d_fn(refine_center, lb)
         hm, joints, conf = fn(self.cpm_params, images)
         return Estimate2DResult(hm, joints, conf)
 
@@ -177,9 +190,12 @@ class PoseEstimator:
         return fn(self.smpl_model, joints2d, conf, init=init)
 
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
+        # The fit consumes NETWORK-frame joints (FitConfig.img_size);
+        # letterboxed outputs map back to source pixels at the end.
         _, joints, conf = cpm_lib.estimate_2d_from_images(
             cpm_params, images, cfg=self.cpm_cfg,
-            refine_center=self.refine_center)
+            refine_center=self.refine_center,
+            letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
                 smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
@@ -193,6 +209,11 @@ class PoseEstimator:
         out = smpl_lib.smpl_forward_batch(
             smpl_model, res.beta, res.theta,
             precision=smpl_lib.EXACT_PRECISION)
+        if self.letterbox:
+            from tpu_pose.ops import preprocess as pre
+            affine = pre.letterbox_affine(
+                images.shape[1], images.shape[2], self.cpm_cfg.input_size)
+            joints = pre.joints_to_source_frame(joints, affine)
         return EstimateAndFitResult(
             joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
             cam=res.cam, vertices=out.vertices, joints3d=out.joints,

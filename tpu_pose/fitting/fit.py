@@ -198,7 +198,11 @@ def fit_smpl_multistart(
                                prior=prior, init=init)
 
     results = jax.vmap(run)(yaws)
-    best = jnp.argmin(results.energy)
+    # A diverged restart (NaN energy — possible on the lbfgs path or with
+    # degenerate inputs) must never win the argmin: NaN compares false
+    # everywhere, making argmin's answer implementation-defined.
+    energies = jnp.where(jnp.isnan(results.energy), jnp.inf, results.energy)
+    best = jnp.argmin(energies)
     return jax.tree.map(lambda x: x[best], results)
 
 

@@ -69,6 +69,9 @@ def load_gmm_pickle(path: str) -> GMMPrior:
     keys: means (8,69), covars (8,69,69), weights (8,))."""
     with open(path, "rb") as f:
         dd = pickle.load(f, encoding="latin1")
+    # Py2-era pickles can surface byte keys under latin1 decoding.
+    dd = {(k.decode() if isinstance(k, bytes) else k): v
+          for k, v in dd.items()}
     return make_gmm_prior(dd["means"], dd["covars"], dd["weights"])
 
 

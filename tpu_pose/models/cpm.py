@@ -202,8 +202,10 @@ def calibrate_act_scales(params: Params, images: jnp.ndarray,
                          margin: float = 1.1) -> dict:
     """Post-training calibration: run the f32 forward on a representative
     batch and record per-layer max|input activation| → static scales for
-    :func:`quantize_params`. ``margin`` head-rooms unseen data. Runs
-    eagerly (host readback per layer) — a one-time offline step."""
+    :func:`quantize_params`. ``margin`` head-rooms unseen data. The whole
+    collection is ONE jitted pass (the taps accumulate per-layer maxima as
+    extra outputs); host readback happens once at the end — a one-time
+    offline step."""
     def collect(images, center_map):
         amaxes: dict = {}
 
@@ -271,7 +273,14 @@ def cpm_forward(params: Params, images: jnp.ndarray,
         f = _pool(c("conv2_stage2", f))
         f = _pool(c("conv3_stage2", f))
 
-    if cfg.use_center_map and center_map is not None:
+    if cfg.use_center_map:
+        if center_map is None:
+            # Without this check the missing center channel surfaces as an
+            # opaque XLA channel-count mismatch inside Mconv1.
+            raise ValueError(
+                "cfg.use_center_map=True requires a center_map for a "
+                ">1-stage forward (stages 2+ concat the downsampled center "
+                "hint); pass one or set use_center_map=False")
         cmap_lo = pre.downsample_center_map(
             center_map, cfg.stride).astype(dtype)
     else:
@@ -318,7 +327,9 @@ def estimate_person_centers(stage1_beliefs: jnp.ndarray,
 def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             cfg: CPMConfig = CPMConfig(),
                             beta: float = 100.0,
-                            refine_center: bool = False):
+                            refine_center: bool = False,
+                            letterbox: bool = False,
+                            source_frame: bool = True):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
@@ -328,9 +339,16 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         beliefs and center the stages-2+ hint there (SURVEY.md §2 row 2)
         instead of assuming a centered person. Costs one extra stage-1
         pass of the belief head (the trunk is shared).
+      letterbox: aspect-preserving resize + centered pad (the reference's
+        "resize → pad" contract, SURVEY.md §2 row 1) instead of a
+        distorting square resize; use for non-square inputs.
+      source_frame: with letterbox, map decoded joints back to SOURCE
+        image pixels (the natural user contract); False keeps them in the
+        network frame (the fused fit consumes network-frame joints).
     Returns: (heatmaps (B, 46, 46, P+1), joints_px (B, P, 2), conf (B, P)).
     """
-    x = jax.vmap(lambda im: pre.preprocess(im, cfg.input_size))(images)
+    x = jax.vmap(lambda im: pre.preprocess(
+        im, cfg.input_size, letterbox=letterbox))(images)
     if cfg.use_center_map:
         if refine_center:
             # Pass 1: stage-1 beliefs only (no center map needed) →
@@ -357,4 +375,8 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     else:
         joints, conf = decode_lib.soft_argmax(heatmaps, beta=beta,
                                               stride=cfg.stride)
+    if letterbox and source_frame:
+        affine = pre.letterbox_affine(
+            images.shape[1], images.shape[2], cfg.input_size)
+        joints = pre.joints_to_source_frame(joints, affine)
     return heatmaps, joints, conf

@@ -94,6 +94,9 @@ def load_smpl_pickle(path: str, dtype=jnp.float32) -> SMPLData:
     """
     with open(path, "rb") as f:
         dd = pickle.load(f, encoding="latin1")
+    # Py2-era pickles can surface byte keys under latin1 decoding.
+    dd = {(k.decode() if isinstance(k, bytes) else k): v
+          for k, v in dd.items()}
 
     posedirs = _densify(dd["posedirs"]).reshape(NUM_VERTS, 3, NUM_POSE_BASIS)
     parents = _densify(dd["kintree_table"])[0].astype(np.int64)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
@@ -32,14 +33,83 @@ def resize_image(img: jnp.ndarray, size: int) -> jnp.ndarray:
         method="linear")
 
 
-def preprocess(img: jnp.ndarray, size: int = 368) -> jnp.ndarray:
-    """Full input pipeline for one image: resize → normalize.
+def preprocess(img: jnp.ndarray, size: int = 368,
+               letterbox: bool = False, fill: float = 128.0) -> jnp.ndarray:
+    """Full input pipeline for one image: resize(/pad) → normalize.
 
-    The v0 contract matches the simple CPM pipelines: direct resize to the
-    square network input (person assumed centered — SURVEY.md §2 row 2
-    documents this as an explicit contract).
+    ``letterbox=False`` matches the simple CPM pipelines: direct square
+    resize (person assumed centered — SURVEY.md §2 row 2 documents this as
+    an explicit contract) — which DISTORTS non-square inputs.
+
+    ``letterbox=True`` is the reference's "resize → pad" contract
+    (SURVEY.md §2 row 1, §3.1): aspect-preserving scale-to-fit plus
+    centered mid-gray padding; use :func:`letterbox_affine` /
+    :func:`joints_to_source_frame` to map decoded joints back to source
+    pixels.
     """
+    if letterbox:
+        return normalize_image(letterbox_image(img, size, fill=fill))
     return normalize_image(resize_image(img, size))
+
+
+# -- aspect-preserving letterbox (resize → pad) -----------------------------
+
+def _letterbox_geometry(h0: int, w0: int, size: int):
+    """(new_h, new_w, off_y, off_x) for scale-to-fit + centered pad.
+    Pure python on static shapes — resolved at trace time."""
+    scale = size / max(h0, w0)
+    nh = max(1, min(size, round(h0 * scale)))
+    nw = max(1, min(size, round(w0 * scale)))
+    return nh, nw, (size - nh) // 2, (size - nw) // 2
+
+
+def letterbox_affine(h0: int, w0: int, size: int) -> np.ndarray:
+    """Affine mapping source pixels → network pixels for the letterbox:
+
+        net = src * scale + offset,   affine = [sx, sy, ox, oy].
+
+    The offsets fold in the half-pixel-center convention of the bilinear
+    resize (``jax.image.resize(method='linear')`` places output pixel i at
+    input coordinate (i+0.5)/s − 0.5), so image CONTENT — not just the
+    frame corners — round-trips source→net→source to sub-pixel accuracy.
+    A trace-time constant: depends only on static shapes.
+    """
+    nh, nw, off_y, off_x = _letterbox_geometry(h0, w0, size)
+    sx, sy = nw / w0, nh / h0
+    return np.array([sx, sy,
+                     off_x + 0.5 * sx - 0.5,
+                     off_y + 0.5 * sy - 0.5], np.float32)
+
+
+def letterbox_image(img: jnp.ndarray, size: int,
+                    fill: float = 128.0) -> jnp.ndarray:
+    """Aspect-preserving resize + centered constant pad → (size, size, C)
+    float32 in [0, 255]. Traced; static shapes only (vmap-able)."""
+    h0, w0, c = img.shape
+    nh, nw, off_y, off_x = _letterbox_geometry(h0, w0, size)
+    r = img.astype(jnp.float32)
+    if (nh, nw) != (h0, w0):
+        r = jax.image.resize(r, (nh, nw, c), method="linear")
+    if (nh, nw) == (size, size):
+        return r
+    out = jnp.full((size, size, c), jnp.float32(fill))
+    return jax.lax.dynamic_update_slice(out, r, (off_y, off_x, 0))
+
+
+def joints_to_source_frame(joints_net: jnp.ndarray,
+                           affine) -> jnp.ndarray:
+    """Map (..., P, 2) network-frame pixel joints back to source-image
+    pixels through a :func:`letterbox_affine` (inverse affine)."""
+    a = jnp.asarray(affine, jnp.float32)
+    return (joints_net - a[..., 2:4]) / a[..., 0:2]
+
+
+def joints_to_network_frame(joints_src: jnp.ndarray,
+                            affine) -> jnp.ndarray:
+    """Map source-image pixel joints into the letterboxed network frame
+    (forward affine) — e.g. for painting training heatmaps."""
+    a = jnp.asarray(affine, jnp.float32)
+    return joints_src * a[..., 0:2] + a[..., 2:4]
 
 
 def gaussian_center_map(size: int = 368, sigma: float = 21.0,

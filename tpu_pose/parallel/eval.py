@@ -90,11 +90,19 @@ def evaluate_h36m_style(
     # metrics.pa_mpjpe_np docstring); the (B,J,3) transfer is tiny.
     pa_fn = metrics_lib.pa_mpjpe_np
 
+    n_dev = mesh.devices.size if mesh is not None else 1
+
     for i, batch in enumerate(batches):
         if i < state.cursor:
             continue  # resume: skip already-accumulated batches
-        res = run(batch["images"])
-        pred = res.joints3d
+        images = batch["images"]
+        n_real = int(images.shape[0])
+        if mesh is not None and n_real % n_dev != 0:
+            # Uneven final batch: edge-pad up to the device count so the
+            # sharded program's static shape holds, slice results back.
+            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
+        res = run(images)
+        pred = res.joints3d[:n_real]
         if select_joints is not None:
             pred = select_joints(pred)
         gt = jnp.asarray(batch["gt_joints3d"])

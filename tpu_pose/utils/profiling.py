@@ -27,15 +27,19 @@ import jax.numpy as jnp
 def sync(tree: Any) -> float:
     """Force completion of all queued work producing ``tree``.
 
-    Returns a scalar pulled from the first leaf (cheap 4-byte transfer,
-    full pipeline wait). This is the ONLY reliable fence under the axon
-    TPU platform, where ``block_until_ready`` returns immediately.
+    Returns a scalar combining one element from EVERY leaf (cheap 4-byte
+    transfer, full pipeline wait). Fencing every leaf matters when the
+    timed callable dispatched more than one XLA program with independent
+    outputs — a first-leaf-only fence can return before the later
+    programs finish. This is the ONLY reliable fence under the axon TPU
+    platform, where ``block_until_ready`` returns immediately.
     """
     leaves = [l for l in jax.tree.leaves(tree)
               if hasattr(l, "ravel") and getattr(l, "size", 0) > 0]
     if not leaves:
         return 0.0
-    return float(jax.device_get(jnp.sum(leaves[0].ravel()[:1])))
+    probe = sum(jnp.sum(l.ravel()[:1]).astype(jnp.float32) for l in leaves)
+    return float(jax.device_get(probe))
 
 
 @contextlib.contextmanager
