@@ -110,10 +110,15 @@ def main(argv):
             os.path.join(FLAGS.out_dir, f"pose2d_{i:03d}.png"),
             images[i], np.asarray(res.joints2d[i]) * s,
             np.asarray(res.conf[i]))
+        affine = None
+        if letterbox:
+            from tpu_pose.ops import preprocess as pre
+            affine = pre.letterbox_affine(h0, w0, est.cpm_cfg.input_size)
         viz.save_mesh_overlay(
             os.path.join(FLAGS.out_dir, f"mesh2d_{i:03d}.png"),
             images[i], np.asarray(res.vertices[i]),
-            np.asarray(res.cam[i]), est.fit_cfg.img_size)
+            np.asarray(res.cam[i]), est.fit_cfg.img_size,
+            faces=np.asarray(est.smpl_model.faces), affine=affine)
     print(f"wrote {len(images)} fits to {FLAGS.out_dir} "
           f"(mean energy {float(np.mean(np.asarray(res.energy))):.4f})")
 

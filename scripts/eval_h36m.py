@@ -32,6 +32,13 @@ flags.DEFINE_boolean("h36m_joints", False, "score in the 17-joint H3.6M "
                      "convention instead of SMPL-24")
 flags.DEFINE_integer("restarts", 1, "global-yaw fit hypotheses per frame "
                      "(accuracy mode; >1 costs ~x restarts fit time)")
+flags.DEFINE_enum("protocol", "p1", ["p1", "scaled", "pa"],
+                  "primary MPJPE protocol: p1 = H3.6M Protocol 1 "
+                  "(root-aligned, no scale — use the perspective camera); "
+                  "scaled = RMS-extent-matched (non-standard, for "
+                  "weak-perspective fits); pa = Procrustes-aligned")
+flags.DEFINE_string("camera", "", "override FitConfig.camera_model "
+                    "(weak_perspective | perspective)")
 
 
 def main(argv):
@@ -44,13 +51,21 @@ def main(argv):
     from tpu_pose.parallel import eval as eval_lib
     from tpu_pose.parallel import mesh as mesh_lib
 
+    from tpu_pose.utils.config import FitConfig
+
+    # Protocol 1 scores absolute (root-relative, unscaled) geometry; the
+    # perspective camera is the config that can actually deliver it.
+    camera = FLAGS.camera or (
+        "perspective" if FLAGS.protocol == "p1" else "weak_perspective")
+    fit_cfg = FitConfig(camera_model=camera)
     if FLAGS.cpm_npz and FLAGS.smpl_pkl:
         est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
                                        FLAGS.gmm_pkl or None,
+                                       fit_cfg=fit_cfg,
                                        fit_restarts=FLAGS.restarts)
     else:
         print("note: no weights supplied — synthetic estimator")
-        est = PoseEstimator.create_synthetic(seed=0,
+        est = PoseEstimator.create_synthetic(seed=0, fit_cfg=fit_cfg,
                                              fit_restarts=FLAGS.restarts)
 
     if FLAGS.synthetic_batches:
@@ -81,9 +96,15 @@ def main(argv):
         batches = to_h36m_gt(batches)
     out = eval_lib.evaluate_h36m_style(
         est, batches, mesh=mesh, select_joints=select,
-        checkpoint_path=FLAGS.resume or None)
-    print(f"frames={out['num_frames']}  MPJPE={out['mpjpe'] * 1000:.1f} mm  "
-          f"PA-MPJPE={out['pa_mpjpe'] * 1000:.1f} mm")
+        checkpoint_path=FLAGS.resume or None,
+        primary_protocol=FLAGS.protocol)
+    line = (f"frames={out['num_frames']}  camera={camera}  "
+            f"MPJPE-P1={out['mpjpe_p1'] * 1000:.1f} mm  "
+            f"MPJPE-scaled={out['mpjpe_scaled'] * 1000:.1f} mm  "
+            f"PA-MPJPE={out['pa_mpjpe'] * 1000:.1f} mm")
+    if "pckh" in out:
+        line += f"  PCKh@0.5={out['pckh'] * 100:.1f}%"
+    print(line)
 
 
 if __name__ == "__main__":

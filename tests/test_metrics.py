@@ -47,3 +47,39 @@ def test_pck():
     pred = jnp.asarray(np.array(
         [[[0.0, 0.0], [1.0, 0.0], [3.0, 0.0], [10.0, 0.0]]]))
     assert np.allclose(np.asarray(metrics.pck(pred, gt, 2.0)), 0.5)
+
+
+def test_scaled_mpjpe_scale_invariant():
+    """Uniform pred scaling is absorbed; pure shape error is not."""
+    rng = np.random.RandomState(3)
+    gt = jnp.asarray(rng.rand(2, 14, 3))
+    assert np.allclose(np.asarray(metrics.scaled_mpjpe(3.0 * gt, gt)), 0.0,
+                       atol=1e-6)
+    pred = gt + 0.05 * rng.randn(2, 14, 3)
+    assert np.all(np.asarray(metrics.scaled_mpjpe(pred, gt)) > 0.0)
+
+
+def test_p1_keeps_scale_error_scaled_does_not():
+    """The protocol distinction that round 1 blurred: Protocol-1 MPJPE
+    must PENALIZE a global scale error; scaled-MPJPE must not."""
+    rng = np.random.RandomState(4)
+    gt = jnp.asarray(rng.rand(1, 14, 3))
+    pred = 1.5 * (gt - gt[..., :1, :]) + gt[..., :1, :]  # root-anchored ×1.5
+    p1 = float(metrics.mpjpe(pred, gt, align_root=True, root_index=0)[0])
+    sc = float(metrics.scaled_mpjpe(pred, gt)[0])
+    assert p1 > 0.05
+    assert sc < 1e-6
+
+
+def test_pckh_head_normalized():
+    """Joints within 0.5×head-segment count; exactly at the boundary
+    counts; beyond does not."""
+    # GT: head at (0,0), neck at (0,10) → head segment = 10 px.
+    gt = jnp.asarray(
+        [[[0.0, 0.0], [0.0, 10.0], [20.0, 0.0], [40.0, 0.0]]])
+    pred = jnp.asarray(
+        [[[3.0, 0.0],      # 3 px ≤ 5 px: correct
+          [0.0, 10.0],     # exact: correct
+          [20.0, 5.0],     # 5 px ≤ 5 px: correct (boundary)
+          [46.0, 0.0]]])   # 6 px > 5 px: wrong
+    assert np.allclose(np.asarray(metrics.pckh(pred, gt, 0.5)), 0.75)

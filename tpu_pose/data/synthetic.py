@@ -184,7 +184,9 @@ def cpm_train_batches(model, batch_size: int, num_batches: int,
 def eval_batches(model, batch_size: int, num_batches: int,
                  cfg: CPMConfig = CPMConfig(), seed: int = 1000
                  ) -> Iterator[Dict[str, np.ndarray]]:
-    """Batches for parallel/eval.py: images + gt 3D joints."""
+    """Batches for parallel/eval.py: images + gt 3D joints + gt 2D joints
+    (the 2D labels enable the PCKh accumulator)."""
     for b in range(num_batches):
         ex = make_examples(model, batch_size, cfg, seed=seed * 9973 + b)
-        yield {"images": ex["images"], "gt_joints3d": ex["gt_joints3d"]}
+        yield {"images": ex["images"], "gt_joints3d": ex["gt_joints3d"],
+               "gt_joints2d": ex["joints2d"]}

@@ -224,52 +224,46 @@ def _is_quantized(params: Params) -> bool:
     return "w_int8" in next(iter(params.values()))
 
 
-def cpm_forward(params: Params, images: jnp.ndarray,
-                center_map: jnp.ndarray | None = None,
-                cfg: CPMConfig = CPMConfig(),
-                on_conv_input=None,
-                num_stages: int | None = None) -> List[jnp.ndarray]:
-    """All-stage forward pass.
-
-    Args:
-      images: (B, S, S, 3) normalized inputs (see ops/preprocess.py).
-      center_map: (B, S, S, 1) full-res center map, or None.
-    Returns:
-      list of per-stage belief maps, each (B, H, H, P+1) float32 —
-      intermediate supervision needs every stage (SURVEY.md §2 row 3);
-      inference uses [-1].
-    """
+def _make_conv(params: Params, cfg: CPMConfig, on_conv_input=None):
+    """Layer-applier closure ``c(name, h, relu)`` + the activation dtype —
+    shared by the staged forward pieces below so a caller can compose
+    stage 1 and the refinement stages WITHOUT recomputing anything."""
     quantized = _is_quantized(params)
     dtype = jnp.float32 if quantized else jnp.dtype(cfg.compute_dtype)
-    x = images
 
     def c(name, h, relu=True):
         if on_conv_input is not None:
-            on_conv_input(name, h)  # calibration tap (eager-only)
+            on_conv_input(name, h)  # calibration tap (traced with the pass)
         if quantized:
             return _conv_q(h, params[name], relu,
                            act_dtype=jnp.dtype(cfg.compute_dtype))
         return _conv(h, params[name], relu, dtype)
 
-    # Stage-1 belief path.
-    trunk1 = _pool(c("conv1_stage1", x))
+    return c, dtype
+
+
+def _stage1_forward(c, images):
+    """Stage-1 path: full-res trunk (reused downstream) + belief head.
+    Returns (trunk1 at 1/8 res, beliefs_1 f32)."""
+    trunk1 = _pool(c("conv1_stage1", images))
     trunk1 = _pool(c("conv2_stage1", trunk1))
     trunk1 = _pool(c("conv3_stage1", trunk1))
     h = c("conv4_stage1", trunk1)
     h = c("conv5_stage1", h)
     h = c("conv6_stage1", h)
     b = c("conv7_stage1", h, relu=False).astype(jnp.float32)
-    beliefs = [b]
+    return trunk1, b
 
-    n_stages = cfg.num_stages if num_stages is None else num_stages
-    if n_stages == 1:
-        return beliefs
 
+def _refine_forward(c, dtype, images, trunk1, belief1, center_map, cfg,
+                    n_stages):
+    """Stages 2..n_stages given precomputed stage-1 results. Returns the
+    list of refined belief maps (stage-1's NOT included)."""
     if cfg.share_trunk:
         f = trunk1  # one full-res trunk feeds both paths
     else:
         # Separate refinement trunk (reference layout, computed once).
-        f = _pool(c("conv1_stage2", x))
+        f = _pool(c("conv1_stage2", images))
         f = _pool(c("conv2_stage2", f))
         f = _pool(c("conv3_stage2", f))
 
@@ -286,10 +280,12 @@ def cpm_forward(params: Params, images: jnp.ndarray,
     else:
         cmap_lo = None
 
+    beliefs = []
+    prev = belief1
     for t in range(2, n_stages + 1):
         feat_name = "conv4_stage2" if t == 2 else f"conv1_stage{t}"
         feat = c(feat_name, f)
-        parts = [feat, beliefs[-1].astype(dtype)]
+        parts = [feat, prev.astype(dtype)]
         if cmap_lo is not None:
             parts.append(cmap_lo)
         h = jnp.concatenate(parts, axis=-1)
@@ -297,10 +293,33 @@ def cpm_forward(params: Params, images: jnp.ndarray,
         h = c(f"Mconv2_stage{t}", h)
         h = c(f"Mconv3_stage{t}", h)
         h = c(f"Mconv4_stage{t}", h)
-        b = c(f"Mconv5_stage{t}", h, relu=False).astype(jnp.float32)
-        beliefs.append(b)
-
+        prev = c(f"Mconv5_stage{t}", h, relu=False).astype(jnp.float32)
+        beliefs.append(prev)
     return beliefs
+
+
+def cpm_forward(params: Params, images: jnp.ndarray,
+                center_map: jnp.ndarray | None = None,
+                cfg: CPMConfig = CPMConfig(),
+                on_conv_input=None,
+                num_stages: int | None = None) -> List[jnp.ndarray]:
+    """All-stage forward pass.
+
+    Args:
+      images: (B, S, S, 3) normalized inputs (see ops/preprocess.py).
+      center_map: (B, S, S, 1) full-res center map, or None.
+    Returns:
+      list of per-stage belief maps, each (B, H, H, P+1) float32 —
+      intermediate supervision needs every stage (SURVEY.md §2 row 3);
+      inference uses [-1].
+    """
+    c, dtype = _make_conv(params, cfg, on_conv_input)
+    trunk1, b1 = _stage1_forward(c, images)
+    n_stages = cfg.num_stages if num_stages is None else num_stages
+    if n_stages == 1:
+        return [b1]
+    return [b1] + _refine_forward(c, dtype, images, trunk1, b1, center_map,
+                                  cfg, n_stages)
 
 
 def estimate_person_centers(stage1_beliefs: jnp.ndarray,
@@ -337,8 +356,11 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
       images: (B, H₀, W₀, 3), any size — resized in-graph.
       refine_center: estimate per-image person centers from stage-1
         beliefs and center the stages-2+ hint there (SURVEY.md §2 row 2)
-        instead of assuming a centered person. Costs one extra stage-1
-        pass of the belief head (the trunk is shared).
+        instead of assuming a centered person. STRUCTURALLY free: stage 1
+        is computed once and its trunk+beliefs are reused by the
+        refinement stages (no reliance on XLA CSE; the FLOP overhead is
+        just the per-image Gaussian hint — asserted ≤1.02× by
+        tests/test_cpm.py::test_refine_center_flop_overhead).
       letterbox: aspect-preserving resize + centered pad (the reference's
         "resize → pad" contract, SURVEY.md §2 row 1) instead of a
         distorting square resize; use for non-square inputs.
@@ -349,12 +371,13 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     """
     x = jax.vmap(lambda im: pre.preprocess(
         im, cfg.input_size, letterbox=letterbox))(images)
+    conv, dtype = _make_conv(params, cfg)
+    trunk1, b1 = _stage1_forward(conv, x)   # computed exactly once
     if cfg.use_center_map:
         if refine_center:
-            # Pass 1: stage-1 beliefs only (no center map needed) →
-            # per-image centers → per-image Gaussian hints.
-            s1 = cpm_forward(params, x, None, cfg, num_stages=1)[-1]
-            centers = estimate_person_centers(s1, cfg)
+            # Stage-1 beliefs (already in hand) → per-image centers →
+            # per-image Gaussian hints for the refinement stages.
+            centers = estimate_person_centers(b1, cfg)
             cmap = jax.vmap(
                 lambda c: pre.gaussian_center_map(
                     cfg.input_size, cfg.center_sigma, center=c))(centers)
@@ -363,8 +386,11 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
             cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
     else:
         cmap = None
-    beliefs = cpm_forward(params, x, cmap, cfg)
-    heatmaps = beliefs[-1]
+    if cfg.num_stages == 1:
+        heatmaps = b1
+    else:
+        heatmaps = _refine_forward(conv, dtype, x, trunk1, b1, cmap, cfg,
+                                   cfg.num_stages)[-1]
     impl = cfg.decode_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -42,11 +42,14 @@ def sharded_fused_fn(estimator, mesh):
 
 @dataclasses.dataclass
 class EvalState:
-    """Resumable accumulator (saved as json+npz every ``save_every``)."""
+    """Resumable accumulator (saved as json every ``save_every``)."""
     cursor: int = 0
     n: int = 0
-    sum_mpjpe: float = 0.0
-    sum_pa_mpjpe: float = 0.0
+    sum_mpjpe_p1: float = 0.0      # root-aligned, NO scale (Protocol 1)
+    sum_mpjpe_scaled: float = 0.0  # RMS-extent-matched (explicit deviation)
+    sum_pa_mpjpe: float = 0.0      # Procrustes-aligned
+    n2d: int = 0                   # frames with 2D ground truth
+    sum_pckh: float = 0.0          # PCKh@0.5 accumulator
 
     def save(self, path: str):
         # Atomic write: a crash mid-save must not truncate the resume
@@ -71,15 +74,30 @@ def evaluate_h36m_style(
     select_joints: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
     save_every: int = 10,
-    scale_to_gt: bool = True,
+    root_index: int = 0,
+    primary_protocol: str = "p1",
+    pckh_threshold: float = 0.5,
 ):
-    """Streaming MPJPE/PA-MPJPE eval of the fused pipeline.
+    """Streaming eval of the fused pipeline, all standard protocols at once:
+
+    - ``mpjpe_p1``     — H3.6M Protocol 1: root-aligned, NO scale
+      adjustment. The standard headline number; absolute depth/scale must
+      come from the camera model (use the perspective camera for fits
+      scored this way — weak-perspective fits have a free monocular scale
+      and will score poorly here by construction).
+    - ``mpjpe_scaled`` — centroid-aligned + per-frame RMS-extent scale
+      match. NOT a standard protocol; explicitly named so it can never be
+      mistaken for Protocol 1 (it was round 1's silent default).
+    - ``pa_mpjpe``     — Procrustes-aligned (Protocol 2 family).
+    - ``pckh``         — PCKh@``pckh_threshold`` of decoded 2D joints,
+      accumulated for batches that carry ``gt_joints2d`` (same pixel frame
+      as the estimator's decoded joints).
 
     ``gt_joints3d`` must be in the SMPL 24-joint frame, or provide
-    ``select_joints`` mapping predicted (B,24,3) → GT convention.
-    ``scale_to_gt`` resolves the monocular scale ambiguity per-frame by
-    matching skeleton RMS extent before (non-PA) MPJPE, the standard
-    protocol for weak-perspective fits.
+    ``select_joints`` mapping predicted (B,24,3) → GT convention (the root
+    joint is ``root_index`` in that convention). ``primary_protocol``
+    ('p1' | 'scaled' | 'pa') selects which number the legacy ``mpjpe`` key
+    aliases.
     """
     state = (EvalState.load(checkpoint_path) if checkpoint_path
              else EvalState())
@@ -107,27 +125,40 @@ def evaluate_h36m_style(
             pred = select_joints(pred)
         gt = jnp.asarray(batch["gt_joints3d"])
 
-        pred_c = pred - jnp.mean(pred, axis=-2, keepdims=True)
-        gt_c = gt - jnp.mean(gt, axis=-2, keepdims=True)
-        if scale_to_gt:
-            s = (jnp.sqrt(jnp.sum(gt_c ** 2, axis=(-2, -1)))
-                 / (jnp.sqrt(jnp.sum(pred_c ** 2, axis=(-2, -1))) + 1e-9))
-            pred_c = pred_c * s[..., None, None]
-        mp = jnp.mean(jnp.linalg.norm(pred_c - gt_c, axis=-1), axis=-1)
+        p1 = metrics_lib.mpjpe(pred, gt, align_root=True,
+                               root_index=root_index)
+        scaled = metrics_lib.scaled_mpjpe(pred, gt)
         pa = pa_fn(pred, gt)
 
-        b = int(pred.shape[0])
-        state.n += b
-        state.sum_mpjpe += float(jnp.sum(mp))
+        state.n += n_real
+        state.sum_mpjpe_p1 += float(jnp.sum(p1))
+        state.sum_mpjpe_scaled += float(jnp.sum(scaled))
         state.sum_pa_mpjpe += float(jnp.sum(pa))
+
+        if "gt_joints2d" in batch:
+            ph = metrics_lib.pckh(res.joints2d[:n_real],
+                                  jnp.asarray(batch["gt_joints2d"]),
+                                  threshold=pckh_threshold)
+            state.n2d += n_real
+            state.sum_pckh += float(jnp.sum(ph))
+
         state.cursor = i + 1
         if checkpoint_path and (i + 1) % save_every == 0:
             state.save(checkpoint_path)
 
     if checkpoint_path:
         state.save(checkpoint_path)
-    return {
-        "mpjpe": state.sum_mpjpe / max(state.n, 1),
-        "pa_mpjpe": state.sum_pa_mpjpe / max(state.n, 1),
+    n = max(state.n, 1)
+    out = {
+        "mpjpe_p1": state.sum_mpjpe_p1 / n,
+        "mpjpe_scaled": state.sum_mpjpe_scaled / n,
+        "pa_mpjpe": state.sum_pa_mpjpe / n,
         "num_frames": state.n,
     }
+    out["mpjpe"] = out["mpjpe_p1" if primary_protocol == "p1" else
+                       "mpjpe_scaled" if primary_protocol == "scaled" else
+                       "pa_mpjpe"]
+    if state.n2d:
+        out["pckh"] = state.sum_pckh / state.n2d
+        out["num_frames_2d"] = state.n2d
+    return out

@@ -86,3 +86,42 @@ def pck(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
     as the inputs). pred2d/gt2d: (..., P, 2); returns (...) fraction."""
     dist = jnp.linalg.norm(pred2d - gt2d, axis=-1)
     return jnp.mean((dist < threshold).astype(jnp.float32), axis=-1)
+
+
+def scaled_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Centroid-aligned MPJPE after matching per-frame RMS skeleton extent.
+
+    NOT a standard H3.6M protocol — it removes the monocular scale
+    ambiguity of weak-perspective fits and is reported under the explicit
+    name ``mpjpe_scaled`` (see parallel/eval.py). For the standard
+    Protocol-1 number use :func:`mpjpe` (root-aligned, no scale).
+
+    pred, gt: (..., J, 3); returns (...).
+    """
+    pred_c = pred - jnp.mean(pred, axis=-2, keepdims=True)
+    gt_c = gt - jnp.mean(gt, axis=-2, keepdims=True)
+    s = (jnp.sqrt(jnp.sum(gt_c ** 2, axis=(-2, -1)))
+         / (jnp.sqrt(jnp.sum(pred_c ** 2, axis=(-2, -1))) + 1e-9))
+    return jnp.mean(
+        jnp.linalg.norm(pred_c * s[..., None, None] - gt_c, axis=-1),
+        axis=-1)
+
+
+def pckh(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
+         threshold: float = 0.5,
+         head_a: int = 0, head_b: int = 1) -> jnp.ndarray:
+    """PCKh: fraction of 2D keypoints within ``threshold`` × the
+    ground-truth head-segment length (the MPII-style normalized metric;
+    SURVEY.md §6 quality rows).
+
+    With 14-joint CPM annotations the head segment is joint ``head_a``
+    (head top, index 0) to ``head_b`` (neck, index 1) — the standard proxy
+    when the MPII head bounding box is unavailable.
+
+    pred2d/gt2d: (..., P, 2); returns (...) per-example fraction.
+    """
+    head = jnp.linalg.norm(
+        gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
+    dist = jnp.linalg.norm(pred2d - gt2d, axis=-1)
+    return jnp.mean(
+        (dist <= threshold * head[..., None]).astype(jnp.float32), axis=-1)
