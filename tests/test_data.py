@@ -62,7 +62,7 @@ def test_train_and_eval_batch_schemas(model):
     assert tb["images"].shape == (2, 64, 64, 3)
     assert tb["images"].dtype == np.float32
     eb = next(synthetic.eval_batches(model, 2, 1, SMALL_CPM))
-    assert set(eb) == {"images", "gt_joints3d"}
+    assert set(eb) == {"images", "gt_joints3d", "gt_joints2d"}
 
 
 # ---------------------------------------------------------------------------

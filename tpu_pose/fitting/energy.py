@@ -61,7 +61,9 @@ def fit_energy(
     """
     theta, beta, cam = params["theta"], params["beta"], params["cam"]
 
-    out = smpl_lib.smpl_forward(model, beta, theta)
+    precision = (smpl_lib.EXACT_PRECISION
+                 if cfg.smpl_precision == "highest" else None)
+    out = smpl_lib.smpl_forward(model, beta, theta, precision=precision)
     j3d = joints_lib.select_smpl_joints(out.joints)       # (14, 3)
     j2d = camera_lib.project(
         j3d, cam, model=cfg.camera_model,

@@ -116,3 +116,10 @@ class FitConfig:
     num_betas: int = 10
     num_joints_smpl: int = 24
     keep_history: bool = False    # return per-iteration energy trace
+    # SMPL matmul precision INSIDE the fit energy: "default" = the
+    # device's native rate (bf16-like passes on TPU — right for serving),
+    # "highest" = f32-exact (parity-certification mode: on TPU the
+    # default precision puts ~1e-4 relative error on the energy itself,
+    # which caps how stationary the fit can get — measured 46 mm polish
+    # displacement at default vs sub-mm at highest on the parity probe).
+    smpl_precision: str = "default"
