@@ -60,6 +60,10 @@ def main():
                     help="disable the calibrated-int8 CPM serving path "
                          "(accuracy-gated in tests/test_quantize.py) and "
                          "run bf16")
+    ap.add_argument("--microbatch", type=int, default=64,
+                    help="CPM micro-chunk for batches past the whole-batch "
+                         "int32-activation OOM ceiling (b>=192 on 16 GB); "
+                         "0 disables the big-batch configs")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -106,16 +110,39 @@ def main():
         if fps > best_fps:
             best_fps, best_b = fps, b
 
+    # Past the whole-batch ceiling: micro-chunked CPM (api.py
+    # cpm_microbatch) keeps the int32 trunk activations per-chunk, so
+    # b=192/256 fit 16 GB. Shares the already-calibrated params.
+    if args.microbatch and not args.quick and not args.batch \
+            and not args.no_int8:
+        from tpu_pose.api import PoseEstimator as PE
+        est_big = PE(est.cpm_params, est.smpl_model, est.prior,
+                     est.cpm_cfg, est.fit_cfg,
+                     cpm_microbatch=args.microbatch)
+        for b in (192, 256):
+            imgs = images(b)
+            try:
+                dt = timeit(est_big.estimate_and_fit, imgs,
+                            iters=max(1, titers - 2), warmup=1)
+            except Exception as e:
+                log(f"fused b={b} microbatch={args.microbatch}: "
+                    f"failed ({type(e).__name__})")
+                continue
+            fps = b / dt
+            log(f"fused b={b} microbatch={args.microbatch}: "
+                f"{dt*1e3:.1f} ms -> {fps:.1f} frames/s/chip")
+            if fps > best_fps:
+                best_fps, best_b = fps, b
+
     # ---- auxiliary configs (stderr only) --------------------------------
     if args.all:
-        # Config 1: batch-1 2D inference LATENCY — bf16 wins at batch 1
-        # (per-layer quantize overhead dominates tiny tensors: 19.8 ms
-        # int8 vs 12.6 ms bf16 measured), so report the latency-optimal
-        # configuration.
-        est_b1 = (est if args.no_int8
-                  else PoseEstimator.create_synthetic(seed=0))
-        dt = timeit(est_b1.estimate_2d, images(1), iters=titers)
-        log(f"config1 CPM b=1 (bf16): {dt*1e3:.2f} ms/frame")
+        # Config 1: batch-1 2D inference LATENCY. The batch-conditional
+        # precision policy (api.py int8_min_batch) routes b=1 to the bf16
+        # weights automatically — same estimator as the throughput runs.
+        dt = timeit(est.estimate_2d, images(1), iters=titers)
+        log(f"config1 CPM b=1 (policy → "
+            f"{'bf16' if est.cpm_params_bf16 is not None or args.no_int8 else 'int8'}): "
+            f"{dt*1e3:.2f} ms/frame")
         # Config 2: batch-32 2D inference + decode.
         dt = timeit(est.estimate_2d, images(32), iters=titers)
         log(f"config2 CPM b=32: {dt*1e3:.1f} ms -> {32/dt:.1f} fps")

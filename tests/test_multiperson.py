@@ -1,0 +1,105 @@
+"""Multi-person decode + fit (TPU-native extension beyond the
+single-person reference; VERDICT r1 item 9, ROADMAP r1 #4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pose.api import PoseEstimator
+from tpu_pose.models import cpm
+from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+SMALL = CPMConfig(input_size=64, features=16, stage1_head_width=32,
+                  refine_width=16, num_stages=3)
+SMALL_FIT = FitConfig(
+    stages=(StageConfig(iters=10, lr=0.05, opt_pose=False, opt_shape=False,
+                        w_pose_prior=0, w_shape_prior=0, w_angle_prior=0),
+            StageConfig(iters=15, lr=0.02, w_pose_prior=0.5,
+                        w_shape_prior=1.0)),
+    img_size=64)
+
+
+def test_find_person_peaks_two_blobs():
+    """Two separated bumps → two NMS'd peaks at the bump centers, sorted
+    by strength."""
+    h = w = 16
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    g1 = 1.0 * np.exp(-((xs - 4) ** 2 + (ys - 8) ** 2) / 4.0)
+    g2 = 0.7 * np.exp(-((xs - 12) ** 2 + (ys - 7) ** 2) / 4.0)
+    fg = jnp.asarray((g1 + g2)[None])
+    centers, scores = cpm.find_person_peaks(fg, k=2, stride=8,
+                                            nms_radius_px=3 * 8)
+    c = np.asarray(centers)[0]
+    s = np.asarray(scores)[0]
+    np.testing.assert_allclose(c[0], [4 * 8, 8 * 8], atol=8)
+    np.testing.assert_allclose(c[1], [12 * 8, 7 * 8], atol=8)
+    assert s[0] >= s[1] > 0
+
+
+def test_find_person_peaks_nms_suppresses_shoulder():
+    """A single wide bump must NOT yield two nearby peaks: the second
+    peak lands outside the NMS radius."""
+    h = w = 16
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    fg = jnp.asarray(np.exp(-((xs - 8) ** 2 + (ys - 8) ** 2) / 16.0)[None])
+    centers, _ = cpm.find_person_peaks(fg, k=2, stride=8,
+                                       nms_radius_px=4 * 8)
+    c = np.asarray(centers)[0]
+    dist = np.linalg.norm(c[0] - c[1])
+    assert dist > 4 * 8 - 1e-3, c
+
+
+def test_estimate_2d_multi_shapes_and_distinct_hypotheses():
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    hm, joints, conf, scores = jax.jit(
+        lambda p, i: cpm.estimate_2d_multi(p, i, SMALL, max_people=2)
+    )(params, imgs)
+    assert hm.shape == (2, 2, 8, 8, 15)
+    assert joints.shape == (2, 2, 14, 2)
+    assert conf.shape == (2, 2, 14)
+    assert scores.shape == (2, 2)
+    assert np.isfinite(np.asarray(joints)).all()
+    # Different center hints → the two hypotheses' heatmaps differ.
+    assert not np.allclose(np.asarray(hm[:, 0]), np.asarray(hm[:, 1]))
+
+
+def test_estimate_2d_multi_requires_center_map():
+    cfg = CPMConfig(**{**SMALL.__dict__, "use_center_map": False})
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        cpm.estimate_2d_multi(params, jnp.zeros((1, 64, 64, 3)), cfg)
+
+
+def test_two_person_frame_resolves_two_fits():
+    """VERDICT r1 item 9's done-criterion: a synthetic two-person frame
+    resolves two distinct fitted hypotheses."""
+    from tpu_pose.data import synthetic
+
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT)
+    # Two blob-people: one in each half of the frame (the blob renderer
+    # is what the CPM trains on, so stage-1 foreground mass lands on
+    # them even with random weights being noisy — we only need the NMS
+    # geometry + plumbing here, not 2D accuracy).
+    rng = np.random.RandomState(1)
+    half_joints = rng.rand(14, 2).astype(np.float32) * 24 + 4
+    left = synthetic.render_blob_image(half_joints, 64)
+    right = synthetic.render_blob_image(half_joints + [32, 16], 64)
+    frame = np.maximum(left, right)
+    imgs = jnp.asarray(frame[None])
+
+    res = est.estimate_and_fit_multi(imgs, max_people=2)
+    assert res.theta.shape == (1, 2, 72)
+    assert res.vertices.shape == (1, 2, 6890, 3)
+    assert res.person_scores.shape == (1, 2)
+    assert np.isfinite(np.asarray(res.vertices)).all()
+    assert np.isfinite(np.asarray(res.energy)).all()
+    # Two DISTINCT fits: the hypotheses' 2D evidence differs, so the
+    # fitted cameras/joints must differ.
+    assert not np.allclose(np.asarray(res.joints2d[0, 0]),
+                           np.asarray(res.joints2d[0, 1]), atol=1e-3)
+    assert not np.allclose(np.asarray(res.cam[0, 0]),
+                           np.asarray(res.cam[0, 1]), atol=1e-4)

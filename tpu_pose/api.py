@@ -33,6 +33,18 @@ class Estimate2DResult(NamedTuple):
     conf: jnp.ndarray       # (B, P)
 
 
+class MultiPersonResult(NamedTuple):
+    joints2d: jnp.ndarray       # (B, K, P, 2)
+    conf: jnp.ndarray           # (B, K, P)
+    person_scores: jnp.ndarray  # (B, K) stage-1 peak strength per person
+    theta: jnp.ndarray          # (B, K, 72)
+    beta: jnp.ndarray           # (B, K, 10)
+    cam: jnp.ndarray            # (B, K, 3)
+    vertices: jnp.ndarray       # (B, K, 6890, 3)
+    joints3d: jnp.ndarray       # (B, K, 24, 3)
+    energy: jnp.ndarray         # (B, K)
+
+
 class EstimateAndFitResult(NamedTuple):
     joints2d: jnp.ndarray   # (B, P, 2)
     conf: jnp.ndarray       # (B, P)
@@ -63,7 +75,25 @@ class PoseEstimator:
                  calibration_images=None,
                  fit_restarts: int = 1,
                  refine_center: bool = False,
-                 letterbox: bool = False):
+                 letterbox: bool = False,
+                 int8_min_batch: int = 16,
+                 cpm_microbatch: int = 0):
+        # Batch-conditional precision policy: int8's per-layer quantize
+        # overhead beats bf16 only once the convs are big enough
+        # (measured r1: b=1 int8 19.8 ms vs bf16 12.6 ms; b=128 int8 is
+        # 1.3× faster). With quantize=True BOTH param sets are kept and
+        # each call picks by batch size — a mixed-batch server gets the
+        # right precision without constructing a second estimator.
+        # int8_min_batch=0 forces int8 always; the f32/bf16 set is kept
+        # only when quantizing happened here (pre-quantized params have
+        # no bf16 twin to fall back to).
+        self.cpm_params_bf16 = None
+        self.int8_min_batch = int8_min_batch
+        # Sequential CPM micro-chunking (models/cpm.py
+        # estimate_2d_microbatched): caps the int32 trunk activations'
+        # HBM high-water mark so int8 serving batches scale past the
+        # whole-batch OOM ceiling (b≥192 on 16 GB v5e). 0 = off.
+        self.cpm_microbatch = cpm_microbatch
         if quantize and not cpm_lib._is_quantized(cpm_params):
             # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
             # joint drift vs bf16 bench-gated to sub-pixel. With
@@ -81,6 +111,8 @@ class PoseEstimator:
                     cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
                 act_scales = cpm_lib.calibrate_act_scales(
                     cpm_params, x, cmap, cpm_cfg)
+            if int8_min_batch > 1:
+                self.cpm_params_bf16 = cpm_params
             cpm_params = cpm_lib.quantize_params(cpm_params, act_scales)
         self.cpm_params = cpm_params
         self.smpl_model = smpl_model
@@ -140,11 +172,20 @@ class PoseEstimator:
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
 
+    def _params_for_batch(self, batch_size: int):
+        """Precision policy: bf16 weights below ``int8_min_batch``,
+        int8 at/above (no-op unless constructed with quantize=True)."""
+        if (self.cpm_params_bf16 is not None
+                and batch_size < self.int8_min_batch):
+            return self.cpm_params_bf16
+        return self.cpm_params
+
     def _estimate_2d_fn(self, refine_center: bool, letterbox: bool):
         key = (refine_center, letterbox)
         if key not in self._estimate_2d_cache:
             self._estimate_2d_cache[key] = jax.jit(functools.partial(
-                cpm_lib.estimate_2d_from_images, cfg=self.cpm_cfg,
+                cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
+                chunk=self.cpm_microbatch,
                 refine_center=refine_center, letterbox=letterbox))
         return self._estimate_2d_cache[key]
 
@@ -159,7 +200,8 @@ class PoseEstimator:
         via resize+pad and returns joints in SOURCE image pixels."""
         lb = self.letterbox if letterbox is None else letterbox
         fn = self._estimate_2d_fn(refine_center, lb)
-        hm, joints, conf = fn(self.cpm_params, images)
+        hm, joints, conf = fn(self._params_for_batch(images.shape[0]),
+                              images)
         return Estimate2DResult(hm, joints, conf)
 
     def fit_smpl(self, joints2d: jnp.ndarray, conf: jnp.ndarray,
@@ -192,8 +234,9 @@ class PoseEstimator:
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
         # The fit consumes NETWORK-frame joints (FitConfig.img_size);
         # letterboxed outputs map back to source pixels at the end.
-        _, joints, conf = cpm_lib.estimate_2d_from_images(
+        _, joints, conf = cpm_lib.estimate_2d_microbatched(
             cpm_params, images, cfg=self.cpm_cfg,
+            chunk=self.cpm_microbatch,
             refine_center=self.refine_center,
             letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
@@ -222,8 +265,48 @@ class PoseEstimator:
     def estimate_and_fit(self, images: jnp.ndarray) -> EstimateAndFitResult:
         """The fused path (BASELINE north star; SURVEY.md §3.4): raw image
         batch → 2D inference → batched traced fit → posed mesh, ONE device
-        program end to end."""
-        return self._fused(self.cpm_params, self.smpl_model, images)
+        program end to end. CPM precision follows the batch-size policy
+        (``int8_min_batch``)."""
+        return self._fused(self._params_for_batch(images.shape[0]),
+                           self.smpl_model, images)
+
+    # -- multi-person (TPU-native extension beyond the reference) ---------
+
+    def _estimate_and_fit_multi_impl(self, cpm_params, smpl_model, images,
+                                     max_people: int):
+        _, joints, conf, scores = cpm_lib.estimate_2d_multi(
+            cpm_params, images, cfg=self.cpm_cfg, max_people=max_people)
+        b, k = joints.shape[:2]
+        flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
+        res = fit_lib.fit_smpl_batch(
+            smpl_model, flat(joints), flat(conf), cfg=self.fit_cfg,
+            prior=self.prior)
+        out = smpl_lib.smpl_forward_batch(
+            smpl_model, res.beta, res.theta,
+            precision=smpl_lib.EXACT_PRECISION)
+        unflat = lambda t: t.reshape((b, k) + t.shape[1:])  # noqa: E731
+        return MultiPersonResult(
+            joints2d=joints, conf=conf, person_scores=scores,
+            theta=unflat(res.theta), beta=unflat(res.beta),
+            cam=unflat(res.cam), vertices=unflat(out.vertices),
+            joints3d=unflat(out.joints), energy=unflat(res.energy))
+
+    def estimate_and_fit_multi(self, images: jnp.ndarray,
+                               max_people: int = 2) -> MultiPersonResult:
+        """Multi-person fused path: stage-1 trunk once per image, NMS'd
+        foreground peaks propose up to ``max_people`` centers, refinement
+        stages + vmapped fits run per person hypothesis (cpm.py
+        estimate_2d_multi). ``person_scores`` ranks hypotheses — filter
+        weak ones downstream (a frame with one person yields one strong
+        and one weak hypothesis, both fitted)."""
+        key = ("multi", max_people)
+        if key not in self._fit_multistart:
+            self._fit_multistart[key] = jax.jit(
+                functools.partial(self._estimate_and_fit_multi_impl,
+                                  max_people=max_people))
+        return self._fit_multistart[key](
+            self._params_for_batch(images.shape[0]), self.smpl_model,
+            images)
 
 
 # -- module-level functional forms ----------------------------------------

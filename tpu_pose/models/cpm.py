@@ -255,17 +255,22 @@ def _stage1_forward(c, images):
     return trunk1, b
 
 
+def _refine_trunk(c, images, trunk1, cfg):
+    """The refinement stages' image-feature trunk (computed ONCE per
+    image; multi-person decode reuses it across person hypotheses)."""
+    if cfg.share_trunk:
+        return trunk1  # one full-res trunk feeds both paths
+    # Separate refinement trunk (reference layout).
+    f = _pool(c("conv1_stage2", images))
+    f = _pool(c("conv2_stage2", f))
+    return _pool(c("conv3_stage2", f))
+
+
 def _refine_forward(c, dtype, images, trunk1, belief1, center_map, cfg,
                     n_stages):
     """Stages 2..n_stages given precomputed stage-1 results. Returns the
     list of refined belief maps (stage-1's NOT included)."""
-    if cfg.share_trunk:
-        f = trunk1  # one full-res trunk feeds both paths
-    else:
-        # Separate refinement trunk (reference layout, computed once).
-        f = _pool(c("conv1_stage2", images))
-        f = _pool(c("conv2_stage2", f))
-        f = _pool(c("conv3_stage2", f))
+    f = _refine_trunk(c, images, trunk1, cfg)
 
     if cfg.use_center_map:
         if center_map is None:
@@ -279,7 +284,12 @@ def _refine_forward(c, dtype, images, trunk1, belief1, center_map, cfg,
             center_map, cfg.stride).astype(dtype)
     else:
         cmap_lo = None
+    return _refine_stages(c, dtype, f, belief1, cmap_lo, cfg, n_stages)
 
+
+def _refine_stages(c, dtype, f, belief1, cmap_lo, cfg, n_stages):
+    """The stage-2..n refinement loop over precomputed features ``f``,
+    stage-1 beliefs, and an (optional) LOW-RES center hint."""
     beliefs = []
     prev = belief1
     for t in range(2, n_stages + 1):
@@ -406,3 +416,123 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
             images.shape[1], images.shape[2], cfg.input_size)
         joints = pre.joints_to_source_frame(joints, affine)
     return heatmaps, joints, conf
+
+
+def find_person_peaks(fg: jnp.ndarray, k: int, stride: int,
+                      nms_radius_px: float):
+    """Top-k peaks with non-maximum suppression on a foreground map.
+
+    In-graph greedy NMS: k static rounds of (argmax → record → mask a
+    disc of ``nms_radius_px``) — no data-dependent control flow, so it
+    jits and vmaps (SURVEY.md-style TPU-native multi-person extension;
+    the reference is single-person, ROADMAP r1 #4).
+
+    Args: fg (B, h, w) foreground beliefs. Returns (centers_px (B, k, 2)
+    as (x, y), scores (B, k)).
+    """
+    b, h, w = fg.shape
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    r_cells2 = (nms_radius_px / stride) ** 2
+    m = fg
+    centers, scores = [], []
+    for _ in range(k):
+        flat = m.reshape(b, h * w)
+        idx = jnp.argmax(flat, axis=-1)                     # (B,)
+        score = jnp.take_along_axis(flat, idx[:, None], -1)[:, 0]
+        cy = (idx // w).astype(jnp.float32)
+        cx = (idx % w).astype(jnp.float32)
+        centers.append(jnp.stack([cx * stride, cy * stride], -1))
+        scores.append(score)
+        d2 = ((ys[None, :, None] - cy[:, None, None]) ** 2
+              + (xs[None, None, :] - cx[:, None, None]) ** 2)
+        m = jnp.where(d2 <= r_cells2, -jnp.inf, m)
+    return jnp.stack(centers, axis=1), jnp.stack(scores, axis=1)
+
+
+def estimate_2d_multi(params: Params, images: jnp.ndarray,
+                      cfg: CPMConfig = CPMConfig(),
+                      max_people: int = 2,
+                      beta: float = 100.0,
+                      nms_radius_px: float = 96.0):
+    """Multi-person 2D estimation, one traced program (TPU-native
+    extension beyond the single-person reference; VERDICT r1 item 9).
+
+    Strategy: the stage-1 trunk+beliefs and the refinement trunk compute
+    ONCE per image; k person-center hypotheses come from NMS'd stage-1
+    foreground peaks; the cheap refinement stages then run per-hypothesis
+    (k folded into the batch axis) with per-person Gaussian center hints,
+    so each hypothesis's belief maps lock onto its own person.
+
+    Requires ``cfg.use_center_map=True`` (the hint is the person selector).
+
+    Returns: heatmaps (B, k, H, H, P+1), joints_px (B, k, P, 2),
+    conf (B, k, P), person_scores (B, k).
+    """
+    if not cfg.use_center_map:
+        raise ValueError("estimate_2d_multi needs cfg.use_center_map=True "
+                         "(the center hint is what separates people)")
+    b = images.shape[0]
+    k = max_people
+    x = jax.vmap(lambda im: pre.preprocess(im, cfg.input_size))(images)
+    conv, dtype = _make_conv(params, cfg)
+    trunk1, b1 = _stage1_forward(conv, x)                 # once per image
+    f = _refine_trunk(conv, x, trunk1, cfg)               # once per image
+
+    fg = jnp.max(b1[..., :-1], axis=-1)                   # (B, h, h)
+    centers, person_scores = find_person_peaks(
+        fg, k, cfg.stride, nms_radius_px)                 # (B, k, 2)
+
+    cmaps = jax.vmap(jax.vmap(
+        lambda c_: pre.gaussian_center_map(
+            cfg.input_size, cfg.center_sigma, center=c_)))(centers)
+    cmap_lo = pre.downsample_center_map(
+        cmaps.reshape((b * k,) + cmaps.shape[2:]), cfg.stride).astype(dtype)
+
+    def rep(t):  # (B, ...) → (B*k, ...) person-hypothesis fold
+        return jnp.repeat(t, k, axis=0)
+
+    beliefs = _refine_stages(conv, dtype, rep(f), rep(b1), cmap_lo, cfg,
+                             cfg.num_stages)
+    hm = (beliefs[-1] if beliefs else rep(b1))
+    impl = cfg.decode_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from tpu_pose.ops import pallas_kernels
+        joints, conf = pallas_kernels.soft_argmax_pallas(
+            hm, beta=beta, stride=cfg.stride)
+    else:
+        joints, conf = decode_lib.soft_argmax(hm, beta=beta,
+                                              stride=cfg.stride)
+    return (hm.reshape((b, k) + hm.shape[1:]),
+            joints.reshape((b, k) + joints.shape[1:]),
+            conf.reshape((b, k) + conf.shape[1:]),
+            person_scores)
+
+
+def estimate_2d_microbatched(params: Params, images: jnp.ndarray,
+                             cfg: CPMConfig = CPMConfig(),
+                             chunk: int = 0, **kw):
+    """:func:`estimate_2d_from_images` executed in sequential batch
+    micro-chunks via ``lax.map`` — peak activation memory becomes
+    per-chunk instead of per-batch.
+
+    Why: the int8 path's int32 conv accumulators on the full-res trunk
+    are the HBM high-water mark (b×368²×128×4 B ≈ 69 MB/frame); whole-
+    batch b≥192 OOMs 16 GB on v5e (bench.py r1). Chunked, the serving
+    batch is bounded by the fit, not the trunk. Convs stay large enough
+    to saturate the MXU at chunk ≥ 32.
+
+    No-op (falls through to the whole-batch path) when ``chunk`` ≤ 0,
+    ≥ batch, or does not divide the batch evenly.
+    """
+    b = images.shape[0]
+    if chunk <= 0 or chunk >= b or b % chunk != 0:
+        return estimate_2d_from_images(params, images, cfg, **kw)
+    folded = images.reshape((b // chunk, chunk) + images.shape[1:])
+    hm, joints, conf = jax.lax.map(
+        lambda im: estimate_2d_from_images(params, im, cfg, **kw), folded)
+    return (hm.reshape((b,) + hm.shape[2:]),
+            joints.reshape((b,) + joints.shape[2:]),
+            conf.reshape((b,) + conf.shape[2:]))
