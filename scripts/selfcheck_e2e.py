@@ -82,10 +82,11 @@ def main(argv):
     imgs = jnp.asarray(ex["images"])
     gt3d = jnp.asarray(ex["gt_joints3d"])
 
-    def fused_eval(tag, p):
+    def fused_eval(tag, p, **est_kw):
         est = PoseEstimator(p, model,
                             prior=None, cpm_cfg=cfg,
-                            fit_restarts=FLAGS.restarts)
+                            **({"fit_restarts": FLAGS.restarts}
+                               | est_kw))
         res = est.estimate_and_fit(imgs)
         profiling.sync(res.theta)
         px_err = float(jnp.mean(jnp.linalg.norm(
@@ -106,6 +107,18 @@ def main(argv):
 
     fused_eval("fused_random_weights", rand_params)
     fused_eval("fused_trained_weights", params)
+
+    # ---- 2b. learned init head: single-start fits, three inits ----------
+    # Compares mean-pose init vs learned init vs multistart on the SAME
+    # trained CPM (fitting/init_head.py; ROADMAP r1 #2 accuracy lever).
+    log("training init head (self-supervised from the SMPL model)...")
+    from tpu_pose.fitting import init_head as head_lib
+    head, head_losses = head_lib.train_init_head(model, steps=2000,
+                                                 batch=256)
+    results["init_head_final_loss"] = float(head_losses[-20:].mean())
+    fused_eval("fused_meanpose_init", params, fit_restarts=1)
+    fused_eval("fused_learned_init", params, fit_restarts=1,
+               init_head=head)
 
     # ---- 3. temporal warm-start vs independent --------------------------
     vex = synthetic.make_video_examples(model, FLAGS.video_frames, cfg,

@@ -77,7 +77,8 @@ class PoseEstimator:
                  refine_center: bool = False,
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
-                 cpm_microbatch: int = 0):
+                 cpm_microbatch: int = 0,
+                 init_head=None):
         # Batch-conditional precision policy: int8's per-layer quantize
         # overhead beats bf16 only once the convs are big enough
         # (measured r1: b=1 int8 19.8 ms vs bf16 12.6 ms; b=128 int8 is
@@ -94,6 +95,11 @@ class PoseEstimator:
         # HBM high-water mark so int8 serving batches scale past the
         # whole-batch OOM ceiling (b≥192 on 16 GB v5e). 0 = off.
         self.cpm_microbatch = cpm_microbatch
+        # Learned (θ, β) fit initialization (fitting/init_head.py):
+        # trained params pytree, or None for the reference's mean-pose
+        # init. Used when fit_restarts == 1 (multistart enumerates yaw
+        # hypotheses itself).
+        self.init_head = init_head
         if quantize and not cpm_lib._is_quantized(cpm_params):
             # int8 serving path (models/cpm.py): ~1.4× CPM speedup on v5e,
             # joint drift vs bf16 bench-gated to sub-pixel. With
@@ -172,6 +178,17 @@ class PoseEstimator:
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
 
+    def _head_init(self, smpl_model, joints2d_px, conf):
+        """Batched learned-init pytree from network-frame pixel joints,
+        or None when no head is attached."""
+        if self.init_head is None:
+            return None
+        from tpu_pose.fitting import init_head as head_lib
+        half = self.fit_cfg.img_size / 2.0
+        obs = (joints2d_px - half) / half
+        return jax.vmap(lambda j, c: head_lib.head_init_pytree(
+            self.init_head, smpl_model, j, c, self.fit_cfg))(obs, conf)
+
     def _params_for_batch(self, batch_size: int):
         """Precision policy: bf16 weights below ``int8_min_batch``,
         int8 at/above (no-op unless constructed with quantize=True)."""
@@ -227,6 +244,12 @@ class PoseEstimator:
             return self._fit_multistart[key](self.smpl_model, joints2d,
                                              conf)
         fn = self._fit_single if joints2d.ndim == 2 else self._fit_batch
+        if init is None and self.init_head is not None:
+            j = joints2d if joints2d.ndim == 3 else joints2d[None]
+            c = conf if conf.ndim == 2 else conf[None]
+            init = self._head_init(self.smpl_model, j, c)
+            if joints2d.ndim == 2:
+                init = jax.tree.map(lambda x: x[0], init)
         if init is None:
             return fn(self.smpl_model, joints2d, conf)
         return fn(self.smpl_model, joints2d, conf, init=init)
@@ -244,9 +267,10 @@ class PoseEstimator:
                 smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
                 restarts=self.fit_restarts))(joints, conf)
         else:
+            init = self._head_init(smpl_model, joints, conf)
             res = fit_lib.fit_smpl_batch(
                 smpl_model, joints, conf, cfg=self.fit_cfg,
-                prior=self.prior)
+                prior=self.prior, init=init)
         # Final mesh at exact precision: bf16 matmul rounding (~1e-3 m)
         # would eat the 1 mm MPJPE parity budget (smpl.py header).
         out = smpl_lib.smpl_forward_batch(
