@@ -276,17 +276,17 @@ def test_fit_perspective_camera_end_to_end(model):
     theta_gt = jnp.asarray(rng.randn(72) * 0.2, jnp.float32)
     out = smpl_lib.smpl_forward(model, jnp.zeros(10), theta_gt)
     j3d = joints_lib.select_smpl_joints(out.joints)
+    # SMPLify pixel convention throughout: f in px, principal point at
+    # the crop center, tz sized so the body spans a reasonable crop
+    # fraction (f≈5000 px, extent≈1 m, tz≈40 m → ≈125 px span).
     cam_gt = jnp.asarray([0.05, -0.1, 40.0], jnp.float32)  # (tx, ty, tz)
     focal = 5000.0
-    j2d_norm = camera_lib.perspective_project(j3d, cam_gt, focal=focal)
-    # perspective projections here are in focal-scaled units around 0;
-    # express as pixels in the fit's 368-frame
-    j2d_px = (j2d_norm / (focal / 10.0) + 1.0) * (IMG / 2.0)
+    j2d_px = camera_lib.perspective_project(
+        j3d, cam_gt, focal=focal, center=(IMG / 2.0, IMG / 2.0))
     conf = jnp.ones(14)
 
     cfg = dataclasses.replace(
-        FAST_CFG, camera_model=camera_lib.PERSPECTIVE,
-        focal=focal / (focal / 10.0) / (IMG / 2.0))  # focal in obs units
+        FAST_CFG, camera_model=camera_lib.PERSPECTIVE, focal=focal)
     res = fit_lib.fit_smpl_single(model, j2d_px, conf, cfg=cfg)
     err = reproj_err_px(model, res, j2d_px, cfg)
     assert np.isfinite(err)

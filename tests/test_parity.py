@@ -44,6 +44,23 @@ def test_stage_parity_numerical(model, prior, pipe):
     assert rep["energy_rel_err"] < 1e-5
 
 
+def test_stage_parity_perspective(model, prior):
+    """Projection + energy parity with the PERSPECTIVE camera: our
+    normalized-frame fit energy must stay exactly proportional to the
+    oracle's pixel-frame energy under the pixel-focal contract
+    (FitConfig.focal in px; fitting/energy.perspective_kwargs)."""
+    gmm = {"means": np.asarray(prior.means),
+           "precisions": np.asarray(prior.precisions),
+           "log_consts": np.asarray(prior.log_consts)}
+    pipe = oracle.OraclePipeline(
+        model._asdict(), gmm=gmm,
+        cfg=oracle.OracleConfig(camera_model="perspective", focal=5000.0))
+    cfg = FitConfig(camera_model="perspective", focal=5000.0)
+    rep = harness.stage_parity(model, pipe, cfg, prior=prior, seed=1)
+    assert rep["projection_max_px"] < 1e-2, rep
+    assert rep["energy_rel_err"] < 1e-5, rep
+
+
 def test_oracle_decode_matches_hard_argmax():
     rng = np.random.RandomState(0)
     hm = rng.rand(2, 8, 8, 15).astype(np.float32)

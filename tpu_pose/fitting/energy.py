@@ -27,6 +27,22 @@ from tpu_pose.utils.config import FitConfig, StageConfig
 Params = Dict[str, jnp.ndarray]  # {'theta': (72,), 'beta': (10,), 'cam': (3,)}
 
 
+def perspective_kwargs(cfg: FitConfig) -> Dict[str, Any]:
+    """Projection kwargs putting the perspective camera in the fit's
+    observation frame. ``cfg.focal`` is ALWAYS in PIXELS (the SMPLify
+    convention, f≈5000 px, principal point at the crop center); with
+    ``normalize_obs`` the pixel projection maps into [-1, 1] as
+    (f·x/z + S/2 − S/2)/(S/2) = (2f/S)·x/z, i.e. effective focal 2f/S
+    and center 0 — so users never convert focal units by hand."""
+    if cfg.camera_model != camera_lib.PERSPECTIVE:
+        return {}
+    if cfg.normalize_obs:
+        return {"focal": cfg.focal * 2.0 / cfg.img_size,
+                "center": (0.0, 0.0)}
+    return {"focal": cfg.focal,
+            "center": (cfg.img_size / 2.0, cfg.img_size / 2.0)}
+
+
 def gmof(residual: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Geman–McClure robustifier: ρ(x) = σ²·x² / (x² + σ²), elementwise."""
     sq = residual * residual
@@ -67,8 +83,7 @@ def fit_energy(
     j3d = joints_lib.select_smpl_joints(out.joints)       # (14, 3)
     j2d = camera_lib.project(
         j3d, cam, model=cfg.camera_model,
-        **({"focal": cfg.focal} if cfg.camera_model == camera_lib.PERSPECTIVE
-           else {}))
+        **perspective_kwargs(cfg))
 
     scale = (2.0 / cfg.img_size) if cfg.normalize_obs else 1.0
     sigma = cfg.gmof_sigma * scale

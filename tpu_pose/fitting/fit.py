@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpu_pose.fitting.energy import fit_energy
+from tpu_pose.fitting.energy import fit_energy, perspective_kwargs
 from tpu_pose.models import camera as camera_lib
 from tpu_pose.models import joints as joints_lib
 from tpu_pose.models import smpl as smpl_lib
@@ -73,7 +73,8 @@ def default_init(model: SMPLData, joints2d_norm, conf, cfg: FitConfig):
         cam0 = camera_lib.init_weak_perspective(joints2d_norm, j_rest14, conf)
     else:
         cam0 = camera_lib.init_perspective(
-            joints2d_norm, j_rest14, focal=cfg.focal, conf=conf)
+            joints2d_norm, j_rest14,
+            focal=perspective_kwargs(cfg)["focal"], conf=conf)
     return {"theta": theta0, "beta": beta0, "cam": cam0}
 
 
@@ -219,11 +220,11 @@ def fit_smpl_batch(model, joints2d, conf, cfg: FitConfig = FitConfig(),
 
 
 def reproject(model: SMPLData, result: FitResult, cfg: FitConfig):
-    """Project the fitted model's joints back to (normalized) 2D — used by
-    tests and the eval harness to measure residual reprojection error."""
+    """Project the fitted model's joints back to the fit's observation
+    frame — used by tests and the eval harness to measure residual
+    reprojection error."""
     out = smpl_lib.smpl_forward(model, result.beta, result.theta)
     j3d = joints_lib.select_smpl_joints(out.joints)
     return camera_lib.project(
         j3d, result.cam, model=cfg.camera_model,
-        **({"focal": cfg.focal} if cfg.camera_model == camera_lib.PERSPECTIVE
-           else {}))
+        **perspective_kwargs(cfg))

@@ -105,6 +105,10 @@ class FitConfig:
     """SMPLify-style fit configuration (SURVEY.md §2 rows 8–10)."""
     stages: Tuple[StageConfig, ...] = DEFAULT_STAGES
     camera_model: str = WEAK_PERSPECTIVE
+    # Perspective focal length IN PIXELS (SMPLify convention: f≈5000 px
+    # for a 368-crop, principal point at crop center). Unit conversion
+    # into the fit's normalized frame is internal
+    # (fitting/energy.perspective_kwargs) — never hand-convert.
     focal: float = 5000.0         # perspective only
     img_size: int = 368           # pixel frame of the 2D observations
     gmof_sigma: float = 100.0     # GMoF robustifier width, in PIXELS
