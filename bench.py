@@ -162,6 +162,13 @@ def main():
         dt = timeit(vid, jseq, cseq, iters=max(1, titers - 2), warmup=1)
         log(f"config4 video-64 temporal fit: {dt*1e3:.0f} ms -> "
             f"{64/dt:.1f} frames/s")
+        # Accuracy-frontier variant: joint whole-sequence smooth fit
+        # (hypothesis lattice + Viterbi + coupled refine; temporal.py).
+        vid_s = jax.jit(lambda a, b_: temporal.fit_video_smooth(
+            est.smpl_model, a, b_, cfg=est.fit_cfg, prior=est.prior))
+        dt = timeit(vid_s, jseq, cseq, iters=max(1, titers - 2), warmup=1)
+        log(f"config4 video-64 smooth joint fit: {dt*1e3:.0f} ms -> "
+            f"{64/dt:.1f} frames/s")
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).
         from tpu_pose.utils.config import CPMConfig

@@ -27,6 +27,11 @@ flags.DEFINE_string("cpm_npz", "", "converted CPM weights (synthetic if "
                     "empty)")
 flags.DEFINE_string("smpl_pkl", "", "SMPL pickle (synthetic if empty)")
 flags.DEFINE_string("gmm_pkl", "", "GMM prior pickle (optional)")
+flags.DEFINE_string("gmm_npz", "", "precision-form fitted-prior cache "
+                    "(fitting/priors.save_gmm_npz; optional)")
+flags.DEFINE_integer("fit_prior", 0, "EM-fit a GMM-8 prior on N sampled "
+                     "synthetic corpus poses (fitting/priors.fit_gmm) — "
+                     "the informative-prior eval mode; 0 = default prior")
 flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
 flags.DEFINE_boolean("h36m_joints", False, "score in the 17-joint H3.6M "
                      "convention instead of SMPL-24")
@@ -58,15 +63,29 @@ def main(argv):
     camera = FLAGS.camera or (
         "perspective" if FLAGS.protocol == "p1" else "weak_perspective")
     fit_cfg = FitConfig(camera_model=camera)
+
+    prior = None
+    if FLAGS.gmm_npz:
+        from tpu_pose.fitting import priors as priors_lib
+        prior = priors_lib.load_gmm_npz(FLAGS.gmm_npz)
+    elif FLAGS.fit_prior:
+        import numpy as np
+        from tpu_pose.fitting import priors as priors_lib
+        th, _ = synthetic.sample_poses(np.random.RandomState(0),
+                                       FLAGS.fit_prior)
+        prior = priors_lib.fit_gmm(th[:, 3:], num_components=8)
+
     if FLAGS.cpm_npz and FLAGS.smpl_pkl:
         est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
                                        FLAGS.gmm_pkl or None,
                                        fit_cfg=fit_cfg,
-                                       fit_restarts=FLAGS.restarts)
+                                       fit_restarts=FLAGS.restarts,
+                                       prior=prior)
     else:
         print("note: no weights supplied — synthetic estimator")
         est = PoseEstimator.create_synthetic(seed=0, fit_cfg=fit_cfg,
-                                             fit_restarts=FLAGS.restarts)
+                                             fit_restarts=FLAGS.restarts,
+                                             prior=prior)
 
     if FLAGS.synthetic_batches:
         batches = synthetic.eval_batches(

@@ -83,10 +83,9 @@ def main(argv):
     gt3d = jnp.asarray(ex["gt_joints3d"])
 
     def fused_eval(tag, p, **est_kw):
-        est = PoseEstimator(p, model,
-                            prior=None, cpm_cfg=cfg,
-                            **({"fit_restarts": FLAGS.restarts}
-                               | est_kw))
+        est = PoseEstimator(p, model, cpm_cfg=cfg,
+                            **({"fit_restarts": FLAGS.restarts,
+                                "prior": None} | est_kw))
         res = est.estimate_and_fit(imgs)
         profiling.sync(res.theta)
         px_err = float(jnp.mean(jnp.linalg.norm(
@@ -107,6 +106,15 @@ def main(argv):
 
     fused_eval("fused_random_weights", rand_params)
     fused_eval("fused_trained_weights", params)
+
+    # ---- 2a. informative pose prior: EM-fitted GMM-8 on the pose corpus
+    # (fitting/priors.fit_gmm — the artifact the SMPLify lineage ships as
+    # gmm_08.pkl, built here from the synthetic training distribution).
+    log("EM-fitting a GMM-8 prior to 4000 corpus poses...")
+    from tpu_pose.fitting import priors as priors_lib
+    th_corpus, _ = synthetic.sample_poses(np.random.RandomState(7), 4000)
+    fitted_prior = priors_lib.fit_gmm(th_corpus[:, 3:], num_components=8)
+    fused_eval("fused_fitted_prior", params, prior=fitted_prior)
 
     # ---- 2b. learned init head: single-start fits, three inits ----------
     # Compares mean-pose init vs learned init vs multistart on the SAME
@@ -144,6 +152,9 @@ def main(argv):
     video_eval("video_independent",
                lambda j, c: temporal.fit_video_independent(
                    model, j, c, cfg=est.fit_cfg))
+    video_eval("video_smooth",
+               lambda j, c: temporal.fit_video_smooth(
+                   model, j, c, cfg=est.fit_cfg, prior=fitted_prior))
 
     # ---- 4. multi-person decode with TRAINED weights ---------------------
     # Compose two half-scale blob-people per frame (left/right), run the
@@ -167,10 +178,22 @@ def main(argv):
     d_id = np.linalg.norm(pred_c - gt_c, axis=-1).mean(-1)
     d_sw = np.linalg.norm(pred_c - gt_c[:, ::-1], axis=-1).mean(-1)
     center_err = float(np.minimum(d_id, d_sw).mean())
+    # Person-COUNT selection (cpm.select_people): two-person frames
+    # should keep both hypotheses, single-person frames only one.
+    counts2 = np.asarray(multi.person_mask.sum(-1))
+    single = est.estimate_and_fit_multi(
+        jnp.asarray(exA["images"][:n_multi]), max_people=2)
+    profiling.sync(single.person_mask)
+    counts1 = np.asarray(single.person_mask.sum(-1))
+    count_acc = float(((counts2 == 2).mean() + (counts1 == 1).mean()) / 2)
     log(f"multi-person (trained): mean matched center err "
-        f"{center_err:.1f} px over {n_multi} two-person frames")
+        f"{center_err:.1f} px over {n_multi} two-person frames; "
+        f"count-selection acc {count_acc:.2f} "
+        f"(two-person counts {counts2.tolist()}, "
+        f"one-person counts {counts1.tolist()})")
     results["multi_person"] = {"center_err_px": center_err,
-                               "frames": n_multi}
+                               "frames": n_multi,
+                               "count_acc": count_acc}
 
     with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)

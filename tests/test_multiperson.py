@@ -73,6 +73,16 @@ def test_estimate_2d_multi_requires_center_map():
         cpm.estimate_2d_multi(params, jnp.zeros((1, 64, 64, 3)), cfg)
 
 
+def test_select_people_thresholds():
+    """Person-count selection: absolute floor + frame-relative fraction,
+    top hypothesis always kept (ROADMAP #4's variable-count piece)."""
+    scores = jnp.asarray([[1.0, 0.9],     # two real people
+                          [1.0, 0.3],     # one person + weak second peak
+                          [0.04, 0.02]])  # noise frame: keep top only
+    mask = np.asarray(cpm.select_people(scores))
+    assert mask.tolist() == [[True, True], [True, False], [True, False]]
+
+
 def test_two_person_frame_resolves_two_fits():
     """VERDICT r1 item 9's done-criterion: a synthetic two-person frame
     resolves two distinct fitted hypotheses."""
@@ -92,6 +102,9 @@ def test_two_person_frame_resolves_two_fits():
     imgs = jnp.asarray(frame[None])
 
     res = est.estimate_and_fit_multi(imgs, max_people=2)
+    assert res.person_mask.shape == (1, 2)
+    assert res.person_mask.dtype == jnp.bool_
+    assert bool(res.person_mask[0, 0])       # top hypothesis always kept
     assert res.theta.shape == (1, 2, 72)
     assert res.vertices.shape == (1, 2, 6890, 3)
     assert res.person_scores.shape == (1, 2)

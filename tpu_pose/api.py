@@ -37,6 +37,8 @@ class MultiPersonResult(NamedTuple):
     joints2d: jnp.ndarray       # (B, K, P, 2)
     conf: jnp.ndarray           # (B, K, P)
     person_scores: jnp.ndarray  # (B, K) stage-1 peak strength per person
+    person_mask: jnp.ndarray    # (B, K) bool — hypotheses judged real
+                                # people (cpm.select_people; ≥1 per frame)
     theta: jnp.ndarray          # (B, K, 72)
     beta: jnp.ndarray           # (B, K, 10)
     cam: jnp.ndarray            # (B, K, 3)
@@ -156,10 +158,12 @@ class PoseEstimator:
                          with_prior: bool = True,
                          quantize: bool = False,
                          calibration_images=None,
+                         prior=None,
                          **kw) -> "PoseEstimator":
         params = cpm_lib.init_cpm_params(jax.random.PRNGKey(seed), cpm_cfg)
         model = smpl_data_lib.synthetic_smpl(seed=seed)
-        prior = priors_lib.synthetic_gmm_prior(seed) if with_prior else None
+        if prior is None and with_prior:
+            prior = priors_lib.synthetic_gmm_prior(seed)
         return cls(params, model, prior, cpm_cfg, fit_cfg,
                    quantize=quantize,
                    calibration_images=calibration_images, **kw)
@@ -169,11 +173,13 @@ class PoseEstimator:
                    gmm_pkl: Optional[str] = None,
                    cpm_cfg: CPMConfig = CPMConfig(),
                    fit_cfg: FitConfig = FitConfig(),
+                   prior=None,
                    **kw) -> "PoseEstimator":
         from tpu_pose.utils import tf_converter
         params = tf_converter.load_params_npz(cpm_params_npz)
         model = smpl_data_lib.load_smpl_pickle(smpl_pkl)
-        prior = (priors_lib.load_gmm_pickle(gmm_pkl) if gmm_pkl else None)
+        if prior is None and gmm_pkl:
+            prior = priors_lib.load_gmm_pickle(gmm_pkl)
         return cls(params, model, prior, cpm_cfg, fit_cfg, **kw)
 
     # -- entry points (reference parity, SURVEY.md §3.1/3.3/3.4) ----------
@@ -297,9 +303,12 @@ class PoseEstimator:
     # -- multi-person (TPU-native extension beyond the reference) ---------
 
     def _estimate_and_fit_multi_impl(self, cpm_params, smpl_model, images,
-                                     max_people: int):
+                                     max_people: int, min_person_score:
+                                     float, person_score_frac: float):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people)
+        mask = cpm_lib.select_people(scores, min_person_score,
+                                     person_score_frac)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
         res = fit_lib.fit_smpl_batch(
@@ -311,23 +320,30 @@ class PoseEstimator:
         unflat = lambda t: t.reshape((b, k) + t.shape[1:])  # noqa: E731
         return MultiPersonResult(
             joints2d=joints, conf=conf, person_scores=scores,
+            person_mask=mask,
             theta=unflat(res.theta), beta=unflat(res.beta),
             cam=unflat(res.cam), vertices=unflat(out.vertices),
             joints3d=unflat(out.joints), energy=unflat(res.energy))
 
     def estimate_and_fit_multi(self, images: jnp.ndarray,
-                               max_people: int = 2) -> MultiPersonResult:
+                               max_people: int = 2,
+                               min_person_score: float = 0.05,
+                               person_score_frac: float = 0.4
+                               ) -> MultiPersonResult:
         """Multi-person fused path: stage-1 trunk once per image, NMS'd
         foreground peaks propose up to ``max_people`` centers, refinement
         stages + vmapped fits run per person hypothesis (cpm.py
-        estimate_2d_multi). ``person_scores`` ranks hypotheses — filter
-        weak ones downstream (a frame with one person yields one strong
-        and one weak hypothesis, both fitted)."""
-        key = ("multi", max_people)
+        estimate_2d_multi). All ``max_people`` slots are fitted (static
+        shapes); ``person_mask`` marks which hypotheses are judged real
+        people (cpm.select_people: absolute + frame-relative score
+        thresholds, top-1 always kept) and ``person_scores`` ranks them."""
+        key = ("multi", max_people, min_person_score, person_score_frac)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(
                 functools.partial(self._estimate_and_fit_multi_impl,
-                                  max_people=max_people))
+                                  max_people=max_people,
+                                  min_person_score=min_person_score,
+                                  person_score_frac=person_score_frac))
         return self._fit_multistart[key](
             self._params_for_batch(images.shape[0]), self.smpl_model,
             images)

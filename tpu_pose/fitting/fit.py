@@ -182,13 +182,18 @@ def fit_smpl_multistart(
     cfg: FitConfig = FitConfig(),
     prior: Any = None,
     restarts: int = 4,
+    return_all: bool = False,
 ) -> FitResult:
     """Multi-hypothesis fit: ``restarts`` global-orientation inits (evenly
     spaced yaw), all optimized in parallel via ``vmap``, lowest final
     energy wins. The SMPLify lineage restarts from flipped orientations to
     escape the facing-direction ambiguity of monocular 2D evidence; on TPU
     the hypotheses batch for (almost) free — wall-clock is one fit with a
-    ×restarts batch, not ``restarts`` sequential fits."""
+    ×restarts batch, not ``restarts`` sequential fits.
+
+    ``return_all=True`` returns every hypothesis stacked on a leading
+    ``restarts`` axis instead of the argmin winner (the video smoother's
+    Viterbi selection consumes the full set — temporal.py)."""
     obs = _normalize_obs(joints2d, cfg)
     base = default_init(model, obs, conf, cfg)
     yaws = jnp.linspace(0.0, 2.0 * jnp.pi, restarts, endpoint=False)
@@ -199,6 +204,8 @@ def fit_smpl_multistart(
                                prior=prior, init=init)
 
     results = jax.vmap(run)(yaws)
+    if return_all:
+        return results
     # A diverged restart (NaN energy — possible on the lbfgs path or with
     # degenerate inputs) must never win the argmin: NaN compares false
     # everywhere, making argmin's answer implementation-defined.

@@ -450,6 +450,26 @@ def find_person_peaks(fg: jnp.ndarray, k: int, stride: int,
     return jnp.stack(centers, axis=1), jnp.stack(scores, axis=1)
 
 
+def select_people(scores: jnp.ndarray, min_score: float = 0.05,
+                  score_frac: float = 0.4) -> jnp.ndarray:
+    """Person-count selection from hypothesis scores (ROADMAP #4's
+    remaining piece: fixed ``max_people`` slots, variable TRUE count).
+
+    A hypothesis is kept when its stage-1 peak score clears BOTH an
+    absolute noise floor (``min_score``) and a fraction of the frame's
+    strongest peak (``score_frac`` — a one-person frame's second NMS peak
+    sits far below the first). The top hypothesis per frame is always
+    kept, so every frame yields at least one person. Static shapes: this
+    returns a (B, k) bool mask, not a ragged result — downstream consumers
+    mask, they don't reshape (the jit-stable TPU idiom for dynamic counts).
+    """
+    is_top = scores >= jnp.max(scores, axis=-1, keepdims=True)
+    keep = ((scores >= min_score)
+            & (scores >= score_frac * jnp.max(scores, axis=-1,
+                                              keepdims=True)))
+    return keep | is_top
+
+
 def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       cfg: CPMConfig = CPMConfig(),
                       max_people: int = 2,
