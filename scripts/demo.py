@@ -35,6 +35,11 @@ flags.DEFINE_boolean("thorough", False, "use the long fit schedule")
 flags.DEFINE_boolean("letterbox", True, "aspect-preserving resize+pad "
                      "preprocessing (recommended for non-square images); "
                      "joints come back in source-image pixels")
+flags.DEFINE_boolean("video", False, "treat the inputs as ONE ordered "
+                     "sequence and fit it jointly (shared body shape, "
+                     "Viterbi-consistent facing, temporal smoothness — "
+                     "api.estimate_and_fit_video) instead of "
+                     "independent per-frame fits")
 
 
 def load_images(paths):
@@ -86,7 +91,8 @@ def main(argv):
     else:
         raise app.UsageError("provide --images or --synthetic N")
 
-    res = est.estimate_and_fit(images)
+    res = (est.estimate_and_fit_video(images) if FLAGS.video
+           else est.estimate_and_fit(images))
 
     os.makedirs(FLAGS.out_dir, exist_ok=True)
     ckpt_lib.save_fit_results(

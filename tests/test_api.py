@@ -54,6 +54,24 @@ def test_estimate_and_fit_fused(est):
     assert np.all(np.isfinite(np.asarray(r.vertices)))
 
 
+def test_estimate_and_fit_video_fused(est):
+    """Fused raw-video path: CPM + whole-sequence smooth fit in one
+    program; shared β across frames in smooth mode."""
+    frames = jnp.asarray(
+        np.random.RandomState(3).randint(0, 255, (3, 64, 64, 3)), jnp.uint8)
+    r = est.estimate_and_fit_video(frames)            # mode="smooth"
+    assert r.theta.shape == (3, 72)
+    assert r.vertices.shape == (3, 6890, 3)
+    assert np.all(np.isfinite(np.asarray(r.vertices)))
+    np.testing.assert_allclose(
+        np.asarray(r.beta),
+        np.broadcast_to(np.asarray(r.beta[0]), (3, 10)), atol=1e-6)
+    r_ind = est.estimate_and_fit_video(frames, mode="independent")
+    assert r_ind.theta.shape == (3, 72)
+    with pytest.raises(ValueError):
+        est.estimate_and_fit_video(frames, mode="bogus")
+
+
 def test_module_level_functions():
     """Loose functions exist and share a default estimator (parity feel)."""
     from tpu_pose import api

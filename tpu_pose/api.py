@@ -300,6 +300,61 @@ class PoseEstimator:
         return self._fused(self._params_for_batch(images.shape[0]),
                            self.smpl_model, images)
 
+    # -- video (BASELINE config 4, fused end-to-end) ----------------------
+
+    def _estimate_and_fit_video_impl(self, cpm_params, smpl_model, frames,
+                                     mode: str):
+        _, joints, conf = cpm_lib.estimate_2d_microbatched(
+            cpm_params, frames, cfg=self.cpm_cfg,
+            chunk=self.cpm_microbatch, refine_center=self.refine_center,
+            letterbox=self.letterbox, source_frame=False)
+        from tpu_pose.fitting import temporal
+        if mode == "smooth":
+            res = temporal.fit_video_smooth(
+                smpl_model, joints, conf, cfg=self.fit_cfg,
+                prior=self.prior,
+                restarts=max(self.fit_restarts, 1))
+        elif mode == "temporal":
+            res = temporal.fit_video(smpl_model, joints, conf,
+                                     cfg=self.fit_cfg, prior=self.prior)
+        else:  # "independent"
+            res = temporal.fit_video_independent(
+                smpl_model, joints, conf, cfg=self.fit_cfg,
+                prior=self.prior)
+        out = smpl_lib.smpl_forward_batch(
+            smpl_model, res.beta, res.theta,
+            precision=smpl_lib.EXACT_PRECISION)
+        if self.letterbox:
+            from tpu_pose.ops import preprocess as pre
+            affine = pre.letterbox_affine(
+                frames.shape[1], frames.shape[2], self.cpm_cfg.input_size)
+            joints = pre.joints_to_source_frame(joints, affine)
+        return EstimateAndFitResult(
+            joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
+            cam=res.cam, vertices=out.vertices, joints3d=out.joints,
+            energy=res.energy)
+
+    def estimate_and_fit_video(self, frames: jnp.ndarray,
+                               mode: str = "smooth"
+                               ) -> EstimateAndFitResult:
+        """Fused video path: raw frame sequence (T, H, W, 3) → CPM 2D →
+        whole-sequence fit → posed meshes, ONE device program.
+
+        ``mode``: "smooth" (default — joint sequence optimization with
+        Viterbi yaw consistency, shared β, and temporal smoothness; the
+        accuracy/stability frontier, temporal.py), "temporal" (the
+        reference's warm-start semantics), or "independent" (per-frame
+        cold starts). CPM precision follows the batch-size policy."""
+        if mode not in ("smooth", "temporal", "independent"):
+            raise ValueError(f"unknown video mode: {mode!r}")
+        key = ("video", mode)
+        if key not in self._fit_multistart:
+            self._fit_multistart[key] = jax.jit(functools.partial(
+                self._estimate_and_fit_video_impl, mode=mode))
+        return self._fit_multistart[key](
+            self._params_for_batch(frames.shape[0]), self.smpl_model,
+            frames)
+
     # -- multi-person (TPU-native extension beyond the reference) ---------
 
     def _estimate_and_fit_multi_impl(self, cpm_params, smpl_model, images,
