@@ -302,13 +302,23 @@ def test_multistart_beats_single_on_flipped_pose(model):
         IMG / 2.0)
     conf = jnp.ones(j3d.shape[0], jnp.float32)
 
-    single = fit_lib.fit_smpl_single(model, j2d_px, conf, cfg=FAST_CFG)
-    multi = fit_lib.fit_smpl_multistart(model, j2d_px, conf, cfg=FAST_CFG,
+    # yaw_init="zero" pins the single fit to the REFERENCE cold start so
+    # the trap this test exercises still exists (the default limb-order
+    # init resolves the facing before optimization — tested separately).
+    cfg_zero = dataclasses.replace(FAST_CFG, yaw_init="zero")
+    single = fit_lib.fit_smpl_single(model, j2d_px, conf, cfg=cfg_zero)
+    multi = fit_lib.fit_smpl_multistart(model, j2d_px, conf, cfg=cfg_zero,
                                         restarts=4)
-    e1 = reproj_err_px(model, single, j2d_px, FAST_CFG)
-    e4 = reproj_err_px(model, multi, j2d_px, FAST_CFG)
+    e1 = reproj_err_px(model, single, j2d_px, cfg_zero)
+    e4 = reproj_err_px(model, multi, j2d_px, cfg_zero)
     assert float(multi.energy) <= float(single.energy) + 1e-6
     assert e4 < 10.0, (e1, e4)  # flipped basin found → near-exact reproj
+
+    # The limb-order yaw init must crack the SAME trap without restarts:
+    # back-facing GT, single fit, informed init → flipped basin found.
+    limb = fit_lib.fit_smpl_single(model, j2d_px, conf, cfg=FAST_CFG)
+    e_limb = reproj_err_px(model, limb, j2d_px, FAST_CFG)
+    assert e_limb < 10.0, (e1, e_limb)
 
 
 def test_multistart_api(model):
@@ -362,3 +372,50 @@ def test_fit_perspective_camera_end_to_end(model):
     err = reproj_err_px(model, res, j2d_px, cfg)
     assert np.isfinite(err)
     assert err < 15.0, err
+
+
+def test_yaw_from_limb_order_hemisphere(model):
+    """The closed-form limb-order yaw estimate (fit.yaw_from_limb_order)
+    must land in the correct hemisphere (|wrapped error| < π/2) for posed
+    bodies across the full yaw circle — that is what makes it a valid
+    initializer for the facing-ambiguous monocular fit."""
+    cfg = FitConfig()
+    rng = np.random.RandomState(5)
+    for trial in range(8):
+        yaw_true = rng.uniform(-np.pi, np.pi)
+        theta = np.zeros(72, np.float32)
+        theta[1] = yaw_true
+        theta[3:] = rng.randn(69) * 0.15
+        out = smpl_lib.smpl_forward(model, jnp.zeros(10),
+                                    jnp.asarray(theta))
+        j3d = joints_lib.select_smpl_joints(out.joints)
+        obs = camera_lib.weak_perspective_project(
+            j3d, jnp.asarray([1.0, 0.0, 0.0]))
+        yaw_est, strength = fit_lib.yaw_from_limb_order(
+            model, obs, jnp.ones(14), cfg)
+        err = np.angle(np.exp(1j * (float(yaw_est) - yaw_true)))
+        assert abs(err) < np.pi / 2, (trial, yaw_true, float(yaw_est))
+        assert 0.0 <= float(strength) <= 1.0
+
+
+def test_default_init_yaw_modes(model):
+    """yaw_init="zero" reproduces the reference's mean-pose init;
+    "limb_order" (default) seeds θ[1] with the closed-form estimate and
+    adjusts the camera init to the yawed rest pose."""
+    theta_gt = jnp.zeros(72).at[1].set(jnp.pi)
+    out = smpl_lib.smpl_forward(model, jnp.zeros(10), theta_gt)
+    j3d = joints_lib.select_smpl_joints(out.joints)
+    obs = camera_lib.weak_perspective_project(
+        j3d, jnp.asarray([1.0, 0.0, 0.0]))
+    conf = jnp.ones(14)
+
+    cfg_zero = dataclasses.replace(FAST_CFG, yaw_init="zero")
+    init_z = fit_lib.default_init(model, obs, conf, cfg_zero)
+    assert float(init_z["theta"][1]) == 0.0
+
+    init_l = fit_lib.default_init(model, obs, conf, FAST_CFG)
+    yaw_est, _ = fit_lib.yaw_from_limb_order(model, obs, conf, FAST_CFG)
+    np.testing.assert_allclose(float(init_l["theta"][1]), float(yaw_est))
+    # Back-facing GT → the estimate must be in the back hemisphere.
+    assert abs(abs(float(yaw_est)) - np.pi) < np.pi / 2
+    assert bool(jnp.all(jnp.isfinite(init_l["cam"])))

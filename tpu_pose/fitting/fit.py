@@ -61,14 +61,65 @@ def _normalize_obs(joints2d, cfg: FitConfig):
     return (joints2d - half) / half
 
 
+def yaw_from_limb_order(model: SMPLData, joints2d_norm, conf,
+                        cfg: FitConfig):
+    """Closed-form global-yaw estimate from 2D limb ordering.
+
+    Monocular 2D evidence is NOT yaw-symmetric once joints carry
+    left/right labels: facing the camera puts the subject's left shoulder
+    on the image's right, facing away flips it (ROADMAP #2's
+    "limb-ordering" residual lever). Generalized to every joint and any
+    body model: under a global yaw ψ the rest-pose joint x-coordinate
+    projects as x·cosψ + z·sinψ, so the conf-weighted correlation between
+    observed (centered) x-coordinates and the rotated rest pose is
+    A·cosψ + B·sinψ with
+
+        A = Σ_j w_j·õx_j·x̃_j,   B = Σ_j w_j·õx_j·z̃_j
+
+    (õx/x̃/z̃ = conf-weighted-centered observed-x / rest-x / rest-z).
+    The maximizer is ψ* = atan2(B, A) — one closed form, no search, valid
+    for the real SMPL and the synthetic stand-in alike.
+
+    Returns:
+      yaw: () radians, the correlation-optimal y-axis rotation.
+      strength: () in [0, 1], the normalized correlation magnitude — low
+        for profile views / degenerate observations, where the estimate
+        carries little information and multistart should arbitrate.
+    """
+    j_rest = jnp.matmul(model.J_regressor, model.v_template,
+                        precision=jax.lax.Precision.HIGHEST)
+    j14 = joints_lib.select_smpl_joints(j_rest)
+    w = conf / (jnp.sum(conf) + 1e-8)
+    ox = joints2d_norm[..., 0]
+    ox = ox - jnp.sum(w * ox)
+    x = j14[:, 0] - jnp.sum(w * j14[:, 0])
+    z = j14[:, 2] - jnp.sum(w * j14[:, 2])
+    a = jnp.sum(w * ox * x)
+    b = jnp.sum(w * ox * z)
+    mag = jnp.sqrt(a * a + b * b)
+    norm = (jnp.sqrt(jnp.sum(w * ox * ox))
+            * jnp.sqrt(jnp.sum(w * (x * x + z * z))) + 1e-8)
+    return jnp.arctan2(b, a), mag / norm
+
+
 def default_init(model: SMPLData, joints2d_norm, conf, cfg: FitConfig):
-    """Initial parameter pytree: mean pose (zeros), zero shape, camera from
+    """Initial parameter pytree: mean pose (plus the limb-order yaw
+    estimate unless ``cfg.yaw_init == "zero"``), zero shape, camera from
     the rest-pose extents heuristic (SURVEY.md §3.3 init line)."""
     theta0 = jnp.zeros(cfg.num_joints_smpl * 3, jnp.float32)
+    if cfg.yaw_init == "limb_order":
+        yaw, _ = yaw_from_limb_order(model, joints2d_norm, conf, cfg)
+        theta0 = theta0.at[1].set(yaw)
     beta0 = jnp.zeros(cfg.num_betas, jnp.float32)
     j_rest = jnp.matmul(model.J_regressor, model.v_template,
                         precision=jax.lax.Precision.HIGHEST)
     j_rest14 = joints_lib.select_smpl_joints(j_rest)
+    if cfg.yaw_init == "limb_order":
+        # Camera init must see the YAWED rest pose: the x-extent the
+        # scale/depth heuristics match against changes with facing.
+        c, s = jnp.cos(theta0[1]), jnp.sin(theta0[1])
+        rot = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        j_rest14 = j_rest14 @ rot.T
     if cfg.camera_model == camera_lib.WEAK_PERSPECTIVE:
         cam0 = camera_lib.init_weak_perspective(joints2d_norm, j_rest14, conf)
     else:
@@ -196,7 +247,11 @@ def fit_smpl_multistart(
     Viterbi selection consumes the full set — temporal.py)."""
     obs = _normalize_obs(joints2d, cfg)
     base = default_init(model, obs, conf, cfg)
-    yaws = jnp.linspace(0.0, 2.0 * jnp.pi, restarts, endpoint=False)
+    # Hypothesis grid centered on the limb-order facing estimate (zero
+    # under cfg.yaw_init == "zero"): the informed yaw is always hypothesis
+    # 0, the rest cover the circle uniformly, and energy still arbitrates.
+    yaws = (base["theta"][1]
+            + jnp.linspace(0.0, 2.0 * jnp.pi, restarts, endpoint=False))
 
     def run(yaw):
         init = dict(base, theta=base["theta"].at[1].set(yaw))

@@ -127,3 +127,10 @@ class FitConfig:
     # which caps how stationary the fit can get — measured 46 mm polish
     # displacement at default vs sub-mm at highest on the parity probe).
     smpl_precision: str = "default"
+    # Global-yaw initialization: "limb_order" (default) = closed-form
+    # facing estimate from the 2D left/right limb ordering
+    # (fit.yaw_from_limb_order — resolves the monocular front/back
+    # ambiguity BEFORE optimization); "zero" = the reference lineage's
+    # mean-pose init (yaw 0). Multistart centers its hypothesis grid on
+    # the estimate either way, so restarts>1 always covers both.
+    yaw_init: str = "limb_order"
