@@ -169,6 +169,23 @@ def main():
         dt = timeit(vid_s, jseq, cseq, iters=max(1, titers - 2), warmup=1)
         log(f"config4 video-64 smooth joint fit: {dt*1e3:.0f} ms -> "
             f"{64/dt:.1f} frames/s")
+        # Config 5: dataset-scale streaming eval (H3.6M-style protocol
+        # suite over the fused pipeline — parallel/eval.py), single chip.
+        # Includes metric accumulation + host-side Procrustes, i.e. the
+        # real end-to-end eval rate, not just the device program.
+        from tpu_pose.data import synthetic as synth
+        from tpu_pose.parallel import eval as eval_lib
+        ev_b, ev_n = (128, 3) if not args.quick else (32, 2)
+        ev_batches = list(synth.eval_batches(
+            est.smpl_model, ev_b, ev_n, est.cpm_cfg, seed=77))
+        import time as _time
+        eval_lib.evaluate_h36m_style(est, iter(ev_batches[:1]))  # warm
+        t0 = _time.perf_counter()
+        ev = eval_lib.evaluate_h36m_style(est, iter(ev_batches))
+        dt = _time.perf_counter() - t0
+        log(f"config5 streaming eval {ev_b * ev_n} frames: {dt:.2f} s -> "
+            f"{ev_b * ev_n / dt:.1f} frames/s "
+            f"(pa_mpjpe {ev['pa_mpjpe'] * 1e3:.1f} mm on random weights)")
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).
         from tpu_pose.utils.config import CPMConfig

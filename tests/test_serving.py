@@ -1,0 +1,85 @@
+"""Serving front-end tests (tpu_pose/serving.py): micro-batching,
+bucketing, error propagation, lifecycle. CPU-hermetic like the rest of
+the suite; the device contract is just estimate_and_fit, already covered
+by tests/test_api.py."""
+
+import numpy as np
+import pytest
+
+from tpu_pose import serving
+from tpu_pose.api import PoseEstimator
+from tpu_pose.utils.config import CPMConfig
+
+from test_fit import FAST_CFG
+
+
+@pytest.fixture(scope="module")
+def est():
+    return PoseEstimator.create_synthetic(
+        seed=0,
+        cpm_cfg=CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                          refine_width=8, num_stages=2),
+        fit_cfg=FAST_CFG, with_prior=False)
+
+
+def test_default_buckets():
+    assert serving.default_buckets(1) == (1,)
+    assert serving.default_buckets(8) == (1, 2, 4, 8)
+    assert serving.default_buckets(12) == (1, 2, 4, 8, 12)
+
+
+def test_batching_server_end_to_end(est):
+    """Concurrent single-frame submits resolve to the same numbers as a
+    direct batched call (padding lanes must not leak into real lanes),
+    and the telemetry reflects the aggregation."""
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    direct = est.estimate_and_fit(np.stack(list(frames)))
+
+    with serving.BatchingServer(est, max_batch=4, max_wait_ms=200.0) as srv:
+        futs = srv.submit_many(frames)
+        results = [f.result(timeout=300) for f in futs]
+
+    for i, r in enumerate(results):
+        assert r.theta.shape == (72,)
+        np.testing.assert_allclose(
+            r.theta, np.asarray(direct.theta[i]), atol=1e-4)
+        np.testing.assert_allclose(
+            r.joints2d, np.asarray(direct.joints2d[i]), atol=1e-3)
+
+    snap = srv.stats.snapshot()
+    assert snap["requests"] == 3
+    # 200 ms window: all three frames ride ONE padded bucket-4 batch.
+    assert snap["batches"] == 1
+    assert snap["occupancy"] == pytest.approx(3 / 4)
+    assert snap["latency_ms_p99"] >= snap["latency_ms_p50"] > 0
+
+
+def test_server_validates_and_closes(est):
+    srv = serving.BatchingServer(est, max_batch=2, max_wait_ms=0.0)
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((2, 64, 64, 3), np.uint8))  # batch, not frame
+    srv.shutdown()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((64, 64, 3), np.uint8))
+    # Idempotent shutdown.
+    srv.shutdown()
+    with pytest.raises(ValueError):
+        serving.BatchingServer(est, max_batch=4, buckets=(1, 2))
+
+
+class _BoomEstimator:
+    def estimate_and_fit(self, images):
+        raise RuntimeError("boom")
+
+
+def test_server_propagates_estimator_errors():
+    with serving.BatchingServer(_BoomEstimator(), max_batch=2,
+                                max_wait_ms=0.0) as srv:
+        fut = srv.submit(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=60)
+        # The dispatcher survives a failing batch and keeps serving.
+        fut2 = srv.submit(np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut2.result(timeout=60)
