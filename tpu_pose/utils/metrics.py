@@ -125,3 +125,46 @@ def pckh(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
     dist = jnp.linalg.norm(pred2d - gt2d, axis=-1)
     return jnp.mean(
         (dist <= threshold * head[..., None]).astype(jnp.float32), axis=-1)
+
+
+# -- host-numpy twins (eval hot path) -------------------------------------
+# The streaming evaluator (parallel/eval.py) computes metrics on HOST so
+# the device pipeline never stalls on tiny metric programs: one (B, J, 3)
+# transfer per batch, then pure numpy. Kept numerically equivalent to the
+# jnp versions above (f64 accumulation is a superset of f32).
+
+def mpjpe_np(pred, gt, align_root: bool = True,
+             root_index: int = 0) -> "np.ndarray":
+    """Host twin of :func:`mpjpe`. pred/gt: (B, J, 3) → (B,)."""
+    import numpy as np
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    if align_root:
+        pred = pred - pred[..., root_index: root_index + 1, :]
+        gt = gt - gt[..., root_index: root_index + 1, :]
+    return np.linalg.norm(pred - gt, axis=-1).mean(-1)
+
+
+def scaled_mpjpe_np(pred, gt) -> "np.ndarray":
+    """Host twin of :func:`scaled_mpjpe`. pred/gt: (B, J, 3) → (B,)."""
+    import numpy as np
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    pred_c = pred - pred.mean(-2, keepdims=True)
+    gt_c = gt - gt.mean(-2, keepdims=True)
+    s = (np.sqrt((gt_c ** 2).sum((-2, -1)))
+         / (np.sqrt((pred_c ** 2).sum((-2, -1))) + 1e-9))
+    return np.linalg.norm(
+        pred_c * s[..., None, None] - gt_c, axis=-1).mean(-1)
+
+
+def pckh_np(pred2d, gt2d, threshold: float = 0.5,
+            head_a: int = 0, head_b: int = 1) -> "np.ndarray":
+    """Host twin of :func:`pckh`. pred2d/gt2d: (B, P, 2) → (B,)."""
+    import numpy as np
+    pred2d = np.asarray(pred2d, np.float64)
+    gt2d = np.asarray(gt2d, np.float64)
+    head = np.linalg.norm(
+        gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
+    dist = np.linalg.norm(pred2d - gt2d, axis=-1)
+    return (dist <= threshold * head[..., None]).mean(-1)
