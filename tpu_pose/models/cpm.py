@@ -87,15 +87,20 @@ def _layer_defs(cfg: CPMConfig):
 def init_cpm_params(key: jax.Array, cfg: CPMConfig = CPMConfig()) -> Params:
     """He-initialized parameter pytree, keyed by Caffe layer names.
 
-    Weight layout: (kh, kw, in_ch, out_ch) = HWIO (XLA-native for NHWC)."""
-    params: Params = {}
-    for name, k, cin, cout, _ in _layer_defs(cfg):
-        key, sub = jax.random.split(key)
-        fan_in = k * k * cin
-        w = jax.random.normal(sub, (k, k, cin, cout), jnp.float32)
-        w = w * jnp.sqrt(2.0 / fan_in)
-        params[name] = {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
-    return params
+    Weight layout: (kh, kw, in_ch, out_ch) = HWIO (XLA-native for NHWC).
+    One jitted program for every layer: eager per-layer RNG dispatch pays
+    a host↔device round-trip each (~23 s total under the axon tunnel)."""
+    def init_all(key):
+        params: Params = {}
+        for name, k, cin, cout, _ in _layer_defs(cfg):
+            key, sub = jax.random.split(key)
+            fan_in = k * k * cin
+            w = jax.random.normal(sub, (k, k, cin, cout), jnp.float32)
+            w = w * jnp.sqrt(2.0 / fan_in)
+            params[name] = {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+        return params
+
+    return dict(jax.jit(init_all)(key))
 
 
 # ---------------------------------------------------------------------------
@@ -154,16 +159,29 @@ def quantize_params(params: Params,
     per-layer input-activation scale ``a_scale``; without it, activation
     scales are computed dynamically per call (one max-reduction per layer
     — a fusion barrier worth removing in serving).
+
+    All layers quantize in ONE jitted program: per-layer eager dispatch
+    costs ~40 × the host↔device round-trip latency, which under the axon
+    tunnel (~0.2 s RTT) turned construction into ~28 s; batched it is
+    sub-second. ``a_scale`` attaches as host numpy scalars (0-d leaves)
+    — no extra transfers.
     """
-    out: Params = {}
-    for name, p in params.items():
-        w = jnp.asarray(p["w"], jnp.float32)
-        scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
-        scale = jnp.maximum(scale, 1e-12)
-        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-        out[name] = {"w_int8": w_q, "w_scale": scale, "b": p["b"]}
-        if act_scales and name in act_scales:
-            out[name]["a_scale"] = jnp.asarray(act_scales[name], jnp.float32)
+    def quant_all(ps):
+        out = {}
+        for name, p in ps.items():
+            w = jnp.asarray(p["w"], jnp.float32)
+            scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+            scale = jnp.maximum(scale, 1e-12)
+            w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+            out[name] = {"w_int8": w_q, "w_scale": scale, "b": p["b"]}
+        return out
+
+    out: Params = dict(jax.jit(quant_all)(dict(params)))
+    if act_scales:
+        import numpy as np
+        out = {name: (dict(p, a_scale=np.float32(act_scales[name]))
+                      if name in act_scales else p)
+               for name, p in out.items()}
     return out
 
 
@@ -216,6 +234,9 @@ def calibrate_act_scales(params: Params, images: jnp.ndarray,
         return amaxes
 
     amaxes = jax.jit(collect)(images, center_map)  # one compiled pass
+    amaxes = jax.device_get(amaxes)  # ONE transfer for every tap: a
+    # per-layer float() here would pay ~40 host↔device round-trips
+    # (~10 s under the axon tunnel's ~0.2 s RTT).
     return {name: max(float(a) * margin / 127.0, 1e-12)
             for name, a in amaxes.items()}
 
