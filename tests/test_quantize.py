@@ -130,3 +130,41 @@ def test_estimator_quantize_flag():
     res = est.estimate_2d(imgs)
     assert res.heatmaps.shape == (2, 8, 8, 15)
     assert bool(jnp.all(jnp.isfinite(res.joints2d)))
+
+
+def test_quantized_params_npz_roundtrip(params, tmp_path):
+    """Calibrated int8 params serialize through the flat npz format
+    (tf_converter.save/load_params_npz) with bit-identical forward
+    outputs — a server loads them directly and skips the whole
+    calibrate+quantize cold start."""
+    from tpu_pose.utils import tf_converter
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, CFG.input_size, CFG.input_size, 3),
+                    jnp.float32) - 0.5
+    cmap = _cmap(2)
+    scales = cpm_lib.calibrate_act_scales(params, x, cmap, CFG)
+    qp = cpm_lib.quantize_params(params, scales)
+
+    path = str(tmp_path / "qparams.npz")
+    tf_converter.save_params_npz(path, qp)
+    loaded = tf_converter.load_params_npz(path)
+
+    assert cpm_lib._is_quantized(loaded)
+    assert set(loaded["conv1_stage1"]) == {"w_int8", "w_scale", "b",
+                                           "a_scale"}
+    out_a = cpm_lib.cpm_forward(qp, x, cmap, CFG)
+    out_b = cpm_lib.cpm_forward(loaded, x, cmap, CFG)
+    np.testing.assert_array_equal(np.asarray(out_a[-1]),
+                                  np.asarray(out_b[-1]))
+
+    # And the estimator consumes the loaded pytree as-is (already
+    # quantized -> no re-quantization even with quantize=True).
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.models import smpl_data
+    est = PoseEstimator(loaded, smpl_data.synthetic_smpl(seed=0),
+                        cpm_cfg=CFG, quantize=True)
+    r = est.estimate_2d(jnp.asarray(
+        rng.randint(0, 255, (2, CFG.input_size, CFG.input_size, 3)),
+        jnp.uint8))
+    assert r.joints2d.shape == (2, 14, 2)

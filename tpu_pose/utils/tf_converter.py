@@ -70,10 +70,15 @@ def convert_tf_checkpoint(ckpt_path: str, layer_names) -> Dict[str, dict]:
 
 
 def save_params_npz(path: str, params: Dict[str, dict]) -> None:
+    """Flat ``layer.tensor`` npz of a CPM params pytree. Saves EVERY
+    per-layer entry, so f32 (``w``/``b``) and serving-quantized params
+    (``w_int8``/``w_scale``/``b``/``a_scale`` — models/cpm.py) both
+    round-trip: a server can load calibrated int8 weights directly and
+    skip the whole calibrate+quantize cold start."""
     flat = {}
     for layer, wb in params.items():
-        flat[f"{layer}.w"] = np.asarray(wb["w"])
-        flat[f"{layer}.b"] = np.asarray(wb["b"])
+        for kind, v in wb.items():
+            flat[f"{layer}.{kind}"] = np.asarray(v)
     np.savez(path, **flat)
 
 
