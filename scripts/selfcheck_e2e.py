@@ -61,16 +61,28 @@ def main(argv):
 
     # ---- 1. train ------------------------------------------------------
     log("generating training pool...")
-    pool = list(synthetic.cpm_train_batches(model, FLAGS.train_batch, 16,
-                                            cfg, seed=0))
+    # Device-resident pool: re-shipping a batch every step makes the
+    # loop host-link-bound (~2 s/step of pure transfer on the axon
+    # tunnel). Ship ONCE, as bytes: uint8 images (normalized in-graph by
+    # the train step), one shared center-map array across all batches
+    # — ~145 MB total instead of 640 MB of f32.
+    cmap_dev = None
+    pool = []
+    for b in synthetic.cpm_train_batches(model, FLAGS.train_batch, 16,
+                                         cfg, seed=0, raw_images=True):
+        if cmap_dev is None:
+            cmap_dev = jax.device_put(jnp.asarray(b["center_maps"]))
+        pool.append({"images": jax.device_put(jnp.asarray(b["images"])),
+                     "center_maps": cmap_dev,
+                     "heatmaps": jax.device_put(jnp.asarray(b["heatmaps"]))})
     params, opt_state, opt = cpm_train.init_train_state(
-        jax.random.PRNGKey(0), cfg, lr=2e-4)
+        jax.random.PRNGKey(0), cfg, lr=2e-4, total_steps=FLAGS.steps)
     rand_params = params
     step = cpm_train.make_train_step(cfg, opt)
     log(f"training {FLAGS.steps} steps...")
     for s in range(FLAGS.steps):
-        b = {k: jnp.asarray(v) for k, v in pool[s % len(pool)].items()}
-        params, opt_state, loss = step(params, opt_state, b)
+        params, opt_state, loss = step(params, opt_state,
+                                       pool[s % len(pool)])
         if (s + 1) % 100 == 0:
             log(f"step {s + 1}: loss {float(loss):.5f}")
     results["train_final_loss"] = float(loss)

@@ -50,7 +50,7 @@ def main(argv):
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
 
     params, opt_state, opt = cpm_train.init_train_state(
-        jax.random.PRNGKey(0), cfg, lr=FLAGS.lr)
+        jax.random.PRNGKey(0), cfg, lr=FLAGS.lr, total_steps=FLAGS.steps)
     start_step = 0
     if FLAGS.ckpt_dir and ckpt_lib.latest_step(FLAGS.ckpt_dir) is not None:
         start_step, params, opt_state = ckpt_lib.restore_train_state(

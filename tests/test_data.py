@@ -174,3 +174,27 @@ def test_batches_shuffle_coverage_stress(shard_dir, examples):
         else:
             for x, y in zip(ref, got):
                 np.testing.assert_array_equal(x, y)
+
+
+def test_scheduled_train_state_learns():
+    """init_train_state(total_steps=...) — warmup→cosine + grad clip —
+    must still drive the supervision loss down (the schedule path the
+    scripts use)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_pose.models import cpm_train
+    from tpu_pose.models import smpl_data
+    from tpu_pose.data import synthetic
+
+    model = smpl_data.synthetic_smpl(seed=0, num_verts=300)
+    batch_np = next(synthetic.cpm_train_batches(model, 2, 1, SMALL_CPM,
+                                                seed=0))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), SMALL_CPM, lr=1e-3, total_steps=30)
+    step = cpm_train.make_train_step(SMALL_CPM, opt)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[2] * 0.8, losses[:3] + losses[-3:]

@@ -163,18 +163,24 @@ def _examples_from_params(model, theta: np.ndarray, beta: np.ndarray,
 
 
 def cpm_train_batches(model, batch_size: int, num_batches: int,
-                      cfg: CPMConfig = CPMConfig(), seed: int = 0
+                      cfg: CPMConfig = CPMConfig(), seed: int = 0,
+                      raw_images: bool = False
                       ) -> Iterator[Dict[str, np.ndarray]]:
-    """Batches for models/cpm_train.py: images normalized, center maps,
-    target heatmaps."""
+    """Batches for models/cpm_train.py: images, center maps, target
+    heatmaps.
+
+    ``raw_images=True`` yields uint8 images (4× smaller on the host→
+    device link; the train step normalizes in-graph —
+    cpm_train.stage_supervision_loss). Default keeps the normalized-f32
+    schema for existing callers."""
     from tpu_pose.ops import preprocess as pre
-    import jax.numpy as jnp
     cmap = np.asarray(pre.gaussian_center_map(cfg.input_size,
                                               cfg.center_sigma))
     for b in range(num_batches):
         ex = make_examples(model, batch_size, cfg, seed=seed * 9973 + b)
         yield {
-            "images": ex["images"].astype(np.float32) / 256.0 - 0.5,
+            "images": (ex["images"] if raw_images
+                       else ex["images"].astype(np.float32) / 256.0 - 0.5),
             "center_maps": np.broadcast_to(
                 cmap, (batch_size, *cmap.shape)).copy(),
             "heatmaps": ex["heatmaps"],
