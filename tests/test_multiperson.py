@@ -116,3 +116,51 @@ def test_two_person_frame_resolves_two_fits():
                            np.asarray(res.joints2d[0, 1]), atol=1e-3)
     assert not np.allclose(np.asarray(res.cam[0, 0]),
                            np.asarray(res.cam[0, 1]), atol=1e-4)
+
+
+def test_person_evidence_separates_person_from_lone_joint():
+    """person_evidence: a 14-joint cluster must score several times any
+    single stray joint blob — the property that fixes count selection on
+    sharply-trained nets (a raw max-over-channels map peaks at every
+    joint, so peak VALUE cannot tell a person from a limb)."""
+    from tpu_pose.data.synthetic import gaussian_heatmaps
+
+    size, stride = 368, 8
+    cfg = CPMConfig()  # full geometry: h = 46
+    rng = np.random.RandomState(0)
+    # Person: 14 joints clustered around (100, 190); lone joint at (300, 90).
+    person = rng.randn(14, 2).astype(np.float32) * 30 + [100, 190]
+    hm_p = gaussian_heatmaps(person, size, stride, sigma=3.0)       # person
+    lone = np.zeros_like(hm_p)
+    lone[..., 3] = gaussian_heatmaps(
+        np.asarray([[300.0, 90.0]]), size, stride, sigma=3.0)[..., 0]
+    beliefs = jnp.asarray(np.maximum(hm_p, lone)[None])             # (1,h,h,15)
+
+    ev = cpm.person_evidence(beliefs, cfg)
+    centers, scores = cpm.find_person_peaks(ev, k=2, stride=stride,
+                                            nms_radius_px=96.0)
+    c, s = np.asarray(centers)[0], np.asarray(scores)[0]
+    # Top peak at the person's center (not at its strongest single
+    # joint), integrating several times any single blob's evidence.
+    assert np.linalg.norm(c[0] - [100, 190]) < 40, c
+    lone_ev = float(ev[0, 90 // stride, 300 // stride])
+    assert s[0] > 2.5 * lone_ev, (s, lone_ev)
+
+
+def test_select_people_pose_dedupe():
+    """Scale-robust person counting: hypotheses decoding near-identical
+    joint sets are duplicates of ONE person (dropped), regardless of
+    their peak scores; genuinely distinct joint sets survive."""
+    rng = np.random.RandomState(0)
+    person_a = rng.rand(14, 2).astype(np.float32) * 300
+    person_b = person_a + 150.0
+    scores = jnp.asarray([[1.0, 0.9], [1.0, 0.9]])
+    joints = jnp.asarray(np.stack([
+        np.stack([person_a, person_a + 5.0]),   # same person twice
+        np.stack([person_a, person_b]),          # two distinct people
+    ]))
+    mask = np.asarray(cpm.select_people(scores, joints=joints))
+    assert mask.tolist() == [[True, False], [True, True]]
+    # Without joints, score-only selection keeps both in both frames.
+    mask_s = np.asarray(cpm.select_people(scores))
+    assert mask_s.tolist() == [[True, True], [True, True]]

@@ -363,7 +363,7 @@ class PoseEstimator:
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people)
         mask = cpm_lib.select_people(scores, min_person_score,
-                                     person_score_frac)
+                                     person_score_frac, joints=joints)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
         res = fit_lib.fit_smpl_batch(

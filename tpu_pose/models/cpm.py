@@ -439,6 +439,41 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     return heatmaps, joints, conf
 
 
+def person_evidence(stage1_beliefs: jnp.ndarray,
+                    cfg: CPMConfig = CPMConfig(),
+                    person_sigma_px: float = 64.0) -> jnp.ndarray:
+    """Person-scale foreground evidence from stage-1 beliefs (B,h,h,P+1)
+    → (B,h,h), for multi-person center proposals.
+
+    Max-over-part-channels peaks at EVERY joint, so once the network
+    trains sharp, the second NMS peak is just another joint of the SAME
+    person with near-equal belief — measured in selfcheck: count
+    selection collapsed to 50% (every one-person frame proposed 2).
+    Instead: clip+SUM the part channels (total joint mass) and convolve
+    with a person-scale Gaussian. A coherent cluster of joints
+    integrates into one strong mode at the body center; an isolated limb
+    blob stays weak. With the kernel normalized to sum 1 and unit-height
+    part blobs (σ≈3 cells), a full person scores ~0.5 and a lone joint
+    ~0.15, so ``select_people``'s default ``score_frac=0.4`` separates
+    them cleanly.
+    """
+    fg = jnp.sum(jnp.maximum(stage1_beliefs[..., :-1], 0.0), axis=-1)
+    sigma = person_sigma_px / cfg.stride
+    r = max(1, int(3.0 * sigma))
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k1 = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k1 = k1 / jnp.sum(k1)
+    x = fg[..., None]  # (B, h, w, 1)
+    kh = k1.reshape(-1, 1, 1, 1)
+    kw = k1.reshape(1, -1, 1, 1)
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    return x[..., 0]
+
+
 def find_person_peaks(fg: jnp.ndarray, k: int, stride: int,
                       nms_radius_px: float):
     """Top-k peaks with non-maximum suppression on a foreground map.
@@ -472,30 +507,63 @@ def find_person_peaks(fg: jnp.ndarray, k: int, stride: int,
 
 
 def select_people(scores: jnp.ndarray, min_score: float = 0.05,
-                  score_frac: float = 0.4) -> jnp.ndarray:
+                  score_frac: float = 0.4,
+                  joints: jnp.ndarray | None = None,
+                  dup_px: float = 30.0) -> jnp.ndarray:
     """Person-count selection from hypothesis scores (ROADMAP #4's
     remaining piece: fixed ``max_people`` slots, variable TRUE count).
 
-    A hypothesis is kept when its stage-1 peak score clears BOTH an
-    absolute noise floor (``min_score``) and a fraction of the frame's
-    strongest peak (``score_frac`` — a one-person frame's second NMS peak
-    sits far below the first). The top hypothesis per frame is always
-    kept, so every frame yields at least one person. Static shapes: this
-    returns a (B, k) bool mask, not a ragged result — downstream consumers
-    mask, they don't reshape (the jit-stable TPU idiom for dynamic counts).
+    Two filters:
+
+    1. Score thresholds: a hypothesis must clear an absolute noise floor
+       (``min_score``) AND a fraction of the frame's strongest peak
+       (``score_frac``).
+    2. Pose dedupe (when ``joints`` (B, k, P, 2) is given): hypotheses
+       whose DECODED joints lie within ``dup_px`` mean distance of a
+       stronger kept hypothesis are duplicates of the same person and
+       are dropped. This is the scale-robust person-count signal: a
+       one-person frame's spurious center proposals (limb fringes —
+       their center-map hints all snap the refinement onto the same
+       body) decode near-identical joint sets, while genuinely distinct
+       people cannot, regardless of person scale. Peak-score margins
+       alone cannot make that distinction once the network trains sharp
+       (measured: count accuracy 0.50 on score-only selection vs 14-joint
+       evidence peaking at every limb).
+
+    The top hypothesis per frame is always kept, so every frame yields at
+    least one person. Static shapes: returns a (B, k) bool mask, not a
+    ragged result — downstream consumers mask, they don't reshape (the
+    jit-stable TPU idiom for dynamic counts).
     """
     is_top = scores >= jnp.max(scores, axis=-1, keepdims=True)
     keep = ((scores >= min_score)
             & (scores >= score_frac * jnp.max(scores, axis=-1,
                                               keepdims=True)))
-    return keep | is_top
+    keep = keep | is_top
+    if joints is None:
+        return keep
+    k = scores.shape[-1]
+    # Pairwise mean joint distance (B, k, k); NMS emits hypotheses in
+    # descending score order, so a greedy unrolled pass over the static
+    # (small) k suffices: j is a duplicate if some kept i < j is within
+    # dup_px.
+    d = jnp.mean(jnp.linalg.norm(
+        joints[..., :, None, :, :] - joints[..., None, :, :, :], axis=-1),
+        axis=-1)
+    kept_cols = [keep[..., 0:1]]
+    for j in range(1, k):
+        kept_sofar = jnp.concatenate(kept_cols, axis=-1)      # (B, j)
+        dup = jnp.any(kept_sofar & (d[..., j, :j] < dup_px), axis=-1)
+        kept_cols.append((keep[..., j] & ~dup)[..., None])
+    return jnp.concatenate(kept_cols, axis=-1)
 
 
 def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       cfg: CPMConfig = CPMConfig(),
                       max_people: int = 2,
                       beta: float = 100.0,
-                      nms_radius_px: float = 96.0):
+                      nms_radius_px: float = 96.0,
+                      person_sigma_px: float = 64.0):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -520,7 +588,7 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     trunk1, b1 = _stage1_forward(conv, x)                 # once per image
     f = _refine_trunk(conv, x, trunk1, cfg)               # once per image
 
-    fg = jnp.max(b1[..., :-1], axis=-1)                   # (B, h, h)
+    fg = person_evidence(b1, cfg, person_sigma_px)        # (B, h, h)
     centers, person_scores = find_person_peaks(
         fg, k, cfg.stride, nms_radius_px)                 # (B, k, 2)
 
