@@ -184,3 +184,16 @@ def test_fused_with_refine_center_and_restarts():
     res = est.estimate_and_fit(imgs)
     assert res.theta.shape == (2, 72)
     assert bool(jnp.all(jnp.isfinite(res.vertices)))
+
+
+def test_estimate_and_fit_video_stream(est):
+    """Chunked streaming video path: CPM 2D once, anchored chunked fit,
+    concatenated full-length results."""
+    frames = jnp.asarray(
+        np.random.RandomState(5).randint(0, 255, (5, 64, 64, 3)),
+        jnp.uint8)
+    r = est.estimate_and_fit_video_stream(frames, chunk=2)
+    assert r.theta.shape == (5, 72)
+    assert r.vertices.shape == (5, 6890, 3)
+    assert r.joints2d.shape == (5, 14, 2)
+    assert np.all(np.isfinite(np.asarray(r.vertices)))

@@ -419,3 +419,53 @@ def test_default_init_yaw_modes(model):
     # Back-facing GT → the estimate must be in the back hemisphere.
     assert abs(abs(float(yaw_est)) - np.pi) < np.pi / 2
     assert bool(jnp.all(jnp.isfinite(init_l["cam"])))
+
+
+def _geodesic_steps(theta_seq):
+    """Frame-to-frame global-rotation geodesic angle (rad) — the gauge-
+    free continuity metric (raw axis-angle distance wraps at 2π)."""
+    R = np.asarray(smpl_lib.rodrigues(jnp.asarray(theta_seq[:, :3])))
+    rel = np.einsum("tij,tik->tjk", R[:-1], R[1:])  # R_t^T R_{t+1}
+    tr = np.trace(rel, axis1=-2, axis2=-1)
+    return np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+
+
+def test_video_stream_chunked_matches_whole(model):
+    """fit_video_stream: anchored chunking over a genuinely smooth
+    sequence reprojects tightly through every chunk (incl. the padded
+    final one) and introduces no worse seam discontinuity than the
+    whole-sequence fit at the same frames."""
+    rng = np.random.RandomState(12)
+    T, chunk = 10, 4
+    thA = rng.randn(72) * 0.2
+    thB = rng.randn(72) * 0.2
+    frames, confs = [], []
+    for t in range(T):
+        w = t / (T - 1.0)
+        theta_t = jnp.asarray((1 - w) * thA + w * thB, jnp.float32)
+        out = smpl_lib.smpl_forward(model, jnp.zeros(10), theta_t)
+        j3d = joints_lib.select_smpl_joints(out.joints)
+        j2d = (camera_lib.weak_perspective_project(
+            j3d, jnp.asarray([0.9, 0.0, 0.0])) + 1.0) * (IMG / 2)
+        frames.append(j2d)
+        confs.append(jnp.ones(j3d.shape[0]))
+    j_seq, c_seq = jnp.stack(frames), jnp.stack(confs)
+
+    whole = temporal_lib.fit_video_smooth(
+        model, j_seq, c_seq, cfg=FAST_CFG, restarts=2, iters=40)
+    res = temporal_lib.fit_video_stream(
+        model, j_seq, c_seq, cfg=FAST_CFG, chunk=chunk, restarts=2,
+        iters=40)
+    assert res.theta.shape == (T, 72)
+    assert np.all(np.isfinite(np.asarray(res.theta)))
+    errs = [reproj_err_px(
+        model, fit_lib.FitResult(res.theta[t], res.beta[t], res.cam[t],
+                                 res.energy[t], jnp.zeros(0)),
+        j_seq[t], FAST_CFG) for t in range(T)]
+    assert max(errs) < 6.0, errs
+    # Seam steps (t=3→4, t=7→8) no worse than the whole-sequence fit's
+    # at the same frames, plus slack — the anchor is what buys this.
+    dg_s = _geodesic_steps(np.asarray(res.theta))
+    dg_w = _geodesic_steps(np.asarray(whole.theta))
+    for seam in (3, 7):
+        assert dg_s[seam] < dg_w[seam] + 0.5, (seam, dg_s, dg_w)

@@ -146,7 +146,8 @@ class PoseEstimator:
         self._fit_single = jax.jit(functools.partial(
             fit_lib.fit_smpl_single, cfg=fit_cfg, prior=prior))
         self._fused = jax.jit(self._estimate_and_fit_impl)
-        self._smpl_batch = jax.jit(smpl_lib.smpl_forward_batch)
+        self._smpl_batch = jax.jit(smpl_lib.smpl_forward_batch,
+                                   static_argnames=("precision",))
         self._fit_multistart = {}  # (restarts, ndim) → jitted fn
 
     # -- constructors -----------------------------------------------------
@@ -354,6 +355,35 @@ class PoseEstimator:
         return self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), self.smpl_model,
             frames)
+
+    def estimate_and_fit_video_stream(self, frames: jnp.ndarray,
+                                      chunk: int = 64
+                                      ) -> EstimateAndFitResult:
+        """Arbitrary-length video with bounded memory: CPM 2D over the
+        whole sequence (micro-batched per ``cpm_microbatch``), then the
+        anchored chunked smooth fit (temporal.fit_video_stream — one
+        compiled chunk program, continuity carried across boundaries).
+        Use :meth:`estimate_and_fit_video` when the sequence fits one
+        device program."""
+        from tpu_pose.fitting import temporal
+        r2d = self.estimate_2d(frames, refine_center=self.refine_center,
+                               letterbox=False)
+        res = temporal.fit_video_stream(
+            self.smpl_model, r2d.joints2d, r2d.conf, cfg=self.fit_cfg,
+            prior=self.prior, chunk=chunk,
+            restarts=max(self.fit_restarts, 1))
+        out = self._smpl_batch(self.smpl_model, res.beta, res.theta,
+                               precision=smpl_lib.EXACT_PRECISION)
+        joints = r2d.joints2d
+        if self.letterbox:
+            from tpu_pose.ops import preprocess as pre
+            affine = pre.letterbox_affine(
+                frames.shape[1], frames.shape[2], self.cpm_cfg.input_size)
+            joints = pre.joints_to_source_frame(joints, affine)
+        return EstimateAndFitResult(
+            joints2d=joints, conf=r2d.conf, theta=res.theta,
+            beta=res.beta, cam=res.cam, vertices=out.vertices,
+            joints3d=out.joints, energy=res.energy)
 
     # -- multi-person (TPU-native extension beyond the reference) ---------
 

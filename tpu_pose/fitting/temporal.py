@@ -120,7 +120,8 @@ def fit_video_independent(model, joints2d_seq, conf_seq,
 
 def _viterbi_select(energy: jnp.ndarray,     # (T, R) hypothesis energies
                     glob: jnp.ndarray,       # (T, R, 3) global orientations
-                    weight: float) -> jnp.ndarray:
+                    weight: float,
+                    anchor_glob: jnp.ndarray | None = None) -> jnp.ndarray:
     """Minimum-cost hypothesis path through the (frame × restart) lattice.
 
     Unary cost = fit energy; pairwise cost = ``weight``·‖Δθ_global‖²
@@ -129,8 +130,14 @@ def _viterbi_select(energy: jnp.ndarray,     # (T, R) hypothesis energies
     symmetric in energy); the DP picks the globally consistent path
     instead. One ``lax.scan`` forward + one reversed backtrack scan —
     fully traced, O(T·R²) with R ≤ 8. Returns (T,) int32 selections.
+    ``anchor_glob`` (3,) adds a transition cost from a virtual frame -1
+    (the previous chunk's last solution — streaming, fit_video_stream),
+    so the selected path cannot flip facing at a chunk boundary.
     """
     e = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+    if anchor_glob is not None:
+        e = e.at[0].add(weight * jnp.sum(
+            (glob[0] - anchor_glob[None, :]) ** 2, -1))
 
     def fwd(prev_cost, inp):
         e_t, g_t, g_prev = inp
@@ -164,6 +171,7 @@ def fit_video_smooth(
     shared_beta: bool = True,
     iters: int = 100,
     lr: float = 0.01,
+    anchor: dict | None = None,
 ) -> FitResult:
     """Joint whole-sequence fit: the TPU-native video formulation the
     reference's frame-at-a-time loop could never afford (SURVEY.md §3.5).
@@ -193,21 +201,31 @@ def fit_video_smooth(
     The weight sweep was flat between λ≈800–1600 (21.0–21.4 mm); 100
     refine iters beat 200 (longer re-fits the noise, matching the
     DEFAULT_STAGES finding in utils/config.py).
+
+    ``anchor`` — {'theta','beta','cam'} of the frame PRECEDING this
+    sequence (a previous chunk's last solution): couples the Viterbi
+    selection, the shared-β init, and the smoothness energy across the
+    boundary so chunked streaming (:func:`fit_video_stream`) stays
+    continuous.
     """
     t_frames = joints2d_seq.shape[0]
     if restarts > 1:
         all_res = jax.vmap(lambda j, c: fit_smpl_multistart(
             model, j, c, cfg=cfg, prior=prior, restarts=restarts,
             return_all=True))(joints2d_seq, conf_seq)      # (T, R, ...)
-        sel = _viterbi_select(all_res.energy,
-                              all_res.theta[..., :3], select_weight)
+        sel = _viterbi_select(
+            all_res.energy, all_res.theta[..., :3], select_weight,
+            anchor_glob=None if anchor is None else anchor["theta"][:3])
         base = jax.tree.map(
             lambda x: x[jnp.arange(t_frames), sel], all_res)
     else:
         base = fit_video_independent(model, joints2d_seq, conf_seq,
                                      cfg=cfg, prior=prior)
 
-    beta0 = base.beta.mean(0) if shared_beta else base.beta
+    if anchor is not None and shared_beta:
+        beta0 = anchor["beta"]           # one body across ALL chunks
+    else:
+        beta0 = base.beta.mean(0) if shared_beta else base.beta
     params = {"theta": base.theta, "beta": beta0, "cam": base.cam}
     obs = _normalize_obs(joints2d_seq, cfg)
     stage = cfg.stages[-1]
@@ -229,9 +247,17 @@ def fit_video_smooth(
     def total_energy(p):
         dth = p["theta"][1:] - p["theta"][:-1]
         dca = p["cam"][1:] - p["cam"][:-1]
-        return (frame_energies(p).sum()
-                + smooth_theta * s2 * jnp.sum(dth * dth)
-                + smooth_cam * s2 * jnp.sum(dca * dca))
+        e = (frame_energies(p).sum()
+             + smooth_theta * s2 * jnp.sum(dth * dth)
+             + smooth_cam * s2 * jnp.sum(dca * dca))
+        if anchor is not None:
+            # Boundary smoothness to the (fixed) previous chunk's last
+            # frame — same weights as the in-sequence terms.
+            dth0 = p["theta"][0] - anchor["theta"]
+            dca0 = p["cam"][0] - anchor["cam"]
+            e = (e + smooth_theta * s2 * jnp.sum(dth0 * dth0)
+                 + smooth_cam * s2 * jnp.sum(dca0 * dca0))
+        return e
 
     opt = optax.adam(lr)
 
@@ -249,3 +275,60 @@ def fit_video_smooth(
                      cam=params["cam"],
                      energy=frame_energies(params),
                      energy_history=jnp.zeros((0,), jnp.float32))
+
+
+def fit_video_stream(
+    model: SMPLData,
+    joints2d_seq,                 # (T, P, 2) pixels, T arbitrary
+    conf_seq,                     # (T, P)
+    cfg: FitConfig = FitConfig(),
+    prior: Any = None,
+    chunk: int = 64,
+    **smooth_kw,
+) -> FitResult:
+    """Arbitrary-length video via anchored fixed-size chunks (streaming /
+    bounded-memory serving; the in-device :func:`fit_video_smooth` holds
+    the WHOLE sequence in one program, which caps T by HBM).
+
+    Each chunk runs the joint smooth fit COMPILED ONCE for the chunk
+    shape; chunk i+1 receives chunk i's last solution as its ``anchor``
+    (Viterbi facing continuity + boundary smoothness + the SAME shared β
+    carried through every chunk). The final partial chunk pads by
+    repeating its last frame with zero confidence — static shapes, one
+    compiled program total.
+
+    Host loop over chunks (device work per chunk is one program; the
+    sequential carry is inherent to streaming). Returns concatenated
+    (T, ...) results.
+    """
+    t_total = joints2d_seq.shape[0]
+    if t_total <= chunk:
+        return fit_video_smooth(model, joints2d_seq, conf_seq, cfg=cfg,
+                                prior=prior, **smooth_kw)
+
+    fit_first = jax.jit(functools.partial(
+        fit_video_smooth, cfg=cfg, prior=prior, **smooth_kw))
+    fit_anchored = jax.jit(functools.partial(
+        fit_video_smooth, cfg=cfg, prior=prior, **smooth_kw))
+
+    outs = []
+    anchor = None
+    for start in range(0, t_total, chunk):
+        j = joints2d_seq[start:start + chunk]
+        c = conf_seq[start:start + chunk]
+        n_real = j.shape[0]
+        if n_real < chunk:  # pad: repeat last frame, zero confidence
+            reps = chunk - n_real
+            j = jnp.concatenate(
+                [j, jnp.broadcast_to(j[-1], (reps,) + j.shape[1:])])
+            c = jnp.concatenate([c, jnp.zeros((reps,) + c.shape[1:],
+                                              c.dtype)])
+        if anchor is None:
+            res = fit_first(model, j, c)
+        else:
+            res = fit_anchored(model, j, c, anchor=anchor)
+        anchor = {"theta": res.theta[n_real - 1],
+                  "beta": res.beta[n_real - 1],
+                  "cam": res.cam[n_real - 1]}
+        outs.append(jax.tree.map(lambda x: x[:n_real], res))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
