@@ -122,3 +122,34 @@ def test_fused_api_letterbox():
     r_sq = est.estimate_2d(imgs, letterbox=False)
     assert not np.allclose(np.asarray(r_lb.joints2d),
                            np.asarray(r_sq.joints2d))
+
+
+def test_stream_and_multi_api_letterbox_consistency():
+    """The streaming-video and multi-person paths must follow the SAME
+    letterbox contract as the fused path: letterboxed preprocessing,
+    source-frame joints (the r2 review found the stream path applying
+    the letterbox inverse to square-resized decodes)."""
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.utils.config import FitConfig, StageConfig
+
+    fit_cfg = FitConfig(
+        stages=(StageConfig(iters=5, lr=0.05),), img_size=64)
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=fit_cfg, letterbox=True)
+    imgs = jnp.asarray(
+        np.random.RandomState(2).randint(0, 255, (3, 40, 80, 3)),
+        jnp.uint8)
+
+    fused = est.estimate_and_fit(imgs)
+    stream = est.estimate_and_fit_video_stream(imgs, chunk=2)
+    # Same 2D front end (restarts=1 default on both) → the decoded
+    # source-frame joints must MATCH the fused path's.
+    np.testing.assert_allclose(np.asarray(stream.joints2d),
+                               np.asarray(fused.joints2d), atol=1e-3)
+
+    multi = est.estimate_and_fit_multi(imgs, max_people=2)
+    # Multi joints are source-frame too: hypothesis coordinates live in
+    # the 80-px-wide source raster, not the 64-px network frame.
+    j = np.asarray(multi.joints2d)
+    assert np.isfinite(j).all()
+    assert j[..., 0].max() > 64.0 - 1e-3  # beyond network width ⇒ source

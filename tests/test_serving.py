@@ -83,3 +83,41 @@ def test_server_propagates_estimator_errors():
         fut2 = srv.submit(np.zeros((8, 8, 3), np.uint8))
         with pytest.raises(RuntimeError, match="boom"):
             fut2.result(timeout=60)
+
+
+class _EchoEstimator:
+    """Stub returning a per-frame-identifiable pytree."""
+
+    def estimate_and_fit(self, images):
+        import numpy as np
+        return {"first_px": np.asarray(images)[:, 0, 0, 0]}
+
+
+def test_cancelled_future_does_not_kill_dispatcher():
+    """A caller cancelling its Future (timeout patterns) must not crash
+    the dispatch thread or poison batch-mates' results."""
+    with serving.BatchingServer(_EchoEstimator(), max_batch=4,
+                                max_wait_ms=300.0) as srv:
+        f1 = srv.submit(np.full((2, 2, 3), 7, np.uint8))
+        f1.cancel()
+        f2 = srv.submit(np.full((2, 2, 3), 9, np.uint8))
+        assert f2.result(timeout=60)["first_px"] == 9
+        # Server still serves after the cancelled batch.
+        f3 = srv.submit(np.full((2, 2, 3), 5, np.uint8))
+        assert f3.result(timeout=60)["first_px"] == 5
+
+
+def test_shutdown_fails_stragglers_instead_of_hanging():
+    """Requests that land behind the shutdown sentinel resolve with an
+    error — never a forever-pending Future."""
+    srv = serving.BatchingServer(_EchoEstimator(), max_batch=2,
+                                 max_wait_ms=0.0)
+    # Simulate the submit/shutdown race: enqueue directly behind the
+    # sentinel (submit() itself would raise once _closed is set).
+    import concurrent.futures
+    straggler = concurrent.futures.Future()
+    srv._queue.put(None)
+    srv._queue.put((np.zeros((2, 2, 3), np.uint8), straggler, 0.0))
+    srv.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        straggler.result(timeout=60)

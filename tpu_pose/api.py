@@ -261,6 +261,18 @@ class PoseEstimator:
             return fn(self.smpl_model, joints2d, conf)
         return fn(self.smpl_model, joints2d, conf, init=init)
 
+    def _to_source_frame(self, joints: jnp.ndarray, images: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """Map NETWORK-frame joints (..., P, 2) back to source-image
+        pixels when this estimator letterboxes; identity otherwise.
+        Single definition of the letterbox inverse-affine contract."""
+        if not self.letterbox:
+            return joints
+        from tpu_pose.ops import preprocess as pre
+        affine = pre.letterbox_affine(
+            images.shape[1], images.shape[2], self.cpm_cfg.input_size)
+        return pre.joints_to_source_frame(joints, affine)
+
     def _estimate_and_fit_impl(self, cpm_params, smpl_model, images):
         # The fit consumes NETWORK-frame joints (FitConfig.img_size);
         # letterboxed outputs map back to source pixels at the end.
@@ -283,11 +295,7 @@ class PoseEstimator:
         out = smpl_lib.smpl_forward_batch(
             smpl_model, res.beta, res.theta,
             precision=smpl_lib.EXACT_PRECISION)
-        if self.letterbox:
-            from tpu_pose.ops import preprocess as pre
-            affine = pre.letterbox_affine(
-                images.shape[1], images.shape[2], self.cpm_cfg.input_size)
-            joints = pre.joints_to_source_frame(joints, affine)
+        joints = self._to_source_frame(joints, images)
         return EstimateAndFitResult(
             joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
             cam=res.cam, vertices=out.vertices, joints3d=out.joints,
@@ -325,11 +333,7 @@ class PoseEstimator:
         out = smpl_lib.smpl_forward_batch(
             smpl_model, res.beta, res.theta,
             precision=smpl_lib.EXACT_PRECISION)
-        if self.letterbox:
-            from tpu_pose.ops import preprocess as pre
-            affine = pre.letterbox_affine(
-                frames.shape[1], frames.shape[2], self.cpm_cfg.input_size)
-            joints = pre.joints_to_source_frame(joints, affine)
+        joints = self._to_source_frame(joints, frames)
         return EstimateAndFitResult(
             joints2d=joints, conf=conf, theta=res.theta, beta=res.beta,
             cam=res.cam, vertices=out.vertices, joints3d=out.joints,
@@ -366,22 +370,23 @@ class PoseEstimator:
         Use :meth:`estimate_and_fit_video` when the sequence fits one
         device program."""
         from tpu_pose.fitting import temporal
-        r2d = self.estimate_2d(frames, refine_center=self.refine_center,
-                               letterbox=False)
+        # NETWORK-frame joints for the fit (the letterboxed preprocessing
+        # still applies when configured); source mapping happens at the end.
+        fn = jax.jit(functools.partial(
+            cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
+            chunk=self.cpm_microbatch, refine_center=self.refine_center,
+            letterbox=self.letterbox, source_frame=False))
+        _, joints_net, conf = fn(
+            self._params_for_batch(frames.shape[0]), frames)
         res = temporal.fit_video_stream(
-            self.smpl_model, r2d.joints2d, r2d.conf, cfg=self.fit_cfg,
+            self.smpl_model, joints_net, conf, cfg=self.fit_cfg,
             prior=self.prior, chunk=chunk,
             restarts=max(self.fit_restarts, 1))
         out = self._smpl_batch(self.smpl_model, res.beta, res.theta,
                                precision=smpl_lib.EXACT_PRECISION)
-        joints = r2d.joints2d
-        if self.letterbox:
-            from tpu_pose.ops import preprocess as pre
-            affine = pre.letterbox_affine(
-                frames.shape[1], frames.shape[2], self.cpm_cfg.input_size)
-            joints = pre.joints_to_source_frame(joints, affine)
+        joints = self._to_source_frame(joints_net, frames)
         return EstimateAndFitResult(
-            joints2d=joints, conf=r2d.conf, theta=res.theta,
+            joints2d=joints, conf=conf, theta=res.theta,
             beta=res.beta, cam=res.cam, vertices=out.vertices,
             joints3d=out.joints, energy=res.energy)
 
@@ -389,11 +394,14 @@ class PoseEstimator:
 
     def _estimate_and_fit_multi_impl(self, cpm_params, smpl_model, images,
                                      max_people: int, min_person_score:
-                                     float, person_score_frac: float):
+                                     float, person_score_frac: float,
+                                     dup_px: float):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
-            cpm_params, images, cfg=self.cpm_cfg, max_people=max_people)
+            cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
+            letterbox=self.letterbox)
         mask = cpm_lib.select_people(scores, min_person_score,
-                                     person_score_frac, joints=joints)
+                                     person_score_frac, joints=joints,
+                                     dup_px=dup_px)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
         res = fit_lib.fit_smpl_batch(
@@ -403,6 +411,7 @@ class PoseEstimator:
             smpl_model, res.beta, res.theta,
             precision=smpl_lib.EXACT_PRECISION)
         unflat = lambda t: t.reshape((b, k) + t.shape[1:])  # noqa: E731
+        joints = self._to_source_frame(joints, images)
         return MultiPersonResult(
             joints2d=joints, conf=conf, person_scores=scores,
             person_mask=mask,
@@ -413,7 +422,8 @@ class PoseEstimator:
     def estimate_and_fit_multi(self, images: jnp.ndarray,
                                max_people: int = 2,
                                min_person_score: float = 0.05,
-                               person_score_frac: float = 0.4
+                               person_score_frac: float = 0.4,
+                               dup_px: float = 30.0
                                ) -> MultiPersonResult:
         """Multi-person fused path: stage-1 trunk once per image, NMS'd
         foreground peaks propose up to ``max_people`` centers, refinement
@@ -422,13 +432,15 @@ class PoseEstimator:
         shapes); ``person_mask`` marks which hypotheses are judged real
         people (cpm.select_people: absolute + frame-relative score
         thresholds, top-1 always kept) and ``person_scores`` ranks them."""
-        key = ("multi", max_people, min_person_score, person_score_frac)
+        key = ("multi", max_people, min_person_score, person_score_frac,
+               dup_px)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(
                 functools.partial(self._estimate_and_fit_multi_impl,
                                   max_people=max_people,
                                   min_person_score=min_person_score,
-                                  person_score_frac=person_score_frac))
+                                  person_score_frac=person_score_frac,
+                                  dup_px=dup_px))
         return self._fit_multistart[key](
             self._params_for_batch(images.shape[0]), self.smpl_model,
             images)

@@ -121,7 +121,8 @@ def fit_video_independent(model, joints2d_seq, conf_seq,
 def _viterbi_select(energy: jnp.ndarray,     # (T, R) hypothesis energies
                     glob: jnp.ndarray,       # (T, R, 3) global orientations
                     weight: float,
-                    anchor_glob: jnp.ndarray | None = None) -> jnp.ndarray:
+                    anchor_glob: jnp.ndarray | None = None,
+                    frame_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Minimum-cost hypothesis path through the (frame × restart) lattice.
 
     Unary cost = fit energy; pairwise cost = ``weight``·‖Δθ_global‖²
@@ -135,19 +136,26 @@ def _viterbi_select(energy: jnp.ndarray,     # (T, R) hypothesis energies
     so the selected path cannot flip facing at a chunk boundary.
     """
     e = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+    if frame_mask is not None:
+        # Padded frames (mask 0, streaming) contribute no unary cost and
+        # no transition cost — they must not steer the real frames.
+        e = e * frame_mask[:, None]
+        step_w = weight * frame_mask[1:] * frame_mask[:-1]
+    else:
+        step_w = jnp.full(e.shape[0] - 1, weight)
     if anchor_glob is not None:
         e = e.at[0].add(weight * jnp.sum(
             (glob[0] - anchor_glob[None, :]) ** 2, -1))
 
     def fwd(prev_cost, inp):
-        e_t, g_t, g_prev = inp
+        e_t, g_t, g_prev, w_t = inp
         trans = jnp.sum(
             (g_t[None, :, :] - g_prev[:, None, :]) ** 2, -1)  # (R_prev, R)
-        tot = prev_cost[:, None] + weight * trans + e_t[None, :]
+        tot = prev_cost[:, None] + w_t * trans + e_t[None, :]
         return jnp.min(tot, axis=0), jnp.argmin(tot, axis=0)
 
     final_cost, backs = jax.lax.scan(
-        fwd, e[0], (e[1:], glob[1:], glob[:-1]))
+        fwd, e[0], (e[1:], glob[1:], glob[:-1], step_w))
     last = jnp.argmin(final_cost)
 
     def back(nxt, bp):
@@ -165,13 +173,14 @@ def fit_video_smooth(
     cfg: FitConfig = FitConfig(),
     prior: Any = None,
     restarts: int = 4,
-    select_weight: float = 0.1,
-    smooth_theta: float = 1000.0,
-    smooth_cam: float = 1000.0,
+    select_weight: float | None = None,
+    smooth_theta: float | None = None,
+    smooth_cam: float | None = None,
     shared_beta: bool = True,
     iters: int = 100,
     lr: float = 0.01,
     anchor: dict | None = None,
+    frame_mask: jnp.ndarray | None = None,
 ) -> FitResult:
     """Joint whole-sequence fit: the TPU-native video formulation the
     reference's frame-at-a-time loop could never afford (SURVEY.md §3.5).
@@ -207,7 +216,21 @@ def fit_video_smooth(
     selection, the shared-β init, and the smoothness energy across the
     boundary so chunked streaming (:func:`fit_video_stream`) stays
     continuous.
+
+    ``frame_mask`` (T,) 0/1 — frames with mask 0 (streaming pad frames)
+    are excluded from the data energy, the smoothness coupling, and the
+    Viterbi costs, so prior-driven pad poses cannot pull real frames.
+
+    The smoothing/selection weights default to the config's
+    ``video_smooth_theta`` / ``video_smooth_cam`` /
+    ``video_select_weight`` (utils/config.py — config-visible like every
+    SMPLify λ); pass explicitly to override.
     """
+    select_weight = (cfg.video_select_weight if select_weight is None
+                     else select_weight)
+    smooth_theta = (cfg.video_smooth_theta if smooth_theta is None
+                    else smooth_theta)
+    smooth_cam = cfg.video_smooth_cam if smooth_cam is None else smooth_cam
     t_frames = joints2d_seq.shape[0]
     if restarts > 1:
         all_res = jax.vmap(lambda j, c: fit_smpl_multistart(
@@ -215,7 +238,8 @@ def fit_video_smooth(
             return_all=True))(joints2d_seq, conf_seq)      # (T, R, ...)
         sel = _viterbi_select(
             all_res.energy, all_res.theta[..., :3], select_weight,
-            anchor_glob=None if anchor is None else anchor["theta"][:3])
+            anchor_glob=None if anchor is None else anchor["theta"][:3],
+            frame_mask=frame_mask)
         base = jax.tree.map(
             lambda x: x[jnp.arange(t_frames), sel], all_res)
     else:
@@ -238,18 +262,24 @@ def fit_video_smooth(
         return beta
 
     def frame_energies(p):
-        return jax.vmap(
+        e = jax.vmap(
             lambda th, be, ca, j, c: fit_energy(
                 {"theta": th, "beta": be, "cam": ca},
                 model, j, c, stage, cfg, prior)
         )(p["theta"], beta_per_frame(p["beta"]), p["cam"], obs, conf_seq)
+        return e if frame_mask is None else e * frame_mask
+
+    step_mask = (jnp.ones(t_frames - 1) if frame_mask is None
+                 else frame_mask[1:] * frame_mask[:-1])
 
     def total_energy(p):
         dth = p["theta"][1:] - p["theta"][:-1]
         dca = p["cam"][1:] - p["cam"][:-1]
         e = (frame_energies(p).sum()
-             + smooth_theta * s2 * jnp.sum(dth * dth)
-             + smooth_cam * s2 * jnp.sum(dca * dca))
+             + smooth_theta * s2 * jnp.sum(
+                 step_mask * jnp.sum(dth * dth, -1))
+             + smooth_cam * s2 * jnp.sum(
+                 step_mask * jnp.sum(dca * dca, -1)))
         if anchor is not None:
             # Boundary smoothness to the (fixed) previous chunk's last
             # frame — same weights as the in-sequence terms.
@@ -317,16 +347,19 @@ def fit_video_stream(
         j = joints2d_seq[start:start + chunk]
         c = conf_seq[start:start + chunk]
         n_real = j.shape[0]
+        mask = jnp.ones(chunk)
         if n_real < chunk:  # pad: repeat last frame, zero confidence
             reps = chunk - n_real
             j = jnp.concatenate(
                 [j, jnp.broadcast_to(j[-1], (reps,) + j.shape[1:])])
             c = jnp.concatenate([c, jnp.zeros((reps,) + c.shape[1:],
                                               c.dtype)])
+            mask = mask.at[n_real:].set(0.0)
         if anchor is None:
-            res = fit_first(model, j, c)
+            res = fit_first(model, j, c, frame_mask=mask)
         else:
-            res = fit_anchored(model, j, c, anchor=anchor)
+            res = fit_anchored(model, j, c, anchor=anchor,
+                               frame_mask=mask)
         anchor = {"theta": res.theta[n_real - 1],
                   "beta": res.beta[n_real - 1],
                   "cam": res.cam[n_real - 1]}

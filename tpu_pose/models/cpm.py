@@ -374,6 +374,20 @@ def estimate_person_centers(stage1_beliefs: jnp.ndarray,
     return jnp.stack([cx, cy], axis=-1)
 
 
+def _decode(heatmaps: jnp.ndarray, cfg: CPMConfig, beta: float):
+    """Heatmaps → (joints_px, conf): the Pallas fused soft-argmax on TPU
+    (measured 1.77× vs XLA, exact-equal), XLA elsewhere; forced by
+    ``cfg.decode_impl``. Single dispatch point for every decode caller."""
+    impl = cfg.decode_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from tpu_pose.ops import pallas_kernels
+        return pallas_kernels.soft_argmax_pallas(
+            heatmaps, beta=beta, stride=cfg.stride)
+    return decode_lib.soft_argmax(heatmaps, beta=beta, stride=cfg.stride)
+
+
 def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             cfg: CPMConfig = CPMConfig(),
                             beta: float = 100.0,
@@ -422,16 +436,7 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     else:
         heatmaps = _refine_forward(conv, dtype, x, trunk1, b1, cmap, cfg,
                                    cfg.num_stages)[-1]
-    impl = cfg.decode_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from tpu_pose.ops import pallas_kernels
-        joints, conf = pallas_kernels.soft_argmax_pallas(
-            heatmaps, beta=beta, stride=cfg.stride)
-    else:
-        joints, conf = decode_lib.soft_argmax(heatmaps, beta=beta,
-                                              stride=cfg.stride)
+    joints, conf = _decode(heatmaps, cfg, beta)
     if letterbox and source_frame:
         affine = pre.letterbox_affine(
             images.shape[1], images.shape[2], cfg.input_size)
@@ -563,7 +568,8 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       max_people: int = 2,
                       beta: float = 100.0,
                       nms_radius_px: float = 96.0,
-                      person_sigma_px: float = 64.0):
+                      person_sigma_px: float = 64.0,
+                      letterbox: bool = False):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -575,6 +581,9 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
 
     Requires ``cfg.use_center_map=True`` (the hint is the person selector).
 
+    ``letterbox`` preserves aspect (resize→pad); joints stay in the
+    NETWORK frame either way — the api layer maps to source pixels.
+
     Returns: heatmaps (B, k, H, H, P+1), joints_px (B, k, P, 2),
     conf (B, k, P), person_scores (B, k).
     """
@@ -583,7 +592,8 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                          "(the center hint is what separates people)")
     b = images.shape[0]
     k = max_people
-    x = jax.vmap(lambda im: pre.preprocess(im, cfg.input_size))(images)
+    x = jax.vmap(lambda im: pre.preprocess(
+        im, cfg.input_size, letterbox=letterbox))(images)
     conv, dtype = _make_conv(params, cfg)
     trunk1, b1 = _stage1_forward(conv, x)                 # once per image
     f = _refine_trunk(conv, x, trunk1, cfg)               # once per image
@@ -604,16 +614,7 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     beliefs = _refine_stages(conv, dtype, rep(f), rep(b1), cmap_lo, cfg,
                              cfg.num_stages)
     hm = (beliefs[-1] if beliefs else rep(b1))
-    impl = cfg.decode_impl
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
-        from tpu_pose.ops import pallas_kernels
-        joints, conf = pallas_kernels.soft_argmax_pallas(
-            hm, beta=beta, stride=cfg.stride)
-    else:
-        joints, conf = decode_lib.soft_argmax(hm, beta=beta,
-                                              stride=cfg.stride)
+    joints, conf = _decode(hm, cfg, beta)
     return (hm.reshape((b, k) + hm.shape[1:]),
             joints.reshape((b, k) + joints.shape[1:]),
             conf.reshape((b, k) + conf.shape[1:]),
@@ -633,15 +634,23 @@ def estimate_2d_microbatched(params: Params, images: jnp.ndarray,
     batch is bounded by the fit, not the trunk. Convs stay large enough
     to saturate the MXU at chunk ≥ 32.
 
-    No-op (falls through to the whole-batch path) when ``chunk`` ≤ 0,
-    ≥ batch, or does not divide the batch evenly.
+    No-op (falls through to the whole-batch path) when ``chunk`` ≤ 0 or
+    ≥ batch. An uneven batch pads up to a chunk multiple (edge-repeat)
+    and slices the results back — falling through on remainders would
+    silently void the memory bound this function exists to provide.
     """
     b = images.shape[0]
-    if chunk <= 0 or chunk >= b or b % chunk != 0:
+    if chunk <= 0 or chunk >= b:
         return estimate_2d_from_images(params, images, cfg, **kw)
-    folded = images.reshape((b // chunk, chunk) + images.shape[1:])
+    b_pad = -(-b // chunk) * chunk
+    padded = images
+    if b_pad != b:
+        padded = jnp.concatenate(
+            [images, jnp.broadcast_to(images[-1],
+                                      (b_pad - b,) + images.shape[1:])])
+    folded = padded.reshape((b_pad // chunk, chunk) + padded.shape[1:])
     hm, joints, conf = jax.lax.map(
         lambda im: estimate_2d_from_images(params, im, cfg, **kw), folded)
-    return (hm.reshape((b,) + hm.shape[2:]),
-            joints.reshape((b,) + joints.shape[2:]),
-            conf.reshape((b,) + conf.shape[2:]))
+    return (hm.reshape((b_pad,) + hm.shape[2:])[:b],
+            joints.reshape((b_pad,) + joints.shape[2:])[:b],
+            conf.reshape((b_pad,) + conf.shape[2:])[:b])

@@ -62,7 +62,14 @@ class EvalState:
     def load(cls, path: str) -> "EvalState":
         if os.path.exists(path):
             with open(path) as f:
-                return cls(**json.load(f))
+                d = json.load(f)
+            fields = {f.name for f in dataclasses.fields(cls)}
+            if set(d) == fields:
+                return cls(**d)
+            # Schema drift (checkpoint from an older metric layout):
+            # partial accumulator sums cannot be resumed consistently —
+            # start the eval over rather than average mismatched fields.
+            return cls()
         return cls()
 
 

@@ -48,15 +48,29 @@ def default_buckets(max_batch: int) -> tuple:
 
 
 class ServerStats:
-    """Running serving telemetry (host-side, lock-held updates only)."""
+    """Running serving telemetry. Updates AND snapshots synchronize on
+    the internal lock (an unlocked snapshot can race the dispatcher's
+    deque.extend → 'deque mutated during iteration')."""
 
     def __init__(self, window: int = 1024):
         self.requests = 0
         self.batches = 0
         self.padded_frames = 0
         self.latencies_ms = collections.deque(maxlen=window)
+        self._lock = threading.Lock()
+
+    def record_batch(self, n: int, padded: int, latencies_ms) -> None:
+        with self._lock:
+            self.requests += n
+            self.batches += 1
+            self.padded_frames += padded
+            self.latencies_ms.extend(latencies_ms)
 
     def snapshot(self) -> dict:
+        with self._lock:
+            return self._snapshot_locked()
+
+    def _snapshot_locked(self) -> dict:
         lat = sorted(self.latencies_ms)
         pick = (lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]
                 if lat else 0.0)
@@ -100,7 +114,6 @@ class BatchingServer:
             raise ValueError("largest bucket must equal max_batch")
         self.stats = ServerStats()
         self._queue: "queue.Queue" = queue.Queue()
-        self._lock = threading.Lock()
         self._closed = False
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
@@ -157,10 +170,36 @@ class BatchingServer:
             batch.append(item)
         return batch
 
+    @staticmethod
+    def _resolve(fut: Future, value=None, exc=None) -> None:
+        """Resolve a future, tolerating callers that already cancelled
+        it (an unguarded set_result would raise InvalidStateError and
+        kill the dispatch thread for every other client)."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:
+            pass  # cancelled / already resolved — the caller moved on
+
+    def _drain_failed(self, exc: Exception) -> None:
+        """Fail every request still queued (shutdown path)."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                self._resolve(item[1], exc=exc)
+
     def _dispatch_loop(self):
         while True:
             batch = self._collect()
             if batch is None:
+                # Sentinel: a submit() racing shutdown() may have queued
+                # BEHIND it — fail those futures rather than hang them.
+                self._drain_failed(RuntimeError("server is shut down"))
                 return
             if not batch:
                 continue
@@ -178,16 +217,13 @@ class BatchingServer:
                 res = jax.tree.map(np.asarray, res)  # one host transfer
                 now = time.perf_counter()
                 for i, fut in enumerate(futures):
-                    fut.set_result(jax.tree.map(lambda x, i=i: x[i], res))
-                with self._lock:
-                    self.stats.requests += n
-                    self.stats.batches += 1
-                    self.stats.padded_frames += bucket - n
-                    self.stats.latencies_ms.extend(
-                        (now - t) * 1e3 for t in t_enq)
+                    self._resolve(fut,
+                                  jax.tree.map(lambda x, i=i: x[i], res))
+                self.stats.record_batch(
+                    n, bucket - n, [(now - t) * 1e3 for t in t_enq])
             except Exception as e:  # propagate to every caller, keep serving
                 for fut in futures:
-                    fut.set_exception(e)
+                    self._resolve(fut, exc=e)
 
     # -- lifecycle --------------------------------------------------------
 

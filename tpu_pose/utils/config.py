@@ -127,6 +127,13 @@ class FitConfig:
     # which caps how stationary the fit can get — measured 46 mm polish
     # displacement at default vs sub-mm at highest on the parity probe).
     smpl_precision: str = "default"
+    # Joint smooth video fit (fitting/temporal.fit_video_smooth)
+    # constants — config-visible like every other SMPLify-style λ so
+    # parity sweeps and the public API can reach them. Weights are in
+    # the prior-weight unit system (internally ×scale²).
+    video_smooth_theta: float = 1000.0   # λ‖θ_t − θ_{t−1}‖²
+    video_smooth_cam: float = 1000.0     # λ‖cam_t − cam_{t−1}‖²
+    video_select_weight: float = 0.1     # Viterbi yaw-transition cost
     # Global-yaw initialization: "limb_order" (default) = closed-form
     # facing estimate from the 2D left/right limb ordering
     # (fit.yaw_from_limb_order — resolves the monocular front/back
