@@ -121,3 +121,16 @@ def test_shutdown_fails_stragglers_instead_of_hanging():
     srv.shutdown()
     with pytest.raises(RuntimeError, match="shut down"):
         straggler.result(timeout=60)
+
+
+def test_fields_selection_trims_response(est):
+    """fields=... returns only the named result tensors (a dict) — the
+    response-payload knob for bandwidth-limited serving."""
+    rng = np.random.RandomState(1)
+    frame = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    with serving.BatchingServer(est, max_batch=2, max_wait_ms=0.0,
+                                fields=("theta", "joints2d")) as srv:
+        out = srv.submit(frame).result(timeout=300)
+    assert set(out) == {"theta", "joints2d"}
+    assert out["theta"].shape == (72,)
+    assert out["joints2d"].shape == (14, 2)

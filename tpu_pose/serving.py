@@ -96,18 +96,27 @@ class BatchingServer:
       max_wait_ms: how long the dispatcher waits to fill a batch after
         the first request arrives. 0 = dispatch whatever is queued.
       buckets: static batch sizes to compile; default power-of-two.
+      fields: result fields to return (e.g. ``("theta", "beta", "cam",
+        "joints2d", "conf")``). None returns everything. The fused
+        result's mesh (``vertices``: ~80 KB/frame) dominates the
+        device→host response; serving consumers that reconstruct the
+        mesh client-side (SMPL is deterministic in (θ, β)) should drop
+        it — on a bandwidth-limited host link the response transfer is
+        part of the serving critical path.
 
     Use as a context manager, or call :meth:`shutdown`.
     """
 
     def __init__(self, estimator, max_batch: int = 64,
                  max_wait_ms: float = 5.0,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 fields: Optional[Sequence[str]] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.estimator = estimator
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.fields = None if fields is None else tuple(fields)
         self.buckets = tuple(sorted(set(
             buckets if buckets is not None else default_buckets(max_batch))))
         if self.buckets[-1] != max_batch:
@@ -214,6 +223,8 @@ class BatchingServer:
             padded = np.stack(images + [images[-1]] * (bucket - n))
             try:
                 res = self.estimator.estimate_and_fit(jnp.asarray(padded))
+                if self.fields is not None:
+                    res = {k: getattr(res, k) for k in self.fields}
                 res = jax.tree.map(np.asarray, res)  # one host transfer
                 now = time.perf_counter()
                 for i, fut in enumerate(futures):
