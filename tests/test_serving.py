@@ -134,3 +134,8 @@ def test_fields_selection_trims_response(est):
     assert set(out) == {"theta", "joints2d"}
     assert out["theta"].shape == (72,)
     assert out["joints2d"].shape == (14, 2)
+
+
+def test_fields_validated_at_construction(est):
+    with pytest.raises(ValueError, match="unknown result fields"):
+        serving.BatchingServer(est, max_batch=2, fields=("thetas",))

@@ -371,12 +371,17 @@ class PoseEstimator:
         device program."""
         from tpu_pose.fitting import temporal
         # NETWORK-frame joints for the fit (the letterboxed preprocessing
-        # still applies when configured); source mapping happens at the end.
-        fn = jax.jit(functools.partial(
-            cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
-            chunk=self.cpm_microbatch, refine_center=self.refine_center,
-            letterbox=self.letterbox, source_frame=False))
-        _, joints_net, conf = fn(
+        # still applies when configured); source mapping happens at the
+        # end. The jitted 2D front end is cached on self — rebuilding it
+        # per call would retrace+recompile every time.
+        key = ("stream2d", self.refine_center, self.letterbox)
+        if key not in self._fit_multistart:
+            self._fit_multistart[key] = jax.jit(functools.partial(
+                cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
+                chunk=self.cpm_microbatch,
+                refine_center=self.refine_center,
+                letterbox=self.letterbox, source_frame=False))
+        _, joints_net, conf = self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), frames)
         res = temporal.fit_video_stream(
             self.smpl_model, joints_net, conf, cfg=self.fit_cfg,

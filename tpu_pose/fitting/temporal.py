@@ -139,7 +139,9 @@ def _viterbi_select(energy: jnp.ndarray,     # (T, R) hypothesis energies
     if frame_mask is not None:
         # Padded frames (mask 0, streaming) contribute no unary cost and
         # no transition cost — they must not steer the real frames.
-        e = e * frame_mask[:, None]
+        # where(), NOT multiplication: a diverged pad hypothesis has
+        # e = inf and inf·0 = NaN, which would poison the whole DP.
+        e = jnp.where(frame_mask[:, None] > 0, e, 0.0)
         step_w = weight * frame_mask[1:] * frame_mask[:-1]
     else:
         step_w = jnp.full(e.shape[0] - 1, weight)
@@ -267,7 +269,10 @@ def fit_video_smooth(
                 {"theta": th, "beta": be, "cam": ca},
                 model, j, c, stage, cfg, prior)
         )(p["theta"], beta_per_frame(p["beta"]), p["cam"], obs, conf_seq)
-        return e if frame_mask is None else e * frame_mask
+        # where(), not multiplication: a NaN/inf pad-frame energy times 0
+        # is NaN and would take the whole sequence's gradients down.
+        return e if frame_mask is None else jnp.where(frame_mask > 0, e,
+                                                      0.0)
 
     step_mask = (jnp.ones(t_frames - 1) if frame_mask is None
                  else frame_mask[1:] * frame_mask[:-1])

@@ -117,6 +117,14 @@ class BatchingServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.fields = None if fields is None else tuple(fields)
+        if self.fields is not None:
+            from tpu_pose.api import EstimateAndFitResult, PoseEstimator
+            if isinstance(estimator, PoseEstimator):
+                unknown = set(self.fields) - set(
+                    EstimateAndFitResult._fields)
+                if unknown:
+                    raise ValueError(
+                        f"unknown result fields: {sorted(unknown)}")
         self.buckets = tuple(sorted(set(
             buckets if buckets is not None else default_buckets(max_batch))))
         if self.buckets[-1] != max_batch:
@@ -124,6 +132,7 @@ class BatchingServer:
         self.stats = ServerStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -136,10 +145,15 @@ class BatchingServer:
         if image.ndim != 3:
             raise ValueError(f"submit takes one (H, W, 3) frame, "
                              f"got shape {image.shape}")
-        if self._closed:
-            raise RuntimeError("server is shut down")
         fut: Future = Future()
-        self._queue.put((np.asarray(image), fut, time.perf_counter()))
+        # Lock pairs the closed-check with the enqueue: without it a
+        # submit racing shutdown() can land BEHIND the sentinel after
+        # the dispatcher already drained and exited — a Future that
+        # never resolves.
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._queue.put((np.asarray(image), fut, time.perf_counter()))
         return fut
 
     def submit_many(self, images: np.ndarray) -> list:
@@ -240,10 +254,11 @@ class BatchingServer:
 
     def shutdown(self, wait: bool = True):
         """Stop accepting requests; drain the queue, then stop."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         if wait:
             self._thread.join()
 
