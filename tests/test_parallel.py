@@ -178,3 +178,52 @@ def test_pad_to_multiple():
     assert padded.shape == (8, 3) and n == 5
     same, n2 = mesh_lib.pad_to_multiple(np.ones((8, 3)), 8)
     assert same.shape == (8, 3) and n2 == 8
+
+
+def test_video_smooth_sharded_over_frames_matches_single(est):
+    """Sequence parallelism for the ONE frame-coupled computation in the
+    framework: the joint smooth video fit's temporal-smoothness terms
+    couple neighboring frames, so sharding the T axis over the mesh makes
+    XLA materialize halo collectives for the shifted differences — and
+    the result must be identical to the single-device fit. (SURVEY.md §5
+    records ring/Ulysses machinery as unnecessary; this shows the
+    coupling that DOES exist shards correctly with plain NamedSharding.)"""
+    from tpu_pose.fitting import temporal
+    from tpu_pose.models import smpl as smpl_lib
+    from tpu_pose.models import joints as joints_lib
+    from tpu_pose.models import camera as camera_lib
+
+    mesh = mesh_lib.make_mesh()
+    model = est.smpl_model
+    rng = np.random.RandomState(4)
+    T = 16
+    thA, thB = rng.randn(72) * 0.2, rng.randn(72) * 0.2
+    js, cs = [], []
+    for t in range(T):
+        w = t / (T - 1.0)
+        th = jnp.asarray((1 - w) * thA + w * thB, jnp.float32)
+        out = smpl_lib.smpl_forward(model, jnp.zeros(10), th)
+        j3d = joints_lib.select_smpl_joints(out.joints)
+        js.append((camera_lib.weak_perspective_project(
+            j3d, jnp.asarray([0.9, 0.0, 0.0])) + 1.0) * 32.0)
+        cs.append(jnp.ones(14))
+    j_seq, c_seq = jnp.stack(js), jnp.stack(cs)
+
+    fit = lambda m, j, c: temporal.fit_video_smooth(  # noqa: E731
+        m, j, c, cfg=SMALL_FIT, restarts=2, iters=30)
+    single = jax.jit(fit)(model, j_seq, c_seq)
+
+    batch_s = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    sharded_fn = jax.jit(fit, in_shardings=(repl, batch_s, batch_s),
+                         out_shardings=batch_s)
+    sharded = sharded_fn(mesh_lib.replicate(model, mesh),
+                         jax.device_put(j_seq, batch_s),
+                         jax.device_put(c_seq, batch_s))
+
+    np.testing.assert_allclose(np.asarray(sharded.theta),
+                               np.asarray(single.theta), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded.beta),
+                               np.asarray(single.beta), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded.energy),
+                               np.asarray(single.energy), atol=1e-5)
