@@ -153,3 +153,22 @@ def test_stream_and_multi_api_letterbox_consistency():
     j = np.asarray(multi.joints2d)
     assert np.isfinite(j).all()
     assert j[..., 0].max() > 64.0 - 1e-3  # beyond network width ⇒ source
+
+
+def test_host_letterbox_twin_matches_in_graph():
+    """ops/preprocess.letterbox_image_np (the serving submit-time path)
+    must match the in-graph letterbox to uint8 rounding, and return the
+    same affine letterbox_affine computes."""
+    from tpu_pose.ops import preprocess as pre
+    rng = np.random.RandomState(0)
+    for (h, w) in [(480, 640), (100, 100), (64, 64), (37, 91)]:
+        img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        host, aff = pre.letterbox_image_np(img, 64)
+        assert host.dtype == np.uint8
+        dev = np.asarray(pre.letterbox_image(jnp.asarray(img), 64))
+        assert np.abs(host.astype(np.float32) - dev).max() <= 0.501
+        np.testing.assert_allclose(aff, pre.letterbox_affine(h, w, 64))
+    # float input stays float (no quantization).
+    host_f, _ = pre.letterbox_image_np(
+        rng.rand(30, 50, 3).astype(np.float32) * 255, 64)
+    assert host_f.dtype == np.float32

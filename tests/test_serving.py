@@ -139,3 +139,62 @@ def test_fields_selection_trims_response(est):
 def test_fields_validated_at_construction(est):
     with pytest.raises(ValueError, match="unknown result fields"):
         serving.BatchingServer(est, max_batch=2, fields=("thetas",))
+
+
+def test_mixed_resolution_requests_batch_together(est):
+    """Requests of different (H, W) letterbox at submit time, ride ONE
+    device batch, and come back with joints2d in each request's SOURCE
+    pixels (VERDICT r2 next #3a — this traffic used to crash np.stack)."""
+    from tpu_pose.ops import preprocess as pre
+    rng = np.random.RandomState(3)
+    fa = rng.randint(0, 255, (80, 60, 3)).astype(np.uint8)   # portrait
+    fb = rng.randint(0, 255, (48, 96, 3)).astype(np.uint8)   # landscape
+    fc = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)   # exact size
+
+    with serving.BatchingServer(est, max_batch=4,
+                                max_wait_ms=300.0) as srv:
+        futs = [srv.submit(f) for f in (fa, fb, fc)]
+        results = [f.result(timeout=300) for f in futs]
+    assert srv.stats.snapshot()["batches"] == 1  # one mixed batch
+
+    # Oracle: letterbox each frame the same way, run the direct batched
+    # path, map joints back through each affine.
+    nets, affs = zip(*[pre.letterbox_image_np(f, 64) for f in (fa, fb, fc)])
+    direct = est.estimate_and_fit(np.stack(nets))
+    for i, (r, a) in enumerate(zip(results, affs)):
+        np.testing.assert_allclose(
+            r.theta, np.asarray(direct.theta[i]), atol=1e-4)
+        expect = (np.asarray(direct.joints2d[i]) - a[2:4]) / a[0:2]
+        np.testing.assert_allclose(r.joints2d, expect, atol=1e-3)
+    # (No in-bounds assertion: random weights can peak in the letterbox
+    # padding band, which legitimately maps outside the source frame.)
+
+
+def test_letterbox_affine_field(est):
+    """fields=(..., 'letterbox_affine') returns each request's
+    source→network affine; identity for exact-size frames."""
+    rng = np.random.RandomState(4)
+    with serving.BatchingServer(
+            est, max_batch=2, max_wait_ms=0.0,
+            fields=("joints2d", "letterbox_affine")) as srv:
+        small = srv.submit(
+            rng.randint(0, 255, (32, 64, 3)).astype(np.uint8)).result(300)
+        exact = srv.submit(
+            rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)).result(300)
+    assert set(small) == {"joints2d", "letterbox_affine"}
+    np.testing.assert_allclose(exact["letterbox_affine"], [1, 1, 0, 0])
+    from tpu_pose.ops import preprocess as pre
+    np.testing.assert_allclose(small["letterbox_affine"],
+                               pre.letterbox_affine(32, 64, 64))
+
+
+def test_pipelined_dispatch_many_batches(est):
+    """Back-to-back batches flow through the 1-deep pipeline with every
+    future resolving to its own frame's numbers (no cross-batch mixing)."""
+    with serving.BatchingServer(_EchoEstimator(), max_batch=2,
+                                max_wait_ms=0.0) as srv:
+        futs = [srv.submit(np.full((2, 2, 3), v, np.uint8))
+                for v in range(20)]
+        for v, f in enumerate(futs):
+            assert f.result(timeout=60)["first_px"] == v
+    assert srv.stats.snapshot()["requests"] == 20

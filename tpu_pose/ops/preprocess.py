@@ -96,6 +96,63 @@ def letterbox_image(img: jnp.ndarray, size: int,
     return jax.lax.dynamic_update_slice(out, r, (off_y, off_x, 0))
 
 
+def _resample_weights_np(n_in: int, n_out: int):
+    """Separable triangle-kernel resampling plan (idx (n_out, k) int,
+    w (n_out, k) f32) matching ``jax.image.resize(method='linear')``
+    semantics: half-pixel-center sampling, anti-aliased (kernel support
+    widens by 1/scale) when downscaling, weights renormalized at the
+    borders. Host-side numpy twin for the serving front end."""
+    scale = n_out / n_in
+    support = max(1.0, 1.0 / scale)           # triangle half-width (input px)
+    k = int(np.ceil(2.0 * support)) + 1
+    coords = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+    left = np.floor(coords - support).astype(np.int64) + 1
+    idx = left[:, None] + np.arange(k)[None, :]
+    dist = (idx - coords[:, None]) * min(scale, 1.0)
+    w = np.clip(1.0 - np.abs(dist), 0.0, None)
+    valid = (idx >= 0) & (idx < n_in)
+    w = np.where(valid, w, 0.0)
+    idx = np.clip(idx, 0, n_in - 1)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return idx, w.astype(np.float32)
+
+
+def resize_bilinear_np(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """(H, W, C) → (nh, nw, C) float32, triangle-kernel resampling with
+    the same conventions as the in-graph ``jax.image.resize``. Vectorized
+    gather+weight (O(k) per output pixel) — fast enough for a serving
+    front end on host."""
+    x = np.asarray(img, np.float32)
+    iy, wy = _resample_weights_np(x.shape[0], nh)
+    ix, wx = _resample_weights_np(x.shape[1], nw)
+    x = np.einsum("okwc,ok->owc", x[iy], wy)       # rows
+    x = np.einsum("hokc,ok->hoc", x[:, ix], wx)    # cols
+    return x
+
+
+def letterbox_image_np(img: np.ndarray, size: int, fill: float = 128.0):
+    """Host-numpy twin of :func:`letterbox_image` for per-request serving
+    preprocessing (mixed-resolution traffic letterboxes at submit time —
+    one static batch shape on device). Returns ``(net_image, affine)``
+    with ``net_image`` (size, size, C) in the INPUT's dtype family (uint8
+    stays uint8 — 4× smaller on a bandwidth-limited host→device link) and
+    ``affine`` the :func:`letterbox_affine` source→network mapping."""
+    img = np.asarray(img)
+    h0, w0, c = img.shape
+    affine = letterbox_affine(h0, w0, size)
+    nh, nw, off_y, off_x = _letterbox_geometry(h0, w0, size)
+    r = (resize_bilinear_np(img, nh, nw) if (nh, nw) != (h0, w0)
+         else np.asarray(img, np.float32))
+    if (nh, nw) == (size, size):
+        out = r
+    else:
+        out = np.full((size, size, c), np.float32(fill))
+        out[off_y:off_y + nh, off_x:off_x + nw] = r
+    if img.dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out, affine
+
+
 def joints_to_source_frame(joints_net: jnp.ndarray,
                            affine) -> jnp.ndarray:
     """Map (..., P, 2) network-frame pixel joints back to source-image
