@@ -164,3 +164,50 @@ def test_select_people_pose_dedupe():
     # Without joints, score-only selection keeps both in both frames.
     mask_s = np.asarray(cpm.select_people(scores))
     assert mask_s.tolist() == [[True, True], [True, True]]
+
+
+def test_multi_person_fit_first_class_levers():
+    """The per-hypothesis fits get the SAME accuracy levers as the
+    single-person fused path (VERDICT r2 weak #2): fit_restarts>1 runs a
+    yaw multistart per hypothesis (matching fit_smpl_multistart on the
+    same decoded joints), and an attached init head warm-starts the
+    single-start path."""
+    from tpu_pose.fitting import fit as fit_lib
+    from tpu_pose.fitting import init_head as head_lib
+
+    rng = np.random.RandomState(1)
+    half_joints = rng.rand(14, 2).astype(np.float32) * 24 + 4
+    from tpu_pose.data import synthetic
+    frame = np.maximum(synthetic.render_blob_image(half_joints, 64),
+                       synthetic.render_blob_image(half_joints + [32, 16],
+                                                   64))
+    imgs = jnp.asarray(frame[None])
+
+    est_ms = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, fit_restarts=2,
+        with_prior=False)
+    res = est_ms.estimate_and_fit_multi(imgs, max_people=2)
+    assert res.theta.shape == (1, 2, 72)
+    # Oracle: multistart fit on the decoded per-hypothesis joints.
+    e2d = cpm.estimate_2d_multi(est_ms.cpm_params, imgs, SMALL,
+                                max_people=2)
+    _, joints, conf, _ = e2d
+    want = fit_lib.fit_smpl_multistart(
+        est_ms.smpl_model, joints[0, 1], conf[0, 1], cfg=SMALL_FIT,
+        restarts=2)
+    np.testing.assert_allclose(np.asarray(res.theta[0, 1]),
+                               np.asarray(want.theta), atol=1e-4)
+
+    # Init head: attached head changes the single-start solution vs the
+    # mean-pose init (it warm-starts every hypothesis).
+    head = head_lib.init_head_params(jax.random.PRNGKey(0))
+    est_head = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False,
+        init_head=head)
+    est_plain = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False)
+    r_head = est_head.estimate_and_fit_multi(imgs, max_people=2)
+    r_plain = est_plain.estimate_and_fit_multi(imgs, max_people=2)
+    assert np.isfinite(np.asarray(r_head.theta)).all()
+    assert not np.allclose(np.asarray(r_head.theta),
+                           np.asarray(r_plain.theta), atol=1e-5)

@@ -77,6 +77,7 @@ class PoseEstimator:
                  calibration_images=None,
                  fit_restarts: int = 1,
                  refine_center: bool = False,
+                 refine_scale: bool = False,
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
                  cpm_microbatch: int = 0,
@@ -134,6 +135,11 @@ class PoseEstimator:
         # True: the fused path localizes the person from stage-1 beliefs
         # instead of assuming centered crops (SURVEY.md §2 row 2).
         self.refine_center = refine_center
+        # True: two-pass in-graph scale normalization — stage-1 geometry
+        # estimate, crop/zoom, full forward on the normalized crop
+        # (models/cpm.py estimate_2d_from_images refine_scale; completes
+        # the person-centric contract for SCALE). Subsumes refine_center.
+        self.refine_scale = refine_scale
         # True: aspect-preserving resize+pad preprocessing (the reference's
         # "resize → pad" contract); decoded joints come back in SOURCE
         # image pixels. Default False = square resize, network-frame px.
@@ -204,26 +210,33 @@ class PoseEstimator:
             return self.cpm_params_bf16
         return self.cpm_params
 
-    def _estimate_2d_fn(self, refine_center: bool, letterbox: bool):
-        key = (refine_center, letterbox)
+    def _estimate_2d_fn(self, refine_center: bool, letterbox: bool,
+                        refine_scale: bool = False):
+        key = (refine_center, letterbox, refine_scale)
         if key not in self._estimate_2d_cache:
             self._estimate_2d_cache[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
                 chunk=self.cpm_microbatch,
-                refine_center=refine_center, letterbox=letterbox))
+                refine_center=refine_center, refine_scale=refine_scale,
+                letterbox=letterbox))
         return self._estimate_2d_cache[key]
 
     def estimate_2d(self, images: jnp.ndarray,
                     refine_center: bool = False,
+                    refine_scale: Optional[bool] = None,
                     letterbox: Optional[bool] = None) -> Estimate2DResult:
         """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
 
         ``refine_center=True`` localizes the person from stage-1 beliefs
         instead of assuming a centered crop (SURVEY.md §2 row 2).
+        ``refine_scale`` (default: the constructor setting) adds the
+        two-pass crop/zoom scale normalization on top — joints still come
+        back in the INPUT frame (crop affine inverted in-graph).
         ``letterbox`` (default: the constructor setting) preserves aspect
         via resize+pad and returns joints in SOURCE image pixels."""
         lb = self.letterbox if letterbox is None else letterbox
-        fn = self._estimate_2d_fn(refine_center, lb)
+        rs = self.refine_scale if refine_scale is None else refine_scale
+        fn = self._estimate_2d_fn(refine_center, lb, rs)
         hm, joints, conf = fn(self._params_for_batch(images.shape[0]),
                               images)
         return Estimate2DResult(hm, joints, conf)
@@ -280,6 +293,7 @@ class PoseEstimator:
             cpm_params, images, cfg=self.cpm_cfg,
             chunk=self.cpm_microbatch,
             refine_center=self.refine_center,
+            refine_scale=self.refine_scale,
             letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
@@ -316,6 +330,7 @@ class PoseEstimator:
         _, joints, conf = cpm_lib.estimate_2d_microbatched(
             cpm_params, frames, cfg=self.cpm_cfg,
             chunk=self.cpm_microbatch, refine_center=self.refine_center,
+            refine_scale=self.refine_scale,
             letterbox=self.letterbox, source_frame=False)
         from tpu_pose.fitting import temporal
         if mode == "smooth":
@@ -380,12 +395,14 @@ class PoseEstimator:
         # ran the whole sequence in one program, so a 10k-frame stream
         # OOM'd before the chunked fit started).
         chunk2d = self.cpm_microbatch if self.cpm_microbatch > 0 else chunk
-        key = ("stream2d", self.refine_center, self.letterbox, chunk2d)
+        key = ("stream2d", self.refine_center, self.refine_scale,
+               self.letterbox, chunk2d)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
                 chunk=chunk2d,
                 refine_center=self.refine_center,
+                refine_scale=self.refine_scale,
                 letterbox=self.letterbox, source_frame=False))
         _, joints_net, conf = self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), frames)
@@ -415,9 +432,19 @@ class PoseEstimator:
                                      dup_px=dup_px)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
-        res = fit_lib.fit_smpl_batch(
-            smpl_model, flat(joints), flat(conf), cfg=self.fit_cfg,
-            prior=self.prior)
+        # Per-hypothesis fits are FIRST-CLASS (VERDICT r2 weak #2): the
+        # same accuracy levers as the single-person fused path — yaw
+        # multistart when fit_restarts > 1, else the learned init head
+        # (limb-order yaw init is inside default_init either way).
+        if self.fit_restarts > 1:
+            res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
+                smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
+                restarts=self.fit_restarts))(flat(joints), flat(conf))
+        else:
+            init = self._head_init(smpl_model, flat(joints), flat(conf))
+            res = fit_lib.fit_smpl_batch(
+                smpl_model, flat(joints), flat(conf), cfg=self.fit_cfg,
+                prior=self.prior, init=init)
         out = smpl_lib.smpl_forward_batch(
             smpl_model, res.beta, res.theta,
             precision=smpl_lib.EXACT_PRECISION)
