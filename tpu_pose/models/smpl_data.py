@@ -98,11 +98,15 @@ def load_smpl_pickle(path: str, dtype=jnp.float32) -> SMPLData:
     dd = {(k.decode() if isinstance(k, bytes) else k): v
           for k, v in dd.items()}
 
-    posedirs = _densify(dd["posedirs"]).reshape(NUM_VERTS, 3, NUM_POSE_BASIS)
+    v_template = _densify(dd["v_template"])
+    # Infer the vertex count from v_template: real files ship 6890, but
+    # posedirs sometimes arrives flattened ((V·3, 207)) — reshape against
+    # the file's own V rather than a hard-coded constant.
+    posedirs = _densify(dd["posedirs"]).reshape(len(v_template), 3, -1)
     parents = _densify(dd["kintree_table"])[0].astype(np.int64)
     parents[0] = -1  # root parent is stored as 4294967295 in the pickle
     return SMPLData(
-        v_template=jnp.asarray(_densify(dd["v_template"]), dtype),
+        v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(
             _densify(dd["shapedirs"])[..., :NUM_BETAS], dtype),
         posedirs=jnp.asarray(posedirs, dtype),
