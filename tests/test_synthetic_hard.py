@@ -1,0 +1,119 @@
+"""Hard synthetic benchmark (data/synthetic_hard.py — VERDICT r2 next
+#2): mesh-rendered people over cluttered backgrounds with scale/offset
+jitter and occlusion. These tests pin the GT contracts the accuracy
+measurements depend on."""
+
+import numpy as np
+import pytest
+
+from tpu_pose.data import synthetic_hard as sh
+from tpu_pose.models import joints as joints_lib
+from tpu_pose.models import smpl_data
+from tpu_pose.utils.config import CPMConfig
+
+CFG = CPMConfig(input_size=128)  # small frames keep the suite fast
+
+
+@pytest.fixture(scope="module")
+def model():
+    return smpl_data.synthetic_smpl(seed=0)
+
+
+@pytest.fixture(scope="module")
+def ex(model):
+    return sh.make_hard_examples(model, 6, CFG, seed=3,
+                                 scale_range=(0.4, 1.0),
+                                 occlusion_prob=0.5)
+
+
+def test_schema_and_shapes(ex):
+    assert ex["images"].shape == (6, 128, 128, 3)
+    assert ex["images"].dtype == np.uint8
+    assert ex["heatmaps"].shape == (6, 16, 16, 15)
+    assert ex["joints2d"].shape == (6, 14, 2)
+    assert ex["centers"].shape == (6, 2)
+    assert ex["scales"].shape == (6,)
+    assert ex["visibility"].shape == (6, 14)
+
+
+def test_determinism(model):
+    a = sh.make_hard_examples(model, 2, CFG, seed=7)
+    b = sh.make_hard_examples(model, 2, CFG, seed=7)
+    np.testing.assert_array_equal(a["images"], b["images"])
+    np.testing.assert_array_equal(a["joints2d"], b["joints2d"])
+
+
+def test_gt_geometry_convention(ex):
+    """joints2d must equal the scale/offset mapping of the SMPL joints:
+    centered 14-joint extent → scales·(size/2) px around centers — the
+    SAME convention the easy set uses at fixed scale 0.8/center."""
+    j3d14 = ex["gt_joints3d"][:, joints_lib.CPM_TO_SMPL]
+    for i in range(len(j3d14)):
+        c3d = j3d14[i].mean(0)
+        extent = np.abs(j3d14[i] - c3d).max()
+        px_extent = np.abs(ex["joints2d"][i] - ex["centers"][i]).max()
+        # The projected L∞ extent uses only x/y, so it is ≤ the 3D bound
+        # but must reach a sane fraction of it.
+        bound = ex["scales"][i] * (CFG.input_size / 2.0)
+        assert px_extent <= bound + 1e-3
+        assert px_extent >= 0.3 * bound
+        # Re-project explicitly.
+        want = ((j3d14[i] - c3d)[:, :2] * (bound / extent)
+                + ex["centers"][i])
+        np.testing.assert_allclose(ex["joints2d"][i], want, atol=1e-3)
+
+
+def test_heatmaps_peak_at_joints(ex):
+    """Target heatmaps follow the cell-corner convention at the GT
+    joints (a +stride/2 drift here would bake a train/decode bias)."""
+    hm = ex["heatmaps"][0]
+    for j in range(14):
+        iy, ix = np.unravel_index(np.argmax(hm[..., j]), hm.shape[:2])
+        px = ex["joints2d"][0, j]
+        assert abs(ix * CFG.stride - px[0]) <= CFG.stride
+        assert abs(iy * CFG.stride - px[1]) <= CFG.stride
+
+
+def test_person_is_rendered_near_joints(ex):
+    """The rendered body must actually occupy the joint region: image
+    content inside the person bbox differs strongly from a pure
+    background render with the same seed-independent stats (we check
+    variance, not exact pixels)."""
+    for i in range(3):
+        lo = np.clip(ex["joints2d"][i].min(0).astype(int) - 4, 0, 127)
+        hi = np.clip(ex["joints2d"][i].max(0).astype(int) + 4, 1, 128)
+        patch = ex["images"][i, lo[1]:hi[1], lo[0]:hi[0]]
+        assert patch.size > 0
+        assert patch.std() > 10.0  # textured body, not flat background
+
+
+def test_occlusion_marks_visibility(model):
+    ex = sh.make_hard_examples(model, 12, CFG, seed=11,
+                               occlusion_prob=1.0)
+    assert (ex["visibility"] == 0).any()  # some joints got covered
+    assert ex["visibility"].mean() > 0.5  # but not everything
+
+
+def test_multi_person_schema_and_separation(model):
+    m = sh.make_hard_multi_examples(model, 4, CFG, seed=5)
+    assert m["images"].shape == (4, 128, 128, 3)
+    assert m["joints2d"].shape == (4, 2, 14, 2)
+    assert m["gt_joints3d"].shape == (4, 2, 24, 3)
+    # Left/right placement: person 0 center left of person 1.
+    assert (m["centers"][:, 0, 0] < m["centers"][:, 1, 0]).all()
+
+
+def test_train_batches_schema(model):
+    b = next(sh.hard_train_batches(model, 3, 1, CFG, seed=0,
+                                   raw_images=True))
+    assert b["images"].dtype == np.uint8
+    assert b["images"].shape == (3, 128, 128, 3)
+    assert b["center_maps"].shape == (3, 128, 128, 1)
+    assert b["heatmaps"].shape == (3, 16, 16, 15)
+    # Center maps peak at each frame's GT person center, not the frame
+    # center (the GT-centered training convention).
+    ex = sh.make_hard_examples(model, 3, CFG, seed=0)
+    for i in range(3):
+        iy, ix = np.unravel_index(np.argmax(b["center_maps"][i, ..., 0]),
+                                  (128, 128))
+        np.testing.assert_allclose([ix, iy], ex["centers"][i], atol=1.0)
