@@ -1,6 +1,8 @@
 """CPM graph tests (SURVEY.md §4.3): per-stage shapes (368→46 stride-8),
 jit/eager equality with fixed random weights, decode fusion."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -179,3 +181,76 @@ def test_share_trunk_forward_and_train():
         p, imgs, cmap, jnp.zeros((2, 8, 8, 15)), cfg))(params)
     g = jnp.abs(loss["conv1_stage1"]["w"]).sum()
     assert float(g) > 0
+
+
+# -- person-scale refinement (VERDICT r2 next #1) ---------------------------
+
+def test_estimate_person_geometry_recovers_center_and_extent():
+    """Synthetic stage-1 beliefs painted at known joints → the geometry
+    estimate recovers their confidence-weighted center and L∞ extent."""
+    from tpu_pose.data.synthetic import gaussian_heatmaps
+    rng = np.random.RandomState(0)
+    joints = rng.rand(14, 2).astype(np.float32) * 200 + np.array([80, 60])
+    beliefs = jnp.asarray(
+        gaussian_heatmaps(joints, 368, 8, sigma=2.0)[None])
+    cfg = CPMConfig()
+    centers, extent = cpm.estimate_person_geometry(beliefs, cfg)
+    c_gt = joints.mean(0)
+    e_gt = np.abs(joints - c_gt).max()
+    np.testing.assert_allclose(np.asarray(centers)[0], c_gt, atol=6.0)
+    assert abs(float(extent[0]) - e_gt) < 0.25 * e_gt, (float(extent[0]),
+                                                        e_gt)
+
+
+def test_crop_zoom_affine_semantics():
+    """_crop_zoom must implement crop_px = net_px·s + t: a bright square
+    at net p lands at p·s + t in the crop (traced affine, vmapped)."""
+    size = 64
+    img = np.zeros((2, size, size, 1), np.float32)
+    p = np.array([[40.0, 24.0], [12.0, 50.0]])
+    for i, (px, py) in enumerate(p):
+        img[i, int(py) - 1:int(py) + 2, int(px) - 1:int(px) + 2] = 1.0
+    s = jnp.asarray([1.5, 0.75])
+    t = jnp.asarray([[-20.0, 5.0], [10.0, -6.0]])
+    out = jax.jit(cpm._crop_zoom)(jnp.asarray(img), s, t)
+    for i in range(2):
+        o = np.asarray(out[i, ..., 0])
+        iy, ix = np.unravel_index(np.argmax(o), o.shape)
+        want = p[i] * float(s[i]) + np.asarray(t[i])
+        np.testing.assert_allclose([ix, iy], want, atol=2.5)
+    # Inverse mapping round-trips.
+    j_crop = jnp.asarray(p)[:, None, :] * s[:, None, None] + t[:, None, :]
+    back = cpm.joints_from_crop_frame(j_crop, s, t)
+    np.testing.assert_allclose(np.asarray(back)[:, 0], p, atol=1e-4)
+
+
+def test_crop_affine_clamps_zoom():
+    cfg = CPMConfig(input_size=64)
+    centers = jnp.asarray([[32.0, 32.0], [32.0, 32.0]])
+    # Tiny extent would zoom ×100 — must clamp to max_zoom.
+    s, t = cpm.crop_affine_from_geometry(
+        centers, jnp.asarray([0.2, 25.0]), cfg, max_zoom=3.0)
+    np.testing.assert_allclose(np.asarray(s), [3.0, 0.8 * 32 / 25.0],
+                               rtol=1e-5)
+    # Center maps to frame center under the affine.
+    np.testing.assert_allclose(
+        np.asarray(centers * s[:, None] + t), [[32, 32], [32, 32]],
+        rtol=1e-5)
+
+
+def test_refine_scale_end_to_end_shapes(small_params):
+    """The two-pass refine_scale path jits, returns input-frame joints,
+    and differs from the single-pass decode (the crop changed what the
+    refinement stages saw)."""
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3)),
+        jnp.uint8)
+    hm, j, c = jax.jit(functools.partial(
+        cpm.estimate_2d_from_images, cfg=SMALL, refine_scale=True))(
+            small_params, imgs)
+    assert hm.shape == (2, 8, 8, 15)
+    assert j.shape == (2, 14, 2)
+    assert np.isfinite(np.asarray(j)).all()
+    _, j0, _ = jax.jit(functools.partial(
+        cpm.estimate_2d_from_images, cfg=SMALL))(small_params, imgs)
+    assert not np.allclose(np.asarray(j), np.asarray(j0), atol=1e-3)

@@ -392,8 +392,11 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             cfg: CPMConfig = CPMConfig(),
                             beta: float = 100.0,
                             refine_center: bool = False,
+                            refine_scale: bool = False,
                             letterbox: bool = False,
-                            source_frame: bool = True):
+                            source_frame: bool = True,
+                            scale_target_frac: float = 0.8,
+                            max_zoom: float = 3.0):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
@@ -406,6 +409,16 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         refinement stages (no reliance on XLA CSE; the FLOP overhead is
         just the per-image Gaussian hint — asserted ≤1.02× by
         tests/test_cpm.py::test_refine_center_flop_overhead).
+      refine_scale: TWO-PASS scale normalization (SURVEY.md §2 row 2's
+        contract completed for SCALE, VERDICT r2 next #1): a stage-1-only
+        first pass estimates the person's center and extent
+        (:func:`estimate_person_geometry`); an in-graph crop/zoom
+        (``jax.image.scale_and_translate`` — traced affine, static
+        shapes) renormalizes the person to the scale the network trains
+        at; the FULL network then runs on the crop and decoded joints map
+        back through the inverse crop affine. Subsumes refine_center (the
+        crop is person-centered, so the centered hint is correct).
+        Overhead: one extra stage-1 pass ≈ 1.35× FLOPs.
       letterbox: aspect-preserving resize + centered pad (the reference's
         "resize → pad" contract, SURVEY.md §2 row 1) instead of a
         distorting square resize; use for non-square inputs.
@@ -413,11 +426,27 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         image pixels (the natural user contract); False keeps them in the
         network frame (the fused fit consumes network-frame joints).
     Returns: (heatmaps (B, 46, 46, P+1), joints_px (B, P, 2), conf (B, P)).
+    With ``refine_scale`` the heatmaps are in the CROP frame (joints are
+    mapped back; per-pixel consumers should use the crop affine).
     """
     x = jax.vmap(lambda im: pre.preprocess(
         im, cfg.input_size, letterbox=letterbox))(images)
     conv, dtype = _make_conv(params, cfg)
     trunk1, b1 = _stage1_forward(conv, x)   # computed exactly once
+
+    crop_s = crop_t = None
+    if refine_scale:
+        centers, extent = estimate_person_geometry(b1, cfg)
+        crop_s, crop_t = crop_affine_from_geometry(
+            centers, extent, cfg, target_frac=scale_target_frac,
+            max_zoom=max_zoom)
+        x = _crop_zoom(x, crop_s, crop_t)
+        # Second pass on the scale-normalized crop; the person is now
+        # centered at training scale, so the assume-centered contract
+        # holds by construction.
+        trunk1, b1 = _stage1_forward(conv, x)
+        refine_center = False
+
     if cfg.use_center_map:
         if refine_center:
             # Stage-1 beliefs (already in hand) → per-image centers →
@@ -437,11 +466,97 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         heatmaps = _refine_forward(conv, dtype, x, trunk1, b1, cmap, cfg,
                                    cfg.num_stages)[-1]
     joints, conf = _decode(heatmaps, cfg, beta)
+    if crop_s is not None:
+        joints = joints_from_crop_frame(joints, crop_s, crop_t)
     if letterbox and source_frame:
         affine = pre.letterbox_affine(
             images.shape[1], images.shape[2], cfg.input_size)
         joints = pre.joints_to_source_frame(joints, affine)
     return heatmaps, joints, conf
+
+
+def estimate_person_geometry(stage1_beliefs: jnp.ndarray,
+                             cfg: CPMConfig = CPMConfig(),
+                             beta: float = 30.0):
+    """Stage-1 beliefs (B, h, h, P+1) → per-image person center AND
+    scale, in input pixels (SURVEY.md §2 row 2's contract completed for
+    scale — VERDICT r2 next #1).
+
+    Per-part soft-argmax over the stage-1 part channels gives 14 coarse
+    joint estimates; the person center is their confidence-weighted mean
+    and the scale is the confidence-weighted L∞ extent around it — the
+    same extent convention the synthetic data defines GT scale with
+    (``scale_frac = extent_px / (input_size/2)``). Confidence weighting
+    (normalized per-part peak belief) keeps background-noise channels
+    from inflating the extent.
+
+    Returns (centers (B, 2) px, extent_px (B,)).
+    """
+    joints, conf = decode_lib.soft_argmax(stage1_beliefs, beta=beta,
+                                          stride=cfg.stride)
+    # conf is the raw per-part max belief — can be NEGATIVE on untrained
+    # or degenerate maps; clamp before using it as a weight.
+    conf = jnp.maximum(conf, 1e-6)
+    w = conf / (jnp.sum(conf, axis=-1, keepdims=True) + 1e-8)  # (B, P)
+    centers = jnp.sum(w[..., None] * joints, axis=-2)          # (B, 2)
+    d = jnp.max(jnp.abs(joints - centers[..., None, :]), axis=-1)  # L∞
+    # Soft-max-like extent: weight each part's distance by its relative
+    # confidence so one noisy channel can only overestimate mildly
+    # (overestimation zooms LESS — the safe direction).
+    wmax = conf / (jnp.max(conf, axis=-1, keepdims=True) + 1e-8)
+    extent = jnp.max(d * jnp.sqrt(wmax), axis=-1)
+    return centers, extent
+
+
+def crop_affine_from_geometry(centers: jnp.ndarray, extent_px: jnp.ndarray,
+                              cfg: CPMConfig = CPMConfig(),
+                              target_frac: float = 0.8,
+                              max_zoom: float = 3.0,
+                              min_zoom: float = 0.5):
+    """(centers, extent) → per-image crop affine (s, t) with
+    ``crop_px = net_px · s + t``: zoom chosen so the person's extent maps
+    to ``target_frac`` of the half-frame (the scale the network trains
+    at) and the center maps to the frame center. Zoom is clamped to
+    [min_zoom, max_zoom] — a missing/degenerate detection must not
+    explode the resample. Returns (s (B,), t (B, 2))."""
+    half = cfg.input_size / 2.0
+    s = target_frac * half / jnp.maximum(extent_px, 1e-3)
+    s = jnp.clip(s, min_zoom, max_zoom)
+    t = half - centers * s[..., None]
+    return s, t
+
+
+def _crop_zoom(images_net: jnp.ndarray, s: jnp.ndarray, t: jnp.ndarray,
+               fill: float = 0.0) -> jnp.ndarray:
+    """Apply per-image crop affines to the (already preprocessed)
+    network-frame batch via ``jax.image.scale_and_translate`` (traced
+    scale/translation — no dynamic shapes). Out-of-window regions fill
+    with ``fill`` (0 = mid-gray in the normalized x/256−0.5 space)."""
+    size = images_net.shape[1]
+
+    def one(im, si, ti):
+        out = jax.image.scale_and_translate(
+            im, (size, size, im.shape[-1]), (0, 1),
+            jnp.stack([si, si]), ti[::-1],  # spatial dims are (y, x)
+            method="linear")
+        # scale_and_translate zero-fills outside the source support;
+        # shift to `fill` by resampling a constant-1 mask alongside.
+        if fill != 0.0:
+            ones = jnp.ones_like(im[..., :1])
+            cov = jax.image.scale_and_translate(
+                ones, (size, size, 1), (0, 1), jnp.stack([si, si]),
+                ti[::-1], method="linear")
+            out = out + (1.0 - cov) * fill
+        return out
+
+    return jax.vmap(one)(images_net, s, t)
+
+
+def joints_from_crop_frame(joints_crop: jnp.ndarray, s: jnp.ndarray,
+                           t: jnp.ndarray) -> jnp.ndarray:
+    """Map (B, P, 2) crop-frame joints back to the network frame through
+    the inverse crop affine."""
+    return (joints_crop - t[..., None, :]) / s[..., None, None]
 
 
 def person_evidence(stage1_beliefs: jnp.ndarray,
