@@ -186,6 +186,35 @@ def main():
         log(f"config5 streaming eval {ev_b * ev_n} frames: {dt:.2f} s -> "
             f"{ev_b * ev_n / dt:.1f} frames/s "
             f"(pa_mpjpe {ev['pa_mpjpe'] * 1e3:.1f} mm on random weights)")
+        # Config 6: open-loop serving load test (tpu_pose/serving.py) —
+        # mixed-RESOLUTION single-frame requests through the batching
+        # server (submit-time letterbox, 1-deep pipelined dispatch,
+        # trimmed response fields). One bucket so exactly one program
+        # compiles; measures the end-to-end request rate including host
+        # preprocessing and the device↔host transfers.
+        from tpu_pose import serving as serving_lib
+        n_req = 64 if args.quick else 256
+        shapes = [(368, 368), (480, 640), (720, 540)]
+        req_frames = [rng.randint(0, 255, shapes[i % 3] + (3,))
+                      .astype(np.uint8) for i in range(n_req)]
+        with serving_lib.BatchingServer(
+                est, max_batch=64, max_wait_ms=5.0, buckets=(64,),
+                fields=("theta", "beta", "cam", "joints2d",
+                        "conf")) as srv:
+            for f in (srv.submit(fr) for fr in req_frames[:64]):
+                f.result()  # warm: compile the bucket program
+            t0 = _time.perf_counter()
+            futs = [srv.submit(fr) for fr in req_frames]
+            for f in futs:
+                f.result()
+            dt = _time.perf_counter() - t0
+            snap = srv.stats.snapshot()
+        log(f"config6 serving open-loop {n_req} mixed-res reqs: "
+            f"{dt:.2f} s -> {n_req / dt:.1f} req/s "
+            f"(mean batch {snap['mean_batch']:.1f}, occupancy "
+            f"{snap['occupancy']:.2f}, p50 {snap['latency_ms_p50']:.0f} "
+            f"ms)")
+
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).
         from tpu_pose.utils.config import CPMConfig
