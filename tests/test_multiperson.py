@@ -211,3 +211,28 @@ def test_multi_person_fit_first_class_levers():
     assert np.isfinite(np.asarray(r_head.theta)).all()
     assert not np.allclose(np.asarray(r_head.theta),
                            np.asarray(r_plain.theta), atol=1e-5)
+
+
+def test_multi_refine_scale_runs_and_differs():
+    """Per-hypothesis scale normalization (refine_scale) jits through the
+    multi path, keeps joints in the input frame, and changes the decode
+    (each hypothesis re-runs on its own normalized crop)."""
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    run = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, refine_scale=True))
+    hm, joints, conf, scores = run(params, imgs)
+    assert joints.shape == (2, 2, 14, 2)
+    assert np.isfinite(np.asarray(joints)).all()
+    _, j0, _, _ = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2))(params, imgs)
+    assert not np.allclose(np.asarray(joints), np.asarray(j0), atol=1e-3)
+
+    # Through the fused API path as well.
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False,
+        refine_scale=True)
+    res = est.estimate_and_fit_multi(imgs, max_people=2)
+    assert res.theta.shape == (2, 2, 72)
+    assert np.isfinite(np.asarray(res.vertices)).all()

@@ -78,6 +78,7 @@ class PoseEstimator:
                  fit_restarts: int = 1,
                  refine_center: bool = False,
                  refine_scale: bool = False,
+                 scale_from_refined: bool = False,
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
                  cpm_microbatch: int = 0,
@@ -140,6 +141,10 @@ class PoseEstimator:
         # (models/cpm.py estimate_2d_from_images refine_scale; completes
         # the person-centric contract for SCALE). Subsumes refine_center.
         self.refine_scale = refine_scale
+        # With refine_scale: estimate the crop geometry from a FULL
+        # refined pass-1 decode instead of stage-1 beliefs (~2x cost,
+        # sharper geometry - accuracy mode).
+        self.scale_from_refined = scale_from_refined
         # True: aspect-preserving resize+pad preprocessing (the reference's
         # "resize → pad" contract); decoded joints come back in SOURCE
         # image pixels. Default False = square resize, network-frame px.
@@ -218,11 +223,12 @@ class PoseEstimator:
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
                 chunk=self.cpm_microbatch,
                 refine_center=refine_center, refine_scale=refine_scale,
+                scale_from_refined=self.scale_from_refined,
                 letterbox=letterbox))
         return self._estimate_2d_cache[key]
 
     def estimate_2d(self, images: jnp.ndarray,
-                    refine_center: bool = False,
+                    refine_center: Optional[bool] = None,
                     refine_scale: Optional[bool] = None,
                     letterbox: Optional[bool] = None) -> Estimate2DResult:
         """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
@@ -236,7 +242,8 @@ class PoseEstimator:
         via resize+pad and returns joints in SOURCE image pixels."""
         lb = self.letterbox if letterbox is None else letterbox
         rs = self.refine_scale if refine_scale is None else refine_scale
-        fn = self._estimate_2d_fn(refine_center, lb, rs)
+        rc = self.refine_center if refine_center is None else refine_center
+        fn = self._estimate_2d_fn(rc, lb, rs)
         hm, joints, conf = fn(self._params_for_batch(images.shape[0]),
                               images)
         return Estimate2DResult(hm, joints, conf)
@@ -294,6 +301,7 @@ class PoseEstimator:
             chunk=self.cpm_microbatch,
             refine_center=self.refine_center,
             refine_scale=self.refine_scale,
+            scale_from_refined=self.scale_from_refined,
             letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
@@ -331,6 +339,7 @@ class PoseEstimator:
             cpm_params, frames, cfg=self.cpm_cfg,
             chunk=self.cpm_microbatch, refine_center=self.refine_center,
             refine_scale=self.refine_scale,
+            scale_from_refined=self.scale_from_refined,
             letterbox=self.letterbox, source_frame=False)
         from tpu_pose.fitting import temporal
         if mode == "smooth":
@@ -403,6 +412,7 @@ class PoseEstimator:
                 chunk=chunk2d,
                 refine_center=self.refine_center,
                 refine_scale=self.refine_scale,
+                scale_from_refined=self.scale_from_refined,
                 letterbox=self.letterbox, source_frame=False))
         _, joints_net, conf = self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), frames)
@@ -426,7 +436,7 @@ class PoseEstimator:
                                      dup_px: float):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
-            letterbox=self.letterbox)
+            letterbox=self.letterbox, refine_scale=self.refine_scale)
         mask = cpm_lib.select_people(scores, min_person_score,
                                      person_score_frac, joints=joints,
                                      dup_px=dup_px)

@@ -395,8 +395,10 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             refine_scale: bool = False,
                             letterbox: bool = False,
                             source_frame: bool = True,
-                            scale_target_frac: float = 0.8,
-                            max_zoom: float = 3.0):
+                            scale_target_frac: float = 0.6,
+                            max_zoom: float = 3.0,
+                            scale_from_refined: bool = False,
+                            scale_iters: int = 1):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
@@ -434,30 +436,66 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     conv, dtype = _make_conv(params, cfg)
     trunk1, b1 = _stage1_forward(conv, x)   # computed exactly once
 
+    def centered_cmap(n):
+        cm = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
+        return jnp.broadcast_to(cm, (n, *cm.shape))
+
     crop_s = crop_t = None
     if refine_scale:
-        centers, extent = estimate_person_geometry(b1, cfg)
-        crop_s, crop_t = crop_affine_from_geometry(
-            centers, extent, cfg, target_frac=scale_target_frac,
-            max_zoom=max_zoom)
-        x = _crop_zoom(x, crop_s, crop_t)
-        # Second pass on the scale-normalized crop; the person is now
-        # centered at training scale, so the assume-centered contract
-        # holds by construction.
-        trunk1, b1 = _stage1_forward(conv, x)
+        # Iterative crop refinement: each round estimates the person
+        # geometry in the CURRENT crop, maps it back to the net frame,
+        # recomputes the TOTAL affine (so the clamp applies to the total
+        # zoom and resampling always happens once, from the original —
+        # no compounding blur), and re-runs stage 1. Round 2+ sees a
+        # person already near training scale, so its geometry estimate
+        # is much sharper — this is what rescues the smallest people.
+        x0 = x
+        b = x.shape[0]
+        crop_s = jnp.ones((b,), jnp.float32)
+        crop_t = jnp.zeros((b, 2), jnp.float32)
+        for it in range(max(1, scale_iters)):
+            if it == 0 and scale_from_refined and cfg.num_stages > 1:
+                # Geometry from the FULL refined decode of pass 1
+                # (≈2× cost). Measured WORSE than stage-1 geometry on
+                # the hard benchmark (36.7 vs 32.1 px): the centered
+                # hint biases the refined decode toward the frame
+                # center on off-center people, while stage 1 takes no
+                # hint at all. Kept selectable for real-weight sweeps.
+                cmap0 = (centered_cmap(b) if cfg.use_center_map
+                         else None)
+                hm1 = _refine_forward(conv, dtype, x, trunk1, b1, cmap0,
+                                      cfg, cfg.num_stages)[-1]
+                j1, c1 = _decode(hm1, cfg, beta)
+                centers, extent = person_geometry_from_joints(j1, c1)
+            else:
+                centers, extent = estimate_person_geometry(b1, cfg)
+            # Crop-frame geometry → net frame → new TOTAL affine.
+            centers_net = (centers - crop_t) / crop_s[..., None]
+            extent_net = extent / crop_s
+            crop_s, crop_t = crop_affine_from_geometry(
+                centers_net, extent_net, cfg,
+                target_frac=scale_target_frac, max_zoom=max_zoom)
+            x = _crop_zoom(x0, crop_s, crop_t)
+            # The person is now centered near training scale, so the
+            # assume-centered contract holds by construction.
+            trunk1, b1 = _stage1_forward(conv, x)
         refine_center = False
 
     if cfg.use_center_map:
         if refine_center:
-            # Stage-1 beliefs (already in hand) → per-image centers →
-            # per-image Gaussian hints for the refinement stages.
-            centers = estimate_person_centers(b1, cfg)
+            # Stage-1 per-part decode (already in hand) → conf-weighted
+            # person centers → per-image Gaussian hints for the
+            # refinement stages. (The earlier foreground-argmax estimate
+            # centered the hint on the single STRONGEST JOINT — measured
+            # on the hard benchmark it dragged refinement off-body,
+            # 34.9 → 86.7 px; the weighted mean is the body center the
+            # training-time hints use.)
+            centers, _ = estimate_person_geometry(b1, cfg)
             cmap = jax.vmap(
                 lambda c: pre.gaussian_center_map(
                     cfg.input_size, cfg.center_sigma, center=c))(centers)
         else:
-            cmap = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
-            cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
+            cmap = centered_cmap(x.shape[0])
     else:
         cmap = None
     if cfg.num_stages == 1:
@@ -494,11 +532,20 @@ def estimate_person_geometry(stage1_beliefs: jnp.ndarray,
     """
     joints, conf = decode_lib.soft_argmax(stage1_beliefs, beta=beta,
                                           stride=cfg.stride)
+    return person_geometry_from_joints(joints, conf)
+
+
+def person_geometry_from_joints(joints: jnp.ndarray, conf: jnp.ndarray):
+    """Decoded joints (..., P, 2) + conf (..., P) → (centers (..., 2),
+    extent_px (...,)): confidence-weighted center and L∞ extent — the
+    geometry core shared by :func:`estimate_person_geometry` (stage-1
+    beliefs) and the per-hypothesis multi-person scale refinement
+    (refined decodes)."""
     # conf is the raw per-part max belief — can be NEGATIVE on untrained
     # or degenerate maps; clamp before using it as a weight.
     conf = jnp.maximum(conf, 1e-6)
-    w = conf / (jnp.sum(conf, axis=-1, keepdims=True) + 1e-8)  # (B, P)
-    centers = jnp.sum(w[..., None] * joints, axis=-2)          # (B, 2)
+    w = conf / (jnp.sum(conf, axis=-1, keepdims=True) + 1e-8)
+    centers = jnp.sum(w[..., None] * joints, axis=-2)
     d = jnp.max(jnp.abs(joints - centers[..., None, :]), axis=-1)  # L∞
     # Soft-max-like extent: weight each part's distance by its relative
     # confidence so one noisy channel can only overestimate mildly
@@ -510,15 +557,22 @@ def estimate_person_geometry(stage1_beliefs: jnp.ndarray,
 
 def crop_affine_from_geometry(centers: jnp.ndarray, extent_px: jnp.ndarray,
                               cfg: CPMConfig = CPMConfig(),
-                              target_frac: float = 0.8,
+                              target_frac: float = 0.6,
                               max_zoom: float = 3.0,
                               min_zoom: float = 0.5):
     """(centers, extent) → per-image crop affine (s, t) with
     ``crop_px = net_px · s + t``: zoom chosen so the person's extent maps
-    to ``target_frac`` of the half-frame (the scale the network trains
-    at) and the center maps to the frame center. Zoom is clamped to
-    [min_zoom, max_zoom] — a missing/degenerate detection must not
-    explode the resample. Returns (s (B,), t (B, 2))."""
+    to ``target_frac`` of the half-frame and the center maps to the
+    frame center. Zoom is clamped to [min_zoom, max_zoom] — a
+    missing/degenerate detection must not explode the resample.
+    Returns (s (B,), t (B, 2)).
+
+    The 0.6 default deliberately UNDERSHOOTS the 0.8 training scale:
+    geometry noise that underestimates the extent then still leaves the
+    limbs inside the crop. Measured on the hard benchmark (scales
+    0.3–1.0, trained 0.45–0.95): target 0.8 → 32.1 px (large people
+    lose limbs to over-zoom, 48.4 px on scales ≥0.8); target 0.6 →
+    24.4 px — AT the fixed-scale baseline (24.7 px, ratio 0.99)."""
     half = cfg.input_size / 2.0
     s = target_frac * half / jnp.maximum(extent_px, 1e-3)
     s = jnp.clip(s, min_zoom, max_zoom)
@@ -684,7 +738,10 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       beta: float = 100.0,
                       nms_radius_px: float = 96.0,
                       person_sigma_px: float = 64.0,
-                      letterbox: bool = False):
+                      letterbox: bool = False,
+                      refine_scale: bool = False,
+                      scale_target_frac: float = 0.6,
+                      max_zoom: float = 3.0):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -730,6 +787,31 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                              cfg.num_stages)
     hm = (beliefs[-1] if beliefs else rep(b1))
     joints, conf = _decode(hm, cfg, beta)
+
+    if refine_scale:
+        # Per-hypothesis scale normalization (the multi-person half of
+        # VERDICT r2 next #1): geometry from each hypothesis's REFINED
+        # decode (reliable even for the non-dominant person, unlike raw
+        # stage-1 evidence), then a per-hypothesis crop/zoom and a full
+        # second pass on the normalized crops. The centered default hint
+        # is correct by construction — the crop centers its person.
+        g_centers, g_extent = person_geometry_from_joints(joints, conf)
+        s, t = crop_affine_from_geometry(
+            g_centers, g_extent, cfg, target_frac=scale_target_frac,
+            max_zoom=max_zoom)
+        xc = _crop_zoom(rep(x), s, t)
+        trunk1c, b1c = _stage1_forward(conv, xc)
+        fc = _refine_trunk(conv, xc, trunk1c, cfg)
+        cmap_c = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
+        cmap_c_lo = pre.downsample_center_map(
+            jnp.broadcast_to(cmap_c, (b * k,) + cmap_c.shape),
+            cfg.stride).astype(dtype)
+        beliefs2 = _refine_stages(conv, dtype, fc, b1c, cmap_c_lo, cfg,
+                                  cfg.num_stages)
+        hm = beliefs2[-1] if beliefs2 else b1c
+        joints, conf = _decode(hm, cfg, beta)
+        joints = joints_from_crop_frame(joints, s, t)
+
     return (hm.reshape((b, k) + hm.shape[1:]),
             joints.reshape((b, k) + joints.shape[1:]),
             conf.reshape((b, k) + conf.shape[1:]),
