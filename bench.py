@@ -194,26 +194,52 @@ def main():
         # preprocessing and the device↔host transfers.
         from tpu_pose import serving as serving_lib
         n_req = 64 if args.quick else 256
-        shapes = [(368, 368), (480, 640), (720, 540)]
-        req_frames = [rng.randint(0, 255, shapes[i % 3] + (3,))
-                      .astype(np.uint8) for i in range(n_req)]
+        # (a) Engine rate: same-resolution requests (no submit-side
+        # letterbox cost) — measures the dispatch/pipeline/transfer
+        # machinery itself, comparable to the r2 serialized-dispatch
+        # figure.
+        same = [rng.randint(0, 255, (368, 368, 3)).astype(np.uint8)
+                for _ in range(n_req)]
         with serving_lib.BatchingServer(
                 est, max_batch=64, max_wait_ms=5.0, buckets=(64,),
                 fields=("theta", "beta", "cam", "joints2d",
                         "conf")) as srv:
-            for f in (srv.submit(fr) for fr in req_frames[:64]):
+            for f in [srv.submit(fr) for fr in same[:64]]:
                 f.result()  # warm: compile the bucket program
             t0 = _time.perf_counter()
-            futs = [srv.submit(fr) for fr in req_frames]
-            for f in futs:
+            for f in [srv.submit(fr) for fr in same]:
                 f.result()
             dt = _time.perf_counter() - t0
             snap = srv.stats.snapshot()
-        log(f"config6 serving open-loop {n_req} mixed-res reqs: "
+        log(f"config6a serving open-loop {n_req} same-res reqs: "
             f"{dt:.2f} s -> {n_req / dt:.1f} req/s "
             f"(mean batch {snap['mean_batch']:.1f}, occupancy "
-            f"{snap['occupancy']:.2f}, p50 {snap['latency_ms_p50']:.0f} "
-            f"ms)")
+            f"{snap['occupancy']:.2f})")
+        # (b) Mixed-resolution traffic from concurrent clients: submit-
+        # side letterbox runs on the CLIENT threads. On this 1-CPU-core
+        # host the preprocessing serializes (~25 ms/frame) and bounds
+        # the rate; on a real multi-core serving host it parallelizes
+        # across clients.
+        from concurrent.futures import ThreadPoolExecutor
+        shapes = [(368, 368), (480, 640), (720, 540)]
+        mixed = [rng.randint(0, 255, shapes[i % 3] + (3,))
+                 .astype(np.uint8) for i in range(n_req)]
+        with serving_lib.BatchingServer(
+                est, max_batch=64, max_wait_ms=5.0, buckets=(64,),
+                fields=("theta", "beta", "cam", "joints2d",
+                        "conf")) as srv, \
+                ThreadPoolExecutor(max_workers=4) as pool:
+            for f in list(pool.map(srv.submit, mixed[:64])):
+                f.result()
+            t0 = _time.perf_counter()
+            for f in list(pool.map(srv.submit, mixed)):
+                f.result()
+            dt = _time.perf_counter() - t0
+            snap = srv.stats.snapshot()
+        log(f"config6b serving open-loop {n_req} mixed-res reqs "
+            f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
+            f"(mean batch {snap['mean_batch']:.1f}, occupancy "
+            f"{snap['occupancy']:.2f})")
 
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).

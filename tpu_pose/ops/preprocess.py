@@ -136,10 +136,20 @@ def letterbox_image_np(img: np.ndarray, size: int, fill: float = 128.0):
     one static batch shape on device). Returns ``(net_image, affine)``
     with ``net_image`` (size, size, C) in the INPUT's dtype family (uint8
     stays uint8 — 4× smaller on a bandwidth-limited host→device link) and
-    ``affine`` the :func:`letterbox_affine` source→network mapping."""
+    ``affine`` the :func:`letterbox_affine` source→network mapping.
+
+    uint8 frames route through the native C++ kernel when available
+    (tpu_pose/native — same resample plan, ≤1 LSB vs this path, ~15×
+    faster and GIL-free so serving client threads overlap); otherwise
+    this pure-numpy twin runs."""
     img = np.asarray(img)
     h0, w0, c = img.shape
     affine = letterbox_affine(h0, w0, size)
+    if img.dtype == np.uint8:
+        from tpu_pose import native
+        out = native.letterbox_u8(img, size, fill=int(fill))
+        if out is not None:
+            return out, affine
     nh, nw, off_y, off_x = _letterbox_geometry(h0, w0, size)
     r = (resize_bilinear_np(img, nh, nw) if (nh, nw) != (h0, w0)
          else np.asarray(img, np.float32))
