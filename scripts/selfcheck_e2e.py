@@ -29,7 +29,7 @@ flags.DEFINE_integer("train_batch", 16, "training batch size")
 flags.DEFINE_integer("eval_frames", 64, "eval frames (fused pipeline)")
 flags.DEFINE_integer("video_frames", 32, "temporal-fit sequence length")
 flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
-flags.DEFINE_integer("hard_steps", 1200, "CPM training steps on the HARD "
+flags.DEFINE_integer("hard_steps", 2400, "CPM training steps on the HARD "
                      "set (0 skips the hard section)")
 flags.DEFINE_integer("hard_eval_frames", 48, "hard-set eval frames")
 flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
@@ -246,7 +246,11 @@ def main(argv):
         log("generating HARD training pool (mesh render, clutter, "
             "scale/offset jitter, occlusion)...")
         pool_h = []
-        for b in sh.hard_train_batches(model, FLAGS.train_batch, 16, cfg,
+        # 32 batches × 2400 steps with flip augmentation: measured
+        # recipe (2026-08-17) — 16×1200 underfit the flip-augmented
+        # distribution (36.3 plain); 32×2400 dominates every hard row
+        # (32.2 plain, 19.3 rc+flip_tta vs the 23.1 pre-flip best).
+        for b in sh.hard_train_batches(model, FLAGS.train_batch, 32, cfg,
                                        seed=0, raw_images=True):
             pool_h.append(jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x)), b))
@@ -283,9 +287,14 @@ def main(argv):
             results[tag] = {"px_err": px_err, "pa_mpjpe_mm": pa}
             return px_err
 
-        # (a) the hard ladder at the training scale range.
+        # (a) the hard ladder at the training scale range. (The training
+        # pool is flip-augmented by default — hard_train_batches
+        # flip_prob=0.5 — which is what makes flip_tta a win instead of
+        # a loss.)
         hard_eval("hard_plain", (0.45, 0.95))
         hard_eval("hard_refine_center", (0.45, 0.95), refine_center=True)
+        hard_eval("hard_rc_flip_tta", (0.45, 0.95), refine_center=True,
+                  flip_tta=True)
         # (b) scale robustness: full 0.3–1.0 sweep, fixed-scale baseline,
         # and the crop/zoom second pass (done-criterion: refine_scale
         # within ~1.2× of the fixed-scale baseline).

@@ -256,3 +256,51 @@ def test_refine_scale_end_to_end_shapes(small_params):
     _, j0, _ = jax.jit(functools.partial(
         cpm.estimate_2d_from_images, cfg=SMALL))(small_params, imgs)
     assert not np.allclose(np.asarray(j), np.asarray(j0), atol=1e-3)
+
+
+def test_flip_tta_mirror_consistency(small_params):
+    """flip TTA output is exactly mirror-equivariant BY CONSTRUCTION:
+    TTA(flip(img)) == mirror(TTA(img)) — the two passes swap roles and
+    the conf-weighted average commutes with the mirror map."""
+    from tpu_pose.models.joints import CPM_FLIP_PERM
+    cfg = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    fn = jax.jit(functools.partial(
+        cpm.estimate_2d_from_images, cfg=cfg, flip_tta=True))
+    _, j, c = fn(small_params, imgs)
+    _, jf, cf = fn(small_params, imgs[:, :, ::-1, :])
+    want = np.asarray(j).copy()
+    want[..., 0] = cfg.input_size - 1.0 - want[..., 0]
+    want = want[:, CPM_FLIP_PERM, :]
+    np.testing.assert_allclose(np.asarray(jf), want, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cf),
+                               np.asarray(c)[:, CPM_FLIP_PERM], atol=1e-5)
+
+
+def test_flip_tta_heatmaps_and_default(small_params):
+    """flip_tta returns the UNFLIPPED pass's heatmaps and changes only
+    the decoded joints; flip_tta=False is byte-identical to before."""
+    rng = np.random.RandomState(4)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    base = functools.partial(cpm.estimate_2d_from_images, cfg=SMALL)
+    hm0, j0, c0 = jax.jit(base)(small_params, imgs)
+    hm1, j1, c1 = jax.jit(functools.partial(base, flip_tta=True))(
+        small_params, imgs)
+    np.testing.assert_array_equal(np.asarray(hm0), np.asarray(hm1))
+    assert np.isfinite(np.asarray(j1)).all()
+    # The merged joints genuinely differ from the single pass (random
+    # weights: left/right channels disagree across the mirror).
+    assert not np.allclose(np.asarray(j0), np.asarray(j1), atol=1e-3)
+
+
+def test_flip_tta_composes_with_refine_scale(small_params):
+    """flip_tta + refine_scale trace together (each pass runs its own
+    crop) and return finite input-frame joints."""
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    _, j, c = jax.jit(functools.partial(
+        cpm.estimate_2d_from_images, cfg=SMALL, flip_tta=True,
+        refine_scale=True))(small_params, imgs)
+    assert j.shape == (2, 14, 2) and c.shape == (2, 14)
+    assert np.isfinite(np.asarray(j)).all()

@@ -79,6 +79,7 @@ class PoseEstimator:
                  refine_center: bool = False,
                  refine_scale: bool = False,
                  scale_from_refined: bool = False,
+                 flip_tta: bool = False,
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
                  cpm_microbatch: int = 0,
@@ -145,6 +146,11 @@ class PoseEstimator:
         # refined pass-1 decode instead of stage-1 beliefs (~2x cost,
         # sharper geometry - accuracy mode).
         self.scale_from_refined = scale_from_refined
+        # True: horizontal-flip test-time augmentation on the
+        # single-person 2D paths — the CPM-era evaluation protocol
+        # (models/cpm.py estimate_2d_from_images flip_tta). 2× CPM
+        # FLOPs; accuracy mode.
+        self.flip_tta = flip_tta
         # True: aspect-preserving resize+pad preprocessing (the reference's
         # "resize → pad" contract); decoded joints come back in SOURCE
         # image pixels. Default False = square resize, network-frame px.
@@ -216,21 +222,24 @@ class PoseEstimator:
         return self.cpm_params
 
     def _estimate_2d_fn(self, refine_center: bool, letterbox: bool,
-                        refine_scale: bool = False):
-        key = (refine_center, letterbox, refine_scale)
+                        refine_scale: bool = False,
+                        flip_tta: Optional[bool] = None):
+        ft = self.flip_tta if flip_tta is None else flip_tta
+        key = (refine_center, letterbox, refine_scale, ft)
         if key not in self._estimate_2d_cache:
             self._estimate_2d_cache[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
                 chunk=self.cpm_microbatch,
                 refine_center=refine_center, refine_scale=refine_scale,
                 scale_from_refined=self.scale_from_refined,
-                letterbox=letterbox))
+                flip_tta=ft, letterbox=letterbox))
         return self._estimate_2d_cache[key]
 
     def estimate_2d(self, images: jnp.ndarray,
                     refine_center: Optional[bool] = None,
                     refine_scale: Optional[bool] = None,
-                    letterbox: Optional[bool] = None) -> Estimate2DResult:
+                    letterbox: Optional[bool] = None,
+                    flip_tta: Optional[bool] = None) -> Estimate2DResult:
         """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
 
         ``refine_center=True`` localizes the person from stage-1 beliefs
@@ -239,11 +248,14 @@ class PoseEstimator:
         two-pass crop/zoom scale normalization on top — joints still come
         back in the INPUT frame (crop affine inverted in-graph).
         ``letterbox`` (default: the constructor setting) preserves aspect
-        via resize+pad and returns joints in SOURCE image pixels."""
+        via resize+pad and returns joints in SOURCE image pixels.
+        ``flip_tta`` (default: the constructor setting) averages the
+        original and mirrored passes — the CPM evaluation protocol
+        (2× CPM FLOPs)."""
         lb = self.letterbox if letterbox is None else letterbox
         rs = self.refine_scale if refine_scale is None else refine_scale
         rc = self.refine_center if refine_center is None else refine_center
-        fn = self._estimate_2d_fn(rc, lb, rs)
+        fn = self._estimate_2d_fn(rc, lb, rs, flip_tta)
         hm, joints, conf = fn(self._params_for_batch(images.shape[0]),
                               images)
         return Estimate2DResult(hm, joints, conf)
@@ -302,6 +314,7 @@ class PoseEstimator:
             refine_center=self.refine_center,
             refine_scale=self.refine_scale,
             scale_from_refined=self.scale_from_refined,
+            flip_tta=self.flip_tta,
             letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
@@ -340,6 +353,7 @@ class PoseEstimator:
             chunk=self.cpm_microbatch, refine_center=self.refine_center,
             refine_scale=self.refine_scale,
             scale_from_refined=self.scale_from_refined,
+            flip_tta=self.flip_tta,
             letterbox=self.letterbox, source_frame=False)
         from tpu_pose.fitting import temporal
         if mode == "smooth":
@@ -405,7 +419,7 @@ class PoseEstimator:
         # OOM'd before the chunked fit started).
         chunk2d = self.cpm_microbatch if self.cpm_microbatch > 0 else chunk
         key = ("stream2d", self.refine_center, self.refine_scale,
-               self.letterbox, chunk2d)
+               self.flip_tta, self.letterbox, chunk2d)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
@@ -413,6 +427,7 @@ class PoseEstimator:
                 refine_center=self.refine_center,
                 refine_scale=self.refine_scale,
                 scale_from_refined=self.scale_from_refined,
+                flip_tta=self.flip_tta,
                 letterbox=self.letterbox, source_frame=False))
         _, joints_net, conf = self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), frames)

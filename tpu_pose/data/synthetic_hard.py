@@ -211,7 +211,8 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                        clutter: int = 6,
                        heatmap_sigma: float = 3.0,
                        theta: np.ndarray | None = None,
-                       beta: np.ndarray | None = None
+                       beta: np.ndarray | None = None,
+                       flip_prob: float = 0.0
                        ) -> Dict[str, np.ndarray]:
     """n hard frames. Returns the data/synthetic.py example schema PLUS:
     ``centers`` (n, 2) person center px, ``scales`` (n,) person scale as
@@ -220,7 +221,15 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
 
     ``scales``/``centers`` use the SAME convention as the easy set: the
     14 CPM joints' centered extent maps to ``scale·(size/2)`` px around
-    ``center`` (easy set ≡ scale 0.8, center = frame center)."""
+    ``center`` (easy set ≡ scale 0.8, center = frame center).
+
+    ``flip_prob``: probability of mirroring an example (image columns
+    reversed; joint x → size−1−x; left/right channels swapped per
+    joints.CPM_FLIP_PERM; heatmaps painted AFTER the flip so labels
+    stay exact). The classic CPM training augmentation — without it a
+    net trained on chirally-biased data degrades under flip TTA
+    (measured: TTA +2–3.5 px WORSE on a flip_prob=0 net). Default 0 so
+    existing eval sets stay bit-identical."""
     rng = np.random.RandomState(seed)
     if theta is None:
         theta, beta = synthetic.sample_poses(rng, n)
@@ -262,6 +271,14 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
             lo, hi = _occlude(rng, img, center_px, extent_px)
             inside = ((px >= lo) & (px <= hi)).all(axis=1)
             visibility[i, inside] = 0.0
+
+        if flip_prob > 0.0 and rng.rand() < flip_prob:
+            img = img[:, ::-1]
+            px = px[joints_lib.CPM_FLIP_PERM]
+            px[:, 0] = size - 1.0 - px[:, 0]
+            visibility[i] = visibility[i][joints_lib.CPM_FLIP_PERM]
+            center_px = np.array(
+                [size - 1.0 - center_px[0], center_px[1]], np.float32)
 
         images[i] = (img * 255).astype(np.uint8)
         joints2d[i] = px
@@ -341,18 +358,22 @@ def hard_train_batches(model, batch_size: int, num_batches: int,
                        cfg: CPMConfig = CPMConfig(), seed: int = 0,
                        raw_images: bool = False,
                        scale_range: Tuple[float, float] = (0.45, 0.95),
-                       occlusion_prob: float = 0.4
+                       occlusion_prob: float = 0.4,
+                       flip_prob: float = 0.5
                        ) -> Iterator[Dict[str, np.ndarray]]:
     """Training batches on the hard set (schema of
     synthetic.cpm_train_batches). Center maps paint at each frame's GT
     person center — the Caffe CPM training convention (GT centering at
-    train time; in-graph refine_center supplies it at inference)."""
+    train time; in-graph refine_center supplies it at inference).
+    ``flip_prob=0.5`` mirrors half the examples (see make_hard_examples)
+    — removes the chirality bias so flip TTA helps instead of hurts."""
     from tpu_pose.ops import preprocess as pre
     for b in range(num_batches):
         ex = make_hard_examples(model, batch_size, cfg,
                                 seed=seed * 9973 + b,
                                 scale_range=scale_range,
-                                occlusion_prob=occlusion_prob)
+                                occlusion_prob=occlusion_prob,
+                                flip_prob=flip_prob)
         cmaps = np.stack([
             np.asarray(pre.gaussian_center_map(
                 cfg.input_size, cfg.center_sigma, center=c))

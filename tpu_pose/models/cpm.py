@@ -398,7 +398,8 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             scale_target_frac: float = 0.6,
                             max_zoom: float = 3.0,
                             scale_from_refined: bool = False,
-                            scale_iters: int = 1):
+                            scale_iters: int = 1,
+                            flip_tta: bool = False):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
@@ -430,82 +431,115 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     Returns: (heatmaps (B, 46, 46, P+1), joints_px (B, P, 2), conf (B, P)).
     With ``refine_scale`` the heatmaps are in the CROP frame (joints are
     mapped back; per-pixel consumers should use the crop affine).
+
+    ``flip_tta``: horizontal-flip test-time augmentation — the CPM-era
+    evaluation protocol (the CPM paper's benchmark numbers average the
+    original and mirrored inputs). The FULL pipeline (incl. any
+    refine_scale crop) runs again on the mirrored net frame; its joints
+    map back (x → S−1−x, left↔right channels swapped per
+    joints.CPM_FLIP_PERM) and the two passes merge by CONFIDENCE-
+    WEIGHTED joint averaging. Joint-space merging is exact under the
+    cell-corner convention; naively flipping heatmap columns before one
+    decode would misalign the grid by stride−1 px. 2× CPM FLOPs;
+    heatmaps returned are the unflipped pass's.
     """
     x = jax.vmap(lambda im: pre.preprocess(
         im, cfg.input_size, letterbox=letterbox))(images)
     conv, dtype = _make_conv(params, cfg)
-    trunk1, b1 = _stage1_forward(conv, x)   # computed exactly once
 
     def centered_cmap(n):
         cm = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
         return jnp.broadcast_to(cm, (n, *cm.shape))
 
-    crop_s = crop_t = None
-    if refine_scale:
-        # Iterative crop refinement: each round estimates the person
-        # geometry in the CURRENT crop, maps it back to the net frame,
-        # recomputes the TOTAL affine (so the clamp applies to the total
-        # zoom and resampling always happens once, from the original —
-        # no compounding blur), and re-runs stage 1. Round 2+ sees a
-        # person already near training scale, so its geometry estimate
-        # is much sharper — this is what rescues the smallest people.
-        x0 = x
-        b = x.shape[0]
-        crop_s = jnp.ones((b,), jnp.float32)
-        crop_t = jnp.zeros((b, 2), jnp.float32)
-        for it in range(max(1, scale_iters)):
-            if it == 0 and scale_from_refined and cfg.num_stages > 1:
-                # Geometry from the FULL refined decode of pass 1
-                # (≈2× cost). Measured WORSE than stage-1 geometry on
-                # the hard benchmark (36.7 vs 32.1 px): the centered
-                # hint biases the refined decode toward the frame
-                # center on off-center people, while stage 1 takes no
-                # hint at all. Kept selectable for real-weight sweeps.
-                cmap0 = (centered_cmap(b) if cfg.use_center_map
-                         else None)
-                hm1 = _refine_forward(conv, dtype, x, trunk1, b1, cmap0,
-                                      cfg, cfg.num_stages)[-1]
-                j1, c1 = _decode(hm1, cfg, beta)
-                centers, extent = person_geometry_from_joints(j1, c1)
-            else:
-                centers, extent = estimate_person_geometry(b1, cfg)
-            # Crop-frame geometry → net frame → new TOTAL affine.
-            centers_net = (centers - crop_t) / crop_s[..., None]
-            extent_net = extent / crop_s
-            crop_s, crop_t = crop_affine_from_geometry(
-                centers_net, extent_net, cfg,
-                target_frac=scale_target_frac, max_zoom=max_zoom)
-            x = _crop_zoom(x0, crop_s, crop_t)
-            # The person is now centered near training scale, so the
-            # assume-centered contract holds by construction.
-            trunk1, b1 = _stage1_forward(conv, x)
-        refine_center = False
+    def run_net(xn):
+        """Stage 1 → (refine_scale crop) → refinement stages → decode,
+        on one preprocessed net-frame batch. Joints in net-frame px."""
+        trunk1, b1 = _stage1_forward(conv, xn)
+        rc = refine_center
+        crop_s = crop_t = None
+        if refine_scale:
+            # Iterative crop refinement: each round estimates the person
+            # geometry in the CURRENT crop, maps it back to the net
+            # frame, recomputes the TOTAL affine (so the clamp applies
+            # to the total zoom and resampling always happens once, from
+            # the original — no compounding blur), and re-runs stage 1.
+            # Round 2+ sees a person already near training scale, so its
+            # geometry estimate is much sharper — this is what rescues
+            # the smallest people.
+            x0 = xn
+            b = xn.shape[0]
+            crop_s = jnp.ones((b,), jnp.float32)
+            crop_t = jnp.zeros((b, 2), jnp.float32)
+            for it in range(max(1, scale_iters)):
+                if it == 0 and scale_from_refined and cfg.num_stages > 1:
+                    # Geometry from the FULL refined decode of pass 1
+                    # (≈2× cost). Measured WORSE than stage-1 geometry on
+                    # the hard benchmark (36.7 vs 32.1 px): the centered
+                    # hint biases the refined decode toward the frame
+                    # center on off-center people, while stage 1 takes no
+                    # hint at all. Kept selectable for real-weight sweeps.
+                    cmap0 = (centered_cmap(b) if cfg.use_center_map
+                             else None)
+                    hm1 = _refine_forward(conv, dtype, xn, trunk1, b1,
+                                          cmap0, cfg, cfg.num_stages)[-1]
+                    j1, c1 = _decode(hm1, cfg, beta)
+                    centers, extent = person_geometry_from_joints(j1, c1)
+                else:
+                    centers, extent = estimate_person_geometry(b1, cfg)
+                # Crop-frame geometry → net frame → new TOTAL affine.
+                centers_net = (centers - crop_t) / crop_s[..., None]
+                extent_net = extent / crop_s
+                crop_s, crop_t = crop_affine_from_geometry(
+                    centers_net, extent_net, cfg,
+                    target_frac=scale_target_frac, max_zoom=max_zoom)
+                xn = _crop_zoom(x0, crop_s, crop_t)
+                # The person is now centered near training scale, so the
+                # assume-centered contract holds by construction.
+                trunk1, b1 = _stage1_forward(conv, xn)
+            rc = False
 
-    if cfg.use_center_map:
-        if refine_center:
-            # Stage-1 per-part decode (already in hand) → conf-weighted
-            # person centers → per-image Gaussian hints for the
-            # refinement stages. (The earlier foreground-argmax estimate
-            # centered the hint on the single STRONGEST JOINT — measured
-            # on the hard benchmark it dragged refinement off-body,
-            # 34.9 → 86.7 px; the weighted mean is the body center the
-            # training-time hints use.)
-            centers, _ = estimate_person_geometry(b1, cfg)
-            cmap = jax.vmap(
-                lambda c: pre.gaussian_center_map(
-                    cfg.input_size, cfg.center_sigma, center=c))(centers)
+        if cfg.use_center_map:
+            if rc:
+                # Stage-1 per-part decode (already in hand) →
+                # conf-weighted person centers → per-image Gaussian hints
+                # for the refinement stages. (The earlier
+                # foreground-argmax estimate centered the hint on the
+                # single STRONGEST JOINT — measured on the hard benchmark
+                # it dragged refinement off-body, 34.9 → 86.7 px; the
+                # weighted mean is the body center the training-time
+                # hints use.)
+                centers, _ = estimate_person_geometry(b1, cfg)
+                cmap = jax.vmap(
+                    lambda c: pre.gaussian_center_map(
+                        cfg.input_size, cfg.center_sigma,
+                        center=c))(centers)
+            else:
+                cmap = centered_cmap(xn.shape[0])
         else:
-            cmap = centered_cmap(x.shape[0])
-    else:
-        cmap = None
-    if cfg.num_stages == 1:
-        heatmaps = b1
-    else:
-        heatmaps = _refine_forward(conv, dtype, x, trunk1, b1, cmap, cfg,
-                                   cfg.num_stages)[-1]
-    joints, conf = _decode(heatmaps, cfg, beta)
-    if crop_s is not None:
-        joints = joints_from_crop_frame(joints, crop_s, crop_t)
+            cmap = None
+        if cfg.num_stages == 1:
+            heatmaps = b1
+        else:
+            heatmaps = _refine_forward(conv, dtype, xn, trunk1, b1, cmap,
+                                       cfg, cfg.num_stages)[-1]
+        joints, conf = _decode(heatmaps, cfg, beta)
+        if crop_s is not None:
+            joints = joints_from_crop_frame(joints, crop_s, crop_t)
+        return heatmaps, joints, conf
+
+    heatmaps, joints, conf = run_net(x)
+    if flip_tta:
+        from tpu_pose.models.joints import CPM_FLIP_PERM
+        _, j_f, c_f = run_net(x[:, :, ::-1, :])
+        # Mirror back: continuous pixel p ↔ (S−1)−p under jnp.flip
+        # (pixel centers at integers), then swap left/right channels.
+        j_f = j_f.at[..., 0].set(cfg.input_size - 1.0 - j_f[..., 0])
+        j_f = j_f[:, CPM_FLIP_PERM, :]
+        c_f = c_f[:, CPM_FLIP_PERM]
+        w = conf + c_f + 1e-8
+        joints = (joints * conf[..., None] + j_f * c_f[..., None]) / (
+            w[..., None])
+        conf = 0.5 * (conf + c_f)
     if letterbox and source_frame:
         affine = pre.letterbox_affine(
             images.shape[1], images.shape[2], cfg.input_size)

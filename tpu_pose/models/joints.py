@@ -44,6 +44,12 @@ SMPL_JOINT_NAMES = [
 CPM_TO_SMPL = np.array(
     [15, 12, 17, 19, 21, 16, 18, 20, 2, 5, 8, 1, 4, 7], dtype=np.int32)
 
+# Left↔right channel permutation under a horizontal image flip
+# (head/neck fixed; shoulder/elbow/wrist/hip/knee/ankle pairs swap).
+# Used by flip test-time augmentation (models/cpm.py flip_tta).
+CPM_FLIP_PERM = np.array(
+    [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10], dtype=np.int32)
+
 
 def select_smpl_joints(joints3d_smpl24: jnp.ndarray) -> jnp.ndarray:
     """(..., 24, 3) SMPL joints → (..., 14, 3) in CPM order, for the
