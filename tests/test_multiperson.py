@@ -236,3 +236,38 @@ def test_multi_refine_scale_runs_and_differs():
     res = est.estimate_and_fit_multi(imgs, max_people=2)
     assert res.theta.shape == (2, 2, 72)
     assert np.isfinite(np.asarray(res.vertices)).all()
+
+
+def test_multi_flip_tta_runs_and_slots_stay_aligned():
+    """Multi-person flip TTA jits (with and without refine_scale),
+    keeps slot alignment (centers come from the UNFLIPPED pass and the
+    mirrored pass reuses them mirrored, same slot order), returns
+    finite input-frame joints, and changes the decode vs no-TTA."""
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jnp.asarray(
+        np.random.RandomState(7).randint(0, 255, (2, 64, 64, 3)),
+        jnp.uint8)
+    run = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, flip_tta=True))
+    hm, joints, conf, scores = run(params, imgs)
+    assert joints.shape == (2, 2, 14, 2) and conf.shape == (2, 2, 14)
+    assert np.isfinite(np.asarray(joints)).all()
+    _, j0, _, s0 = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2))(params, imgs)
+    # person_scores come from the unflipped evidence only → identical.
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s0),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(joints), np.asarray(j0), atol=1e-3)
+
+    _, j2, _, _ = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, flip_tta=True, refine_scale=True))(
+            params, imgs)
+    assert np.isfinite(np.asarray(j2)).all()
+
+    # Composes through the fused multi API (constructor flag).
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False,
+        flip_tta=True)
+    res = est.estimate_and_fit_multi(imgs, max_people=2)
+    assert res.theta.shape == (2, 2, 72)
+    assert np.isfinite(np.asarray(res.vertices)).all()

@@ -775,7 +775,8 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       letterbox: bool = False,
                       refine_scale: bool = False,
                       scale_target_frac: float = 0.6,
-                      max_zoom: float = 3.0):
+                      max_zoom: float = 3.0,
+                      flip_tta: bool = False):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -790,6 +791,12 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     ``letterbox`` preserves aspect (resize→pad); joints stay in the
     NETWORK frame either way — the api layer maps to source pixels.
 
+    ``flip_tta``: the full per-hypothesis pipeline reruns on the
+    mirrored frame with MIRRORED center hints in the SAME slot order —
+    slot i denotes the same person in both passes by construction, so
+    no hypothesis matching is needed and the merge is the slot-wise
+    conf-weighted average of the single-person path. 2× FLOPs.
+
     Returns: heatmaps (B, k, H, H, P+1), joints_px (B, k, P, 2),
     conf (B, k, P), person_scores (B, k).
     """
@@ -802,49 +809,74 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
         im, cfg.input_size, letterbox=letterbox))(images)
     conv, dtype = _make_conv(params, cfg)
     trunk1, b1 = _stage1_forward(conv, x)                 # once per image
-    f = _refine_trunk(conv, x, trunk1, cfg)               # once per image
 
     fg = person_evidence(b1, cfg, person_sigma_px)        # (B, h, h)
     centers, person_scores = find_person_peaks(
         fg, k, cfg.stride, nms_radius_px)                 # (B, k, 2)
 
-    cmaps = jax.vmap(jax.vmap(
-        lambda c_: pre.gaussian_center_map(
-            cfg.input_size, cfg.center_sigma, center=c_)))(centers)
-    cmap_lo = pre.downsample_center_map(
-        cmaps.reshape((b * k,) + cmaps.shape[2:]), cfg.stride).astype(dtype)
-
     def rep(t):  # (B, ...) → (B*k, ...) person-hypothesis fold
         return jnp.repeat(t, k, axis=0)
 
-    beliefs = _refine_stages(conv, dtype, rep(f), rep(b1), cmap_lo, cfg,
-                             cfg.num_stages)
-    hm = (beliefs[-1] if beliefs else rep(b1))
-    joints, conf = _decode(hm, cfg, beta)
-
-    if refine_scale:
-        # Per-hypothesis scale normalization (the multi-person half of
-        # VERDICT r2 next #1): geometry from each hypothesis's REFINED
-        # decode (reliable even for the non-dominant person, unlike raw
-        # stage-1 evidence), then a per-hypothesis crop/zoom and a full
-        # second pass on the normalized crops. The centered default hint
-        # is correct by construction — the crop centers its person.
-        g_centers, g_extent = person_geometry_from_joints(joints, conf)
-        s, t = crop_affine_from_geometry(
-            g_centers, g_extent, cfg, target_frac=scale_target_frac,
-            max_zoom=max_zoom)
-        xc = _crop_zoom(rep(x), s, t)
-        trunk1c, b1c = _stage1_forward(conv, xc)
-        fc = _refine_trunk(conv, xc, trunk1c, cfg)
-        cmap_c = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
-        cmap_c_lo = pre.downsample_center_map(
-            jnp.broadcast_to(cmap_c, (b * k,) + cmap_c.shape),
+    def run_multi(xn, centers_n, trunk1_n=None, b1_n=None):
+        """Per-hypothesis refinement (+optional crop second pass) on one
+        net-frame batch with (B, k, 2) center hints. Joints (B·k) in
+        xn's frame."""
+        if b1_n is None:
+            trunk1_n, b1_n = _stage1_forward(conv, xn)
+        f = _refine_trunk(conv, xn, trunk1_n, cfg)        # once per image
+        cmaps = jax.vmap(jax.vmap(
+            lambda c_: pre.gaussian_center_map(
+                cfg.input_size, cfg.center_sigma, center=c_)))(centers_n)
+        cmap_lo = pre.downsample_center_map(
+            cmaps.reshape((b * k,) + cmaps.shape[2:]),
             cfg.stride).astype(dtype)
-        beliefs2 = _refine_stages(conv, dtype, fc, b1c, cmap_c_lo, cfg,
-                                  cfg.num_stages)
-        hm = beliefs2[-1] if beliefs2 else b1c
+        beliefs = _refine_stages(conv, dtype, rep(f), rep(b1_n), cmap_lo,
+                                 cfg, cfg.num_stages)
+        hm = (beliefs[-1] if beliefs else rep(b1_n))
         joints, conf = _decode(hm, cfg, beta)
-        joints = joints_from_crop_frame(joints, s, t)
+
+        if refine_scale:
+            # Per-hypothesis scale normalization (the multi-person half
+            # of VERDICT r2 next #1): geometry from each hypothesis's
+            # REFINED decode (reliable even for the non-dominant person,
+            # unlike raw stage-1 evidence), then a per-hypothesis
+            # crop/zoom and a full second pass on the normalized crops.
+            # The centered default hint is correct by construction — the
+            # crop centers its person.
+            g_centers, g_extent = person_geometry_from_joints(joints,
+                                                              conf)
+            s, t = crop_affine_from_geometry(
+                g_centers, g_extent, cfg, target_frac=scale_target_frac,
+                max_zoom=max_zoom)
+            xc = _crop_zoom(rep(xn), s, t)
+            trunk1c, b1c = _stage1_forward(conv, xc)
+            fc = _refine_trunk(conv, xc, trunk1c, cfg)
+            cmap_c = pre.gaussian_center_map(cfg.input_size,
+                                             cfg.center_sigma)
+            cmap_c_lo = pre.downsample_center_map(
+                jnp.broadcast_to(cmap_c, (b * k,) + cmap_c.shape),
+                cfg.stride).astype(dtype)
+            beliefs2 = _refine_stages(conv, dtype, fc, b1c, cmap_c_lo,
+                                      cfg, cfg.num_stages)
+            hm = beliefs2[-1] if beliefs2 else b1c
+            joints, conf = _decode(hm, cfg, beta)
+            joints = joints_from_crop_frame(joints, s, t)
+        return hm, joints, conf
+
+    hm, joints, conf = run_multi(x, centers, trunk1, b1)
+    if flip_tta:
+        from tpu_pose.models.joints import CPM_FLIP_PERM
+        centers_f = jnp.stack(
+            [cfg.input_size - 1.0 - centers[..., 0], centers[..., 1]],
+            axis=-1)
+        _, j_f, c_f = run_multi(x[:, :, ::-1, :], centers_f)
+        j_f = j_f.at[..., 0].set(cfg.input_size - 1.0 - j_f[..., 0])
+        j_f = j_f[:, CPM_FLIP_PERM, :]
+        c_f = c_f[:, CPM_FLIP_PERM]
+        w = conf + c_f + 1e-8
+        joints = (joints * conf[..., None]
+                  + j_f * c_f[..., None]) / w[..., None]
+        conf = 0.5 * (conf + c_f)
 
     return (hm.reshape((b, k) + hm.shape[1:]),
             joints.reshape((b, k) + joints.shape[1:]),
