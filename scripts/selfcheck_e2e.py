@@ -342,6 +342,38 @@ def main(argv):
             f"per-person PA "
             f"{results['hard_multi_person']['pa_mpjpe_mm_per_person']:.1f}"
             f" mm over {len(pas_h)} masked fits")
+        # (d) multi-person VIDEO: identity tracking through a crossing
+        # (people swap sides mid-sequence, the nearer occluding the
+        # farther at the crossing) → per-track smooth fits
+        # (api.estimate_and_fit_video_multi / fitting/tracking.py).
+        vh = sh.make_hard_multi_video(model, 24, cfg, seed=7,
+                                      crossing=True)
+        rvm = est_mh.estimate_and_fit_video_multi(
+            jnp.asarray(vh["images"]), max_people=2)
+        profiling.sync(rvm.theta)
+        tc = np.asarray(rvm.joints2d).mean(-2)        # (T, 2, 2)
+        gc = vh["centers"]
+        # Global track→identity matching over the WHOLE sequence, then
+        # per-frame identity accuracy under it — an identity swap at the
+        # crossing shows up as id_acc dropping toward 0.5.
+        d_id = np.linalg.norm(tc - gc, axis=-1).sum()
+        d_sw = np.linalg.norm(tc - gc[:, ::-1], axis=-1).sum()
+        order = [0, 1] if d_id <= d_sw else [1, 0]
+        ga = gc[:, order]
+        per_frame = (np.linalg.norm(tc - ga, axis=-1).sum(-1)
+                     <= np.linalg.norm(tc - ga[:, ::-1], axis=-1).sum(-1))
+        id_acc = float(per_frame.mean())
+        center_err_v = float(np.linalg.norm(tc - ga, axis=-1).mean())
+        gj = vh["gt_joints3d"][:, order]              # (T, 2, 24, 3)
+        pa_v = float(np.mean([
+            np.mean(metrics.pa_mpjpe_np(
+                np.asarray(rvm.joints3d)[k], gj[:, k]))
+            for k in range(2)])) * 1000
+        results["hard_multi_video"] = {
+            "id_acc": id_acc, "center_err_px": center_err_v,
+            "pa_mpjpe_mm_per_person": pa_v}
+        log(f"hard multi-video (crossing): id acc {id_acc:.2f}, center "
+            f"err {center_err_v:.1f} px, per-person PA {pa_v:.1f} mm")
         ckpt_lib.save_cpm_params(
             os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
             jax.tree.map(np.asarray, params_h))

@@ -1,0 +1,202 @@
+"""Multi-person video tracking (fitting/tracking.py +
+api.estimate_and_fit_video_multi) — in-graph identity association over
+hypothesis slots, per-track smooth fits (TPU-native extension beyond the
+single-person single-frame reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pose.api import PoseEstimator
+from tpu_pose.fitting import tracking
+from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+SMALL = CPMConfig(input_size=64, features=16, stage1_head_width=32,
+                  refine_width=16, num_stages=3)
+SMALL_FIT = FitConfig(
+    stages=(StageConfig(iters=10, lr=0.05, opt_pose=False, opt_shape=False,
+                        w_pose_prior=0, w_shape_prior=0, w_angle_prior=0),
+            StageConfig(iters=15, lr=0.02, w_pose_prior=0.5,
+                        w_shape_prior=1.0)),
+    img_size=64)
+
+
+def _shuffle_slots(rng, tracks):
+    """GT track features (T, k, D) → slot-shuffled copy + GT perms."""
+    t, k, _ = tracks.shape
+    perms = np.stack([rng.permutation(k) for _ in range(t)])
+    slots = np.empty_like(tracks)
+    for i in range(t):
+        # track j lands in slot perms[i, j] ⇒ slots[perm] = tracks
+        slots[i, perms[i]] = tracks[i]
+    return slots, perms
+
+
+def test_associate_recovers_shuffled_identities():
+    """Three well-separated smooth trajectories, slots shuffled per frame
+    with noise: gather_tracks(slots, perm) must reproduce the GT tracks
+    exactly (after aligning track labels via frame 0)."""
+    rng = np.random.RandomState(0)
+    t, k, d = 24, 3, 2
+    base = rng.uniform(0, 300, (k, d))
+    drift = rng.uniform(-2, 2, (t, k, d)).cumsum(axis=0)
+    tracks = base[None] + drift + rng.uniform(-1, 1, (t, k, d))
+    slots, _ = _shuffle_slots(rng, tracks.astype(np.float32))
+
+    perm = jax.jit(tracking.associate_tracks)(jnp.asarray(slots))
+    rec = np.asarray(tracking.gather_tracks(jnp.asarray(slots), perm))
+    # Track labels are born from frame-0 slot order; realign to GT ids.
+    order = np.argmin(np.linalg.norm(
+        rec[0][:, None] - tracks[0][None], axis=-1), axis=1)
+    assert sorted(order.tolist()) == list(range(k))
+    np.testing.assert_allclose(rec[:, np.argsort(order)], tracks,
+                               atol=1e-4)
+
+
+def test_associate_crossing_resolved_by_pose_features():
+    """Two hypotheses whose POSITIONS cross mid-sequence but whose pose
+    features stay distinct: a center-only cost would swap them at the
+    crossing; the full-feature cost must not."""
+    t = 21
+    u = np.linspace(0.0, 1.0, t, dtype=np.float32)
+    pos_a = np.stack([40 + 240 * u, np.full(t, 100.0)], -1)
+    pos_b = np.stack([280 - 240 * u, np.full(t, 104.0)], -1)
+    pose_a = np.tile([10.0, -10.0, 5.0], (t, 1)).astype(np.float32)
+    pose_b = np.tile([-10.0, 10.0, -5.0], (t, 1)).astype(np.float32)
+    tr = np.stack([np.concatenate([pos_a, pose_a], -1),
+                   np.concatenate([pos_b, pose_b], -1)], axis=1)
+    rng = np.random.RandomState(1)
+    tr += rng.uniform(-0.5, 0.5, tr.shape).astype(np.float32)
+    slots, _ = _shuffle_slots(rng, tr)
+
+    perm = tracking.associate_tracks(jnp.asarray(slots))
+    rec = np.asarray(tracking.gather_tracks(jnp.asarray(slots), perm))
+    swap = rec[0, 0, 2] < 0          # frame-0 slot order vs GT id order
+    exp = tr[:, ::-1] if swap else tr
+    np.testing.assert_allclose(rec, exp, atol=1e-4)
+
+
+def test_associate_score_gate_coasts_through_dropout():
+    """Track B's hypothesis goes low-score garbage for a middle window
+    (occlusion): the gated tracker must neither yank track B onto the
+    garbage nor swap A, and must re-lock B on reappearance."""
+    t = 20
+    a = np.stack([np.linspace(50, 120, t), np.full(t, 60.0)],
+                 -1).astype(np.float32)
+    b = np.stack([np.linspace(250, 180, t), np.full(t, 200.0)],
+                 -1).astype(np.float32)
+    feats = np.stack([a, b], axis=1).copy()
+    scores = np.ones((t, 2), np.float32)
+    rng = np.random.RandomState(2)
+    drop = slice(8, 13)
+    feats[drop, 1] = rng.uniform(0, 300, (5, 2))     # garbage position
+    scores[drop, 1] = 0.0
+    slots, gt_perms = _shuffle_slots(rng, feats)
+    slot_scores = np.empty_like(scores)
+    for i in range(t):
+        slot_scores[i, gt_perms[i]] = scores[i]
+
+    perm = tracking.associate_tracks(jnp.asarray(slots),
+                                     jnp.asarray(slot_scores),
+                                     score_gate=0.5)
+    rec = np.asarray(tracking.gather_tracks(jnp.asarray(slots), perm))
+    keep = np.ones(t, bool)
+    keep[drop] = False
+    # Track labels are born from frame-0 slot order; realign to (a, b).
+    ia = int(np.argmin(np.linalg.norm(rec[0] - a[0], axis=-1)))
+    np.testing.assert_allclose(rec[keep, ia], a[keep], atol=1e-4)
+    np.testing.assert_allclose(rec[keep, 1 - ia], b[keep], atol=1e-4)
+
+
+def test_appearance_features_sample_painted_colors():
+    """Uniform color patches painted at known spots come back exactly
+    through the bilinear patch sampler; edge joints clamp, not wrap."""
+    img = np.zeros((32, 32, 3), np.float32)
+    img[8:14, 8:14] = [0.9, 0.1, 0.2]
+    img[20:26, 20:26] = [0.1, 0.8, 0.3]
+    jts = jnp.asarray([[[[10.5, 10.5], [22.5, 22.5], [0.0, 0.0]]]],
+                      jnp.float32)                  # (T=1, k=1, P=3, 2)
+    app = np.asarray(tracking.appearance_features(
+        jnp.asarray(img)[None], jts, patch=3)).reshape(3, 3)
+    np.testing.assert_allclose(app[0], [0.9, 0.1, 0.2], atol=1e-5)
+    np.testing.assert_allclose(app[1], [0.1, 0.8, 0.3], atol=1e-5)
+    np.testing.assert_allclose(app[2], [0.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_associate_appearance_bridges_crossing_blackout():
+    """The measured hard-crossing failure as a unit test: track B's
+    hypotheses are garbage through a blackout window during which the
+    people SWAP SIDES. A geometry-only tracker re-acquires the wrong
+    person (its frozen position points at the old side); the appearance
+    half of the features must bridge the gap."""
+    t = 16
+    u = np.linspace(0.0, 1.0, t, dtype=np.float32)
+    pos_a = np.stack([0.2 + 0.6 * u, np.full(t, 0.5)], -1)
+    pos_b = np.stack([0.8 - 0.6 * u, np.full(t, 0.55)], -1)
+    app_a = np.tile([0.8, 0.1, 0.1], (t, 1)).astype(np.float32)
+    app_b = np.tile([0.1, 0.1, 0.8], (t, 1)).astype(np.float32)
+    tr = np.stack([np.concatenate([pos_a, app_a], -1),
+                   np.concatenate([pos_b, app_b], -1)], axis=1)
+    scores = np.ones((t, 2), np.float32)
+    rng = np.random.RandomState(4)
+    drop = slice(5, 11)
+    tr[drop, 1] = rng.uniform(0, 1, (6, 5))          # garbage features
+    scores[drop, 1] = 0.5                            # below 0.75·max
+    tr += rng.uniform(-0.01, 0.01, tr.shape).astype(np.float32)
+    slots, gt_perms = _shuffle_slots(rng, tr)
+    slot_scores = np.empty_like(scores)
+    for i in range(t):
+        slot_scores[i, gt_perms[i]] = scores[i]
+
+    perm = tracking.associate_tracks(jnp.asarray(slots),
+                                     jnp.asarray(slot_scores))
+    rec = np.asarray(tracking.gather_tracks(jnp.asarray(slots), perm))
+    ia = int(np.argmin(np.linalg.norm(rec[0] - tr[0, 0], axis=-1)))
+    keep = np.ones(t, bool)
+    keep[drop] = False
+    np.testing.assert_allclose(rec[keep, ia], tr[keep, 0], atol=1e-4)
+    np.testing.assert_allclose(rec[keep, 1 - ia], tr[keep, 1], atol=1e-4)
+
+
+def test_estimate_and_fit_video_multi_end_to_end():
+    """The fused multi-person video path jits end to end on tiny shapes:
+    track-ordered result shapes, finite outputs, valid perm rows, and a
+    boolean track mask with at least one live track."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False)
+    frames = jnp.asarray(
+        np.random.RandomState(3).randint(0, 255, (5, 64, 64, 3)),
+        jnp.uint8)
+    res = est.estimate_and_fit_video_multi(frames, max_people=2)
+    t, k = 5, 2
+    assert res.joints2d.shape == (t, k, 14, 2)
+    assert res.theta.shape == (k, t, 72)
+    assert res.beta.shape == (k, t, 10)
+    assert res.vertices.shape[:2] == (k, t)
+    assert res.perm.shape == (t, k)
+    p = np.asarray(res.perm)
+    assert all(sorted(row.tolist()) == [0, 1] for row in p)
+    assert np.isfinite(np.asarray(res.joints2d)).all()
+    assert np.isfinite(np.asarray(res.theta)).all()
+    assert np.isfinite(np.asarray(res.energy)).all()
+    assert res.track_mask.dtype == jnp.bool_
+    assert np.asarray(res.frame_mask).any(axis=1).all()  # ≥1 per frame
+
+
+def test_hard_multi_video_generator_schema():
+    """Two-person hard video: stable identity axis, crossing paths
+    actually cross, joints match the returned centers' convention."""
+    from tpu_pose.data import synthetic_hard as sh
+    from tpu_pose.models import smpl_data
+    model = smpl_data.synthetic_smpl(seed=0)
+    v = sh.make_hard_multi_video(model, 8, SMALL, seed=1, crossing=True)
+    assert v["images"].shape == (8, 64, 64, 3)
+    assert v["joints2d"].shape == (8, 2, 14, 2)
+    assert v["gt_joints3d"].shape == (8, 2, 24, 3)
+    # Person 0 starts left of person 1 and ends right of them.
+    cx = v["centers"][..., 0]
+    assert cx[0, 0] < cx[0, 1] and cx[-1, 0] > cx[-1, 1]
+    # Joint clouds sit around their person's center.
+    d = np.linalg.norm(
+        v["joints2d"].mean(2) - v["centers"], axis=-1)
+    assert d.max() < 12.0

@@ -47,6 +47,25 @@ class MultiPersonResult(NamedTuple):
     energy: jnp.ndarray         # (B, K)
 
 
+class MultiPersonVideoResult(NamedTuple):
+    """Track-ordered multi-person video output: axis-1 index i means the
+    SAME person (track i) in every frame (fitting/tracking.py)."""
+    joints2d: jnp.ndarray       # (T, K, P, 2) source-frame px
+    conf: jnp.ndarray           # (T, K, P)
+    person_scores: jnp.ndarray  # (T, K)
+    frame_mask: jnp.ndarray     # (T, K) bool — track i judged a real,
+                                # present person at frame t
+    track_mask: jnp.ndarray     # (K,) bool — track judged a real person
+                                # over the sequence (majority of frames)
+    perm: jnp.ndarray           # (T, K) int32 slot→track assignment
+    theta: jnp.ndarray          # (K, T, 72)
+    beta: jnp.ndarray           # (K, T, 10)
+    cam: jnp.ndarray            # (K, T, 3)
+    vertices: jnp.ndarray       # (K, T, 6890, 3)
+    joints3d: jnp.ndarray       # (K, T, 24, 3)
+    energy: jnp.ndarray         # (K, T)
+
+
 class EstimateAndFitResult(NamedTuple):
     joints2d: jnp.ndarray   # (B, P, 2)
     conf: jnp.ndarray       # (B, P)
@@ -451,7 +470,8 @@ class PoseEstimator:
                                      dup_px: float):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
-            letterbox=self.letterbox, refine_scale=self.refine_scale)
+            letterbox=self.letterbox, refine_scale=self.refine_scale,
+            flip_tta=self.flip_tta)
         mask = cpm_lib.select_people(scores, min_person_score,
                                      person_score_frac, joints=joints,
                                      dup_px=dup_px)
@@ -507,6 +527,104 @@ class PoseEstimator:
         return self._fit_multistart[key](
             self._params_for_batch(images.shape[0]), self.smpl_model,
             images)
+
+    def _estimate_and_fit_video_multi_impl(self, cpm_params, smpl_model,
+                                           frames, max_people: int,
+                                           min_person_score: float,
+                                           person_score_frac: float,
+                                           dup_px: float, restarts: int):
+        from tpu_pose.fitting import temporal, tracking
+        _, joints, conf, scores = cpm_lib.estimate_2d_multi(
+            cpm_params, frames, cfg=self.cpm_cfg, max_people=max_people,
+            letterbox=self.letterbox, refine_scale=self.refine_scale,
+            flip_tta=self.flip_tta)            # (T,k,P,2),(T,k,P),(T,k)
+        t, k = scores.shape
+        # Identity association on size-normalized DECODED JOINTS
+        # (position AND pose) + per-joint APPEARANCE colors. The
+        # appearance half is load-bearing: through a full crossing the
+        # occluded person's hypotheses are garbage for ~10 frames and
+        # each person re-appears on the OTHER side, so geometry alone
+        # measured 0.56–0.69 identity accuracy vs 1.00 with re-ID
+        # (fitting/tracking.py module docstring). Score-gated so the
+        # occluded track's features freeze instead of locking onto the
+        # noise peak.
+        from tpu_pose.ops import preprocess as pre
+        size = self.cpm_cfg.input_size
+        xnet = jax.vmap(lambda im: pre.preprocess(
+            im, size, letterbox=self.letterbox))(frames)
+        app = tracking.appearance_features(xnet, joints)
+        feats = jnp.concatenate(
+            [joints.reshape(t, k, -1) / size, app], axis=-1)
+        perm = tracking.associate_tracks(
+            feats, scores, score_gate=min_person_score)
+        tj = tracking.gather_tracks(joints, perm)
+        tc = tracking.gather_tracks(conf, perm)
+        ts = tracking.gather_tracks(scores, perm)
+        fmask = tracking.gather_tracks(
+            cpm_lib.select_people(scores, min_person_score,
+                                  person_score_frac, joints=joints,
+                                  dup_px=dup_px), perm)     # (T, k)
+        track_mask = jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5
+
+        # Per-track whole-sequence smooth fit (temporal.fit_video_smooth
+        # vmapped over tracks): frames where the track is absent are
+        # masked out of the data energy, the smoothness coupling, and the
+        # Viterbi costs — the fit bridges occlusions on the prior +
+        # smoothness instead of chasing noise decodes. An all-masked
+        # (spurious) track falls back to an all-ones mask: its fit is
+        # garbage-in anyway and `track_mask` already flags it, but NaN
+        # energies from a fully-masked sequence must not poison the vmap.
+        fm = fmask.astype(jnp.float32).T                    # (k, T)
+        fm = jnp.where(jnp.any(fm > 0, axis=1, keepdims=True), fm,
+                       jnp.ones_like(fm))
+        res = jax.vmap(
+            lambda j, c, m: temporal.fit_video_smooth(
+                smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
+                restarts=restarts, frame_mask=m)
+        )(jnp.swapaxes(tj, 0, 1), jnp.swapaxes(tc, 0, 1), fm)
+        out = self._smpl_batch(
+            smpl_model, res.beta.reshape(k * t, -1),
+            res.theta.reshape(k * t, -1),
+            precision=smpl_lib.EXACT_PRECISION)
+        unflat = lambda x: x.reshape((k, t) + x.shape[1:])  # noqa: E731
+        return MultiPersonVideoResult(
+            joints2d=self._to_source_frame(tj, frames), conf=tc,
+            person_scores=ts, frame_mask=fmask, track_mask=track_mask,
+            perm=perm, theta=res.theta, beta=res.beta, cam=res.cam,
+            vertices=unflat(out.vertices), joints3d=unflat(out.joints),
+            energy=res.energy)
+
+    def estimate_and_fit_video_multi(self, frames: jnp.ndarray,
+                                     max_people: int = 2,
+                                     min_person_score: float = 0.05,
+                                     person_score_frac: float = 0.4,
+                                     dup_px: float = 30.0
+                                     ) -> MultiPersonVideoResult:
+        """Multi-person video, ONE device program: per-frame hypothesis
+        decode (estimate_2d_multi) → in-graph track association
+        (fitting/tracking.py — exact k!-enumeration assignment under
+        lax.scan, joints-feature cost, score-gated coasting) → per-track
+        joint smooth sequence fits with absent frames masked.
+
+        Composes three rebuild extensions the single-person single-frame
+        reference had no analogue for. Axis-1 of the result is TRACK
+        identity, not per-frame score rank; ``perm`` records the
+        assignment, ``frame_mask``/``track_mask`` the presence calls.
+        Memory scales with T·max_people (all hypotheses refine per
+        frame); for very long sequences run in windows and stitch on
+        track features."""
+        key = ("video_multi", max_people, min_person_score,
+               person_score_frac, dup_px, self.fit_restarts)
+        if key not in self._fit_multistart:
+            self._fit_multistart[key] = jax.jit(functools.partial(
+                self._estimate_and_fit_video_multi_impl,
+                max_people=max_people,
+                min_person_score=min_person_score,
+                person_score_frac=person_score_frac, dup_px=dup_px,
+                restarts=max(self.fit_restarts, 1)))
+        return self._fit_multistart[key](
+            self._params_for_batch(frames.shape[0]), self.smpl_model,
+            frames)
 
 
 # -- module-level functional forms ----------------------------------------

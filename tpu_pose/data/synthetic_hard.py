@@ -354,6 +354,94 @@ def make_hard_multi_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     }
 
 
+def make_hard_multi_video(model, num_frames: int,
+                          cfg: CPMConfig = CPMConfig(), seed: int = 0,
+                          scale_range: Tuple[float, float] = (0.4, 0.55),
+                          clutter: int = 4, crossing: bool = True,
+                          keyframe_every: int = 8) -> Dict[str, np.ndarray]:
+    """Two-person hard VIDEO for the track-association benchmark
+    (api.estimate_and_fit_video_multi / fitting/tracking.py).
+
+    Each person gets a smooth pose sequence (keyframe sampling + cosine
+    ease, same recipe as synthetic.make_video_examples) and a linear
+    center path; with ``crossing`` the paths swap sides mid-sequence, so
+    around the crossing frames the nearer person (identity 0, rendered
+    last) genuinely occludes the farther one AND any center-only
+    association would swap identities — the scenario the joints-feature
+    tracker must survive. One static background per sequence (it is a
+    video), per-frame occluders off.
+
+    Returns images (T,S,S,3) u8 + GT in stable PERSON-IDENTITY order on
+    axis 1 (the whole point of the benchmark): joints2d (T,2,14,2),
+    gt_joints3d (T,2,24,3), centers (T,2,2), theta (T,2,72),
+    beta (T,2,10)."""
+    rng = np.random.RandomState(seed)
+    size = cfg.input_size
+    t_idx = np.arange(num_frames, dtype=np.float64)
+    n_keys = max(2, num_frames // keyframe_every + 2)
+    theta = np.zeros((num_frames, 2, 72), np.float32)
+    beta = np.zeros((num_frames, 2, 10), np.float32)
+    for p in range(2):
+        k_theta, k_beta = synthetic.sample_poses(rng, n_keys)
+        t = t_idx / keyframe_every
+        i0 = np.minimum(t.astype(np.int64), n_keys - 2)
+        w = (1.0 - np.cos(np.pi * (t - i0))) / 2.0
+        theta[:, p] = ((1.0 - w)[:, None] * k_theta[i0]
+                       + w[:, None] * k_theta[i0 + 1])
+        beta[:, p] = k_beta[0]
+
+    import jax
+
+    from tpu_pose.models import smpl as smpl_lib
+    flat_t = theta.reshape(num_frames * 2, 72)
+    flat_b = beta.reshape(num_frames * 2, 10)
+    out = jax.jit(smpl_lib.smpl_forward_batch)(model, flat_b, flat_t)
+    verts = np.asarray(out.vertices).reshape(num_frames, 2, -1, 3)
+    j3d = synthetic._smpl_joints_np(model, flat_t, flat_b).reshape(
+        num_frames, 2, -1, 3)
+
+    # Linear center paths; crossing swaps sides over the middle half.
+    u = t_idx / max(num_frames - 1, 1)                 # 0→1
+    x0, x1 = 0.28, 0.72
+    if crossing:
+        xa = x0 + (x1 - x0) * u                        # left → right
+        xb = x1 - (x1 - x0) * u                        # right → left
+    else:
+        xa = np.full(num_frames, x0)
+        xb = np.full(num_frames, x1)
+    ya = 0.5 + 0.06 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
+    yb = 0.5 + 0.06 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
+    cx = np.stack([xa, xb], 1) * size                  # (T, 2)
+    cy = np.stack([ya, yb], 1) * size
+    s_frac = rng.uniform(*scale_range, size=2)
+
+    cache = _BodyCache(model)
+    background = random_background(rng, size, clutter=clutter)
+    images = np.zeros((num_frames, size, size, 3), np.uint8)
+    joints2d = np.zeros((num_frames, 2, 14, 2), np.float32)
+    centers = np.zeros((num_frames, 2, 2), np.float32)
+    for i in range(num_frames):
+        img = background.copy()
+        for p in (1, 0):                               # far (1) first
+            j14 = j3d[i, p][joints_lib.CPM_TO_SMPL]
+            c3d = j14.mean(0)
+            extent = np.abs(j14 - c3d).max()
+            scale_px = s_frac[p] * (size / 2.0) / max(extent, 1e-3)
+            center_px = np.array([cx[i, p], cy[i, p]], np.float32)
+            render_person(img, np.random.RandomState(seed + 7 * p),
+                          cache, verts[i, p], j3d[i, p], c3d, scale_px,
+                          center_px)
+            joints2d[i, p] = (j14 - c3d)[:, :2] * scale_px + center_px
+            centers[i, p] = center_px
+        images[i] = (img * 255).astype(np.uint8)
+
+    return {
+        "images": images, "joints2d": joints2d, "centers": centers,
+        "gt_joints3d": j3d.astype(np.float32),
+        "theta": theta, "beta": beta,
+    }
+
+
 def hard_train_batches(model, batch_size: int, num_batches: int,
                        cfg: CPMConfig = CPMConfig(), seed: int = 0,
                        raw_images: bool = False,
