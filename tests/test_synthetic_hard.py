@@ -104,8 +104,12 @@ def test_multi_person_schema_and_separation(model):
 
 
 def test_train_batches_schema(model):
+    # flip_prob pinned to 0: the center comparison below is against the
+    # UNFLIPPED example set (the default 0.5 mirrors a random subset —
+    # the flip-augmentation training recipe; mirrored-center convention
+    # asserted separately at flip_prob=1).
     b = next(sh.hard_train_batches(model, 3, 1, CFG, seed=0,
-                                   raw_images=True))
+                                   raw_images=True, flip_prob=0.0))
     assert b["images"].dtype == np.uint8
     assert b["images"].shape == (3, 128, 128, 3)
     assert b["center_maps"].shape == (3, 128, 128, 1)
@@ -117,3 +121,12 @@ def test_train_batches_schema(model):
         iy, ix = np.unravel_index(np.argmax(b["center_maps"][i, ..., 0]),
                                   (128, 128))
         np.testing.assert_allclose([ix, iy], ex["centers"][i], atol=1.0)
+    # Flip-augmented batches mirror the center hint with the image:
+    # peak x → (size−1) − x under jnp.flip's cell-center convention.
+    # (Only example 0 is stream-comparable: the per-example flip draw
+    # shifts every subsequent example's rng stream.)
+    bf = next(sh.hard_train_batches(model, 3, 1, CFG, seed=0,
+                                    raw_images=True, flip_prob=1.0))
+    iy, ix = np.unravel_index(np.argmax(bf["center_maps"][0, ..., 0]),
+                              (128, 128))
+    np.testing.assert_allclose([127 - ix, iy], ex["centers"][0], atol=1.0)
