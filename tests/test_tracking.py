@@ -183,6 +183,51 @@ def test_estimate_and_fit_video_multi_end_to_end():
     assert np.asarray(res.frame_mask).any(axis=1).all()  # ≥1 per frame
 
 
+def test_associate_state_carry_matches_single_call():
+    """Splitting a sequence into windows with carried (features,
+    presence) state reproduces the single-call assignment exactly —
+    the streaming path's identity-persistence contract."""
+    rng = np.random.RandomState(5)
+    t, k, d = 20, 3, 4
+    base = rng.uniform(0, 300, (k, d))
+    tracks = (base[None] + rng.uniform(-2, 2, (t, k, d)).cumsum(0)
+              ).astype(np.float32)
+    slots, _ = _shuffle_slots(rng, tracks)
+    scores = rng.uniform(0.8, 1.2, (t, k)).astype(np.float32)
+
+    full = np.asarray(tracking.associate_tracks(
+        jnp.asarray(slots), jnp.asarray(scores)))
+    p1, st = tracking.associate_tracks(
+        jnp.asarray(slots[:8]), jnp.asarray(scores[:8]),
+        return_state=True)
+    p2 = tracking.associate_tracks(
+        jnp.asarray(slots[8:]), jnp.asarray(scores[8:]), init_state=st)
+    np.testing.assert_array_equal(np.concatenate([p1, p2]), full)
+
+
+def test_estimate_and_fit_video_multi_stream_windows():
+    """The windowed streaming path: T ≫ chunk runs through the carried
+    association state + per-track anchors, pads the final partial window
+    with masked frames, and returns full-length track-ordered results."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False)
+    frames = jnp.asarray(
+        np.random.RandomState(6).randint(0, 255, (7, 64, 64, 3)),
+        jnp.uint8)
+    res = est.estimate_and_fit_video_multi_stream(
+        frames, max_people=2, chunk=4)
+    assert res.joints2d.shape == (7, 2, 14, 2)
+    assert res.theta.shape == (2, 7, 72)
+    assert res.perm.shape == (7, 2)
+    p = np.asarray(res.perm)
+    assert all(sorted(row.tolist()) == [0, 1] for row in p)
+    assert np.isfinite(np.asarray(res.theta)).all()
+    assert np.isfinite(np.asarray(res.joints2d)).all()
+    # Pad frames (the final window's) must not leak: exactly 7 rows.
+    assert res.frame_mask.shape == (7, 2)
+    assert res.track_mask.shape == (2,)
+
+
 def test_hard_multi_video_generator_schema():
     """Two-person hard video: stable identity axis, crossing paths
     actually cross, joints match the returned centers' convention."""

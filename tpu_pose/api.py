@@ -532,7 +532,11 @@ class PoseEstimator:
                                            frames, max_people: int,
                                            min_person_score: float,
                                            person_score_frac: float,
-                                           dup_px: float, restarts: int):
+                                           dup_px: float, restarts: int,
+                                           pad_mask=None,
+                                           track_state=None,
+                                           anchors=None,
+                                           return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, frames, cfg=self.cpm_cfg, max_people=max_people,
@@ -555,8 +559,15 @@ class PoseEstimator:
         app = tracking.appearance_features(xnet, joints)
         feats = jnp.concatenate(
             [joints.reshape(t, k, -1) / size, app], axis=-1)
-        perm = tracking.associate_tracks(
-            feats, scores, score_gate=min_person_score)
+        # Streaming pad frames (pad_mask 0) are forced non-live so they
+        # can neither update track state nor count as presence; the
+        # absolute score gate rejects their -1e9 (gate_frac compares
+        # relative to the frame max, which is also -1e9 on a pad frame).
+        assoc_scores = (scores if pad_mask is None else
+                        jnp.where(pad_mask[:, None] > 0, scores, -1e9))
+        perm, new_state = tracking.associate_tracks(
+            feats, assoc_scores, score_gate=min_person_score,
+            init_state=track_state, return_state=True)
         tj = tracking.gather_tracks(joints, perm)
         tc = tracking.gather_tracks(conf, perm)
         ts = tracking.gather_tracks(scores, perm)
@@ -564,6 +575,8 @@ class PoseEstimator:
             cpm_lib.select_people(scores, min_person_score,
                                   person_score_frac, joints=joints,
                                   dup_px=dup_px), perm)     # (T, k)
+        if pad_mask is not None:
+            fmask = fmask & (pad_mask[:, None] > 0)
         track_mask = jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5
 
         # Per-track whole-sequence smooth fit (temporal.fit_video_smooth
@@ -577,22 +590,41 @@ class PoseEstimator:
         fm = fmask.astype(jnp.float32).T                    # (k, T)
         fm = jnp.where(jnp.any(fm > 0, axis=1, keepdims=True), fm,
                        jnp.ones_like(fm))
-        res = jax.vmap(
-            lambda j, c, m: temporal.fit_video_smooth(
-                smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
-                restarts=restarts, frame_mask=m)
-        )(jnp.swapaxes(tj, 0, 1), jnp.swapaxes(tc, 0, 1), fm)
+        if anchors is None:
+            res = jax.vmap(
+                lambda j, c, m: temporal.fit_video_smooth(
+                    smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
+                    restarts=restarts, frame_mask=m)
+            )(jnp.swapaxes(tj, 0, 1), jnp.swapaxes(tc, 0, 1), fm)
+        else:
+            # Streaming continuation: each track anchors to ITS OWN
+            # previous-window solution (Viterbi facing continuity +
+            # boundary smoothness + shared β carried per track).
+            res = jax.vmap(
+                lambda j, c, m, a: temporal.fit_video_smooth(
+                    smpl_model, j, c, cfg=self.fit_cfg, prior=self.prior,
+                    restarts=restarts, frame_mask=m, anchor=a)
+            )(jnp.swapaxes(tj, 0, 1), jnp.swapaxes(tc, 0, 1), fm,
+              anchors)
         out = self._smpl_batch(
             smpl_model, res.beta.reshape(k * t, -1),
             res.theta.reshape(k * t, -1),
             precision=smpl_lib.EXACT_PRECISION)
         unflat = lambda x: x.reshape((k, t) + x.shape[1:])  # noqa: E731
-        return MultiPersonVideoResult(
+        result = MultiPersonVideoResult(
             joints2d=self._to_source_frame(tj, frames), conf=tc,
             person_scores=ts, frame_mask=fmask, track_mask=track_mask,
             perm=perm, theta=res.theta, beta=res.beta, cam=res.cam,
             vertices=unflat(out.vertices), joints3d=unflat(out.joints),
             energy=res.energy)
+        if not return_carry:
+            return result
+        # Next-window carry: association state + each track's LAST-frame
+        # solution. Windows before the final one are always full, so
+        # index -1 is a real frame whenever the carry is consumed.
+        new_anchors = {"theta": res.theta[:, -1], "beta": res.beta[:, -1],
+                       "cam": res.cam[:, -1]}
+        return result, new_state, new_anchors
 
     def estimate_and_fit_video_multi(self, frames: jnp.ndarray,
                                      max_people: int = 2,
@@ -625,6 +657,87 @@ class PoseEstimator:
         return self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), self.smpl_model,
             frames)
+
+    def estimate_and_fit_video_multi_stream(self, frames: jnp.ndarray,
+                                            max_people: int = 2,
+                                            chunk: int = 64,
+                                            min_person_score: float = 0.05,
+                                            person_score_frac: float = 0.4,
+                                            dup_px: float = 30.0
+                                            ) -> MultiPersonVideoResult:
+        """Arbitrary-length multi-person video with bounded memory:
+        fixed-``chunk`` windows through the fused tracked pipeline, the
+        association state (track features + presence) carried across
+        window boundaries so identities persist for ANY T, and each
+        track's fit anchored to its own previous-window solution
+        (temporal.fit_video_smooth ``anchor`` — facing continuity,
+        boundary smoothness, per-track β). ONE compiled window program
+        (plus one for the first, anchor-less window); the final partial
+        window zero-pads with masked frames.
+
+        Use :meth:`estimate_and_fit_video_multi` when the sequence fits
+        one device program."""
+        t_total = frames.shape[0]
+        if t_total <= chunk:
+            return self.estimate_and_fit_video_multi(
+                frames, max_people=max_people,
+                min_person_score=min_person_score,
+                person_score_frac=person_score_frac, dup_px=dup_px)
+        base = dict(max_people=max_people,
+                    min_person_score=min_person_score,
+                    person_score_frac=person_score_frac, dup_px=dup_px,
+                    restarts=max(self.fit_restarts, 1),
+                    return_carry=True)
+        kf = ("video_multi_stream_first", max_people, min_person_score,
+              person_score_frac, dup_px, self.fit_restarts, chunk)
+        ka = kf[:1] + ("anchored",) + kf[1:]
+        if kf not in self._fit_multistart:
+            self._fit_multistart[kf] = jax.jit(functools.partial(
+                self._estimate_and_fit_video_multi_impl, **base))
+            self._fit_multistart[ka] = jax.jit(functools.partial(
+                self._estimate_and_fit_video_multi_impl, **base))
+        params = self._params_for_batch(chunk)
+        outs, state, anchors = [], None, None
+        for start in range(0, t_total, chunk):
+            win = frames[start:start + chunk]
+            n_real = win.shape[0]
+            pad_mask = jnp.ones(chunk, jnp.float32)
+            if n_real < chunk:
+                win = jnp.concatenate([
+                    win, jnp.zeros((chunk - n_real,) + win.shape[1:],
+                                   win.dtype)])
+                pad_mask = pad_mask.at[n_real:].set(0.0)
+            if state is None:
+                res, state, anchors = self._fit_multistart[kf](
+                    params, self.smpl_model, win, pad_mask=pad_mask)
+            else:
+                res, state, anchors = self._fit_multistart[ka](
+                    params, self.smpl_model, win, pad_mask=pad_mask,
+                    track_state=state, anchors=anchors)
+            # T-first fields slice on axis 0, track-first on axis 1.
+            outs.append(res._replace(
+                **{f: getattr(res, f)[:n_real] for f in
+                   ("joints2d", "conf", "person_scores", "frame_mask",
+                    "perm")},
+                **{f: getattr(res, f)[:, :n_real] for f in
+                   ("theta", "beta", "cam", "vertices", "joints3d",
+                    "energy")}))
+        cat_t = lambda *x: jnp.concatenate(x, axis=0)   # noqa: E731
+        cat_k = lambda *x: jnp.concatenate(x, axis=1)   # noqa: E731
+        fmask = cat_t(*[o.frame_mask for o in outs])
+        return MultiPersonVideoResult(
+            joints2d=cat_t(*[o.joints2d for o in outs]),
+            conf=cat_t(*[o.conf for o in outs]),
+            person_scores=cat_t(*[o.person_scores for o in outs]),
+            frame_mask=fmask,
+            track_mask=jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5,
+            perm=cat_t(*[o.perm for o in outs]),
+            theta=cat_k(*[o.theta for o in outs]),
+            beta=cat_k(*[o.beta for o in outs]),
+            cam=cat_k(*[o.cam for o in outs]),
+            vertices=cat_k(*[o.vertices for o in outs]),
+            joints3d=cat_k(*[o.joints3d for o in outs]),
+            energy=cat_k(*[o.energy for o in outs]))
 
 
 # -- module-level functional forms ----------------------------------------

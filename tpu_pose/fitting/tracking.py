@@ -90,7 +90,9 @@ def associate_tracks(feat_seq: jnp.ndarray,
                      scores_seq: jnp.ndarray | None = None,
                      score_gate: float = 0.0,
                      gate_frac: float = 0.75,
-                     ema: float = 0.7) -> jnp.ndarray:
+                     ema: float = 0.7,
+                     init_state=None,
+                     return_state: bool = False):
     """Slot-ordered per-frame features → identity-consistent assignment.
 
     Args:
@@ -113,9 +115,17 @@ def associate_tracks(feat_seq: jnp.ndarray,
         nearest-feature — gating only freezes the filter state.
       ema: state update weight on a live match
         (state ← (1−ema)·state + ema·z).
+      init_state: a ``(track_features (k, D), present (k,))`` pair from
+        a previous call's ``return_state`` — continues those tracks
+        across a window boundary (streaming): every frame of this call
+        is then assignment-matched against the carried state (no track
+        re-birth from frame 0).
+      return_state: also return the final ``(features, present)`` state
+        for the next window.
 
     Returns: perm (T, k) int32 — ``perm[t, i]`` is the frame-t slot
-    assigned to track i. Track i is born as frame-0 slot i (frame-0
+    assigned to track i (with ``return_state``, the tuple
+    ``(perm, state)``). Track i is born as frame-0 slot i (frame-0
     slots are score-ordered, so track 0 is the strongest person at t=0);
     a track born on a non-live slot adopts its first live observation
     instead. Apply with :func:`gather_tracks`.
@@ -149,12 +159,17 @@ def associate_tracks(feat_seq: jnp.ndarray,
         new_present = jnp.maximum(present, l_m)
         return (new_feats, new_present), p
 
-    live0 = live_flags(scores_seq[0])
-    state0 = (feat_seq[0], live0)
-    _, perm = jax.lax.scan(step, state0,
-                           (feat_seq[1:], scores_seq[1:]))
-    return jnp.concatenate(
-        [jnp.arange(k, dtype=jnp.int32)[None], perm], axis=0)
+    if init_state is None:
+        live0 = live_flags(scores_seq[0])
+        state0 = (feat_seq[0], live0)
+        state, perm = jax.lax.scan(step, state0,
+                                   (feat_seq[1:], scores_seq[1:]))
+        perm = jnp.concatenate(
+            [jnp.arange(k, dtype=jnp.int32)[None], perm], axis=0)
+    else:
+        state, perm = jax.lax.scan(step, init_state,
+                                   (feat_seq, scores_seq))
+    return (perm, state) if return_state else perm
 
 
 def gather_tracks(x_seq: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
