@@ -228,6 +228,40 @@ def test_estimate_and_fit_video_multi_stream_windows():
     assert res.track_mask.shape == (2,)
 
 
+def test_video_session_matches_one_shot_stream():
+    """Incremental MultiPersonVideoSession (irregular pushes: 1, 3, 2, 1
+    frames) must reproduce estimate_and_fit_video_multi_stream exactly —
+    same windows, same carried state, same results."""
+    from tpu_pose.api import MultiPersonVideoSession
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False)
+    frames = np.random.RandomState(9).randint(
+        0, 255, (7, 64, 64, 3)).astype(np.uint8)
+    ref = est.estimate_and_fit_video_multi_stream(
+        jnp.asarray(frames), max_people=2, chunk=3)
+
+    sess = MultiPersonVideoSession(est, max_people=2, chunk=3)
+    outs = []
+    for lo, hi in ((0, 1), (1, 4), (4, 6), (6, 7)):
+        r = sess.push(frames[lo:hi])
+        if r is not None:
+            outs.append(r)
+    assert sess.frames_buffered == 1
+    outs.append(sess.flush())
+    theta = np.concatenate([np.asarray(o.theta) for o in outs], axis=1)
+    j2d = np.concatenate([np.asarray(o.joints2d) for o in outs], axis=0)
+    perm = np.concatenate([np.asarray(o.perm) for o in outs], axis=0)
+    np.testing.assert_array_equal(perm, np.asarray(ref.perm))
+    np.testing.assert_allclose(theta, np.asarray(ref.theta), atol=1e-6)
+    np.testing.assert_allclose(j2d, np.asarray(ref.joints2d), atol=1e-6)
+    # Closed session refuses further input.
+    try:
+        sess.push(frames[:1])
+        assert False, "push after flush should raise"
+    except RuntimeError:
+        pass
+
+
 def test_hard_multi_video_generator_schema():
     """Two-person hard video: stable identity axis, crossing paths
     actually cross, joints match the returned centers' convention."""

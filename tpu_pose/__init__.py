@@ -25,7 +25,7 @@ SMPL(ify) papers. Citations in docstrings use SURVEY.md section numbers.
 __version__ = "0.1.0"
 
 _API_EXPORTS = ("PoseEstimator", "estimate_2d", "fit_smpl",
-                "estimate_and_fit")
+                "estimate_and_fit", "MultiPersonVideoSession")
 
 
 def __getattr__(name):

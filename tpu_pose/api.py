@@ -676,13 +676,28 @@ class PoseEstimator:
         window zero-pads with masked frames.
 
         Use :meth:`estimate_and_fit_video_multi` when the sequence fits
-        one device program."""
+        one device program; use :class:`MultiPersonVideoSession` when
+        frames arrive incrementally (camera / decoder)."""
         t_total = frames.shape[0]
         if t_total <= chunk:
             return self.estimate_and_fit_video_multi(
                 frames, max_people=max_people,
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px)
+        sess = MultiPersonVideoSession(
+            self, max_people=max_people, chunk=chunk,
+            min_person_score=min_person_score,
+            person_score_frac=person_score_frac, dup_px=dup_px)
+        outs = [r for r in (sess.push(frames), sess.flush())
+                if r is not None]
+        return _concat_video_multi(outs)
+
+    def _stream_window_programs(self, max_people: int,
+                                min_person_score: float,
+                                person_score_frac: float, dup_px: float,
+                                chunk: int):
+        """Jitted (first-window, anchored-window) fused programs for the
+        tracked streaming path, cached per config tuple."""
         base = dict(max_people=max_people,
                     min_person_score=min_person_score,
                     person_score_frac=person_score_frac, dup_px=dup_px,
@@ -696,48 +711,126 @@ class PoseEstimator:
                 self._estimate_and_fit_video_multi_impl, **base))
             self._fit_multistart[ka] = jax.jit(functools.partial(
                 self._estimate_and_fit_video_multi_impl, **base))
-        params = self._params_for_batch(chunk)
-        outs, state, anchors = [], None, None
-        for start in range(0, t_total, chunk):
-            win = frames[start:start + chunk]
-            n_real = win.shape[0]
-            pad_mask = jnp.ones(chunk, jnp.float32)
-            if n_real < chunk:
-                win = jnp.concatenate([
-                    win, jnp.zeros((chunk - n_real,) + win.shape[1:],
-                                   win.dtype)])
-                pad_mask = pad_mask.at[n_real:].set(0.0)
-            if state is None:
-                res, state, anchors = self._fit_multistart[kf](
-                    params, self.smpl_model, win, pad_mask=pad_mask)
-            else:
-                res, state, anchors = self._fit_multistart[ka](
-                    params, self.smpl_model, win, pad_mask=pad_mask,
-                    track_state=state, anchors=anchors)
-            # T-first fields slice on axis 0, track-first on axis 1.
-            outs.append(res._replace(
-                **{f: getattr(res, f)[:n_real] for f in
-                   ("joints2d", "conf", "person_scores", "frame_mask",
-                    "perm")},
-                **{f: getattr(res, f)[:, :n_real] for f in
-                   ("theta", "beta", "cam", "vertices", "joints3d",
-                    "energy")}))
-        cat_t = lambda *x: jnp.concatenate(x, axis=0)   # noqa: E731
-        cat_k = lambda *x: jnp.concatenate(x, axis=1)   # noqa: E731
-        fmask = cat_t(*[o.frame_mask for o in outs])
-        return MultiPersonVideoResult(
-            joints2d=cat_t(*[o.joints2d for o in outs]),
-            conf=cat_t(*[o.conf for o in outs]),
-            person_scores=cat_t(*[o.person_scores for o in outs]),
-            frame_mask=fmask,
-            track_mask=jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5,
-            perm=cat_t(*[o.perm for o in outs]),
-            theta=cat_k(*[o.theta for o in outs]),
-            beta=cat_k(*[o.beta for o in outs]),
-            cam=cat_k(*[o.cam for o in outs]),
-            vertices=cat_k(*[o.vertices for o in outs]),
-            joints3d=cat_k(*[o.joints3d for o in outs]),
-            energy=cat_k(*[o.energy for o in outs]))
+        return self._fit_multistart[kf], self._fit_multistart[ka]
+
+
+# Result-field split for window slicing: time-first fields slice on
+# axis 0, track-first on axis 1 (MultiPersonVideoResult docstring).
+_VIDEO_MULTI_T_FIRST = ("joints2d", "conf", "person_scores",
+                        "frame_mask", "perm")
+_VIDEO_MULTI_K_FIRST = ("theta", "beta", "cam", "vertices", "joints3d",
+                        "energy")
+
+
+def _concat_video_multi(outs) -> MultiPersonVideoResult:
+    """Concatenate per-window MultiPersonVideoResults along time; the
+    track axis is identity-aligned across windows by construction (the
+    carried association state), and track_mask is recomputed over the
+    full span."""
+    if len(outs) == 1:
+        return outs[0]
+    fields = {f: jnp.concatenate([getattr(o, f) for o in outs], axis=0)
+              for f in _VIDEO_MULTI_T_FIRST}
+    fields.update({
+        f: jnp.concatenate([getattr(o, f) for o in outs], axis=1)
+        for f in _VIDEO_MULTI_K_FIRST})
+    fields["track_mask"] = jnp.mean(
+        fields["frame_mask"].astype(jnp.float32), axis=0) >= 0.5
+    return MultiPersonVideoResult(**fields)
+
+
+class MultiPersonVideoSession:
+    """Online tracked multi-person video: push frames as they arrive (a
+    camera, a decoder), get identity-consistent results back window by
+    window — the incremental form of
+    :meth:`PoseEstimator.estimate_and_fit_video_multi_stream`.
+
+    Frames buffer host-side until a full ``chunk``-frame window is
+    available, then run through ONE fused device program (CPM decode →
+    in-graph identity association → per-track anchored smooth fits).
+    The tracker's (features, presence) state and each track's last
+    solution carry across windows, so track i means the SAME person for
+    the whole session, however long it runs, at fixed memory.
+
+    ``push(frames) -> MultiPersonVideoResult | None`` — results for the
+    windows this push completed (track_mask covers those windows only).
+    ``flush() -> MultiPersonVideoResult | None`` — runs the final
+    partial window (zero-padded, pads masked out of track state and
+    presence) and closes the session.
+    """
+
+    def __init__(self, estimator: "PoseEstimator", max_people: int = 2,
+                 chunk: int = 64, min_person_score: float = 0.05,
+                 person_score_frac: float = 0.4, dup_px: float = 30.0):
+        self._est = estimator
+        self.chunk = int(chunk)
+        self._first_fn, self._anchored_fn = (
+            estimator._stream_window_programs(
+                max_people, min_person_score, person_score_frac, dup_px,
+                self.chunk))
+        self._params = estimator._params_for_batch(self.chunk)
+        self._buf: list = []
+        self._buffered = 0
+        self._state = None
+        self._anchors = None
+        self._closed = False
+
+    @property
+    def frames_buffered(self) -> int:
+        """Frames pushed but not yet run (always < chunk after push)."""
+        return self._buffered
+
+    def _run_window(self, win: jnp.ndarray,
+                    n_real: int) -> MultiPersonVideoResult:
+        pad_mask = jnp.ones(self.chunk, jnp.float32)
+        if n_real < self.chunk:
+            win = jnp.concatenate([
+                win, jnp.zeros((self.chunk - n_real,) + win.shape[1:],
+                               win.dtype)])
+            pad_mask = pad_mask.at[n_real:].set(0.0)
+        if self._state is None:
+            res, self._state, self._anchors = self._first_fn(
+                self._params, self._est.smpl_model, win,
+                pad_mask=pad_mask)
+        else:
+            res, self._state, self._anchors = self._anchored_fn(
+                self._params, self._est.smpl_model, win,
+                pad_mask=pad_mask, track_state=self._state,
+                anchors=self._anchors)
+        return res._replace(
+            **{f: getattr(res, f)[:n_real]
+               for f in _VIDEO_MULTI_T_FIRST},
+            **{f: getattr(res, f)[:, :n_real]
+               for f in _VIDEO_MULTI_K_FIRST})
+
+    def push(self, frames) -> Optional[MultiPersonVideoResult]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        frames = jnp.asarray(frames)
+        if frames.ndim == 3:          # single frame
+            frames = frames[None]
+        self._buf.append(frames)
+        self._buffered += frames.shape[0]
+        outs = []
+        while self._buffered >= self.chunk:
+            buf = (jnp.concatenate(self._buf)
+                   if len(self._buf) > 1 else self._buf[0])
+            win, rest = buf[:self.chunk], buf[self.chunk:]
+            self._buf = [rest] if rest.shape[0] else []
+            self._buffered -= self.chunk
+            outs.append(self._run_window(win, self.chunk))
+        return _concat_video_multi(outs) if outs else None
+
+    def flush(self) -> Optional[MultiPersonVideoResult]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        self._closed = True
+        if self._buffered == 0:
+            return None
+        buf = (jnp.concatenate(self._buf)
+               if len(self._buf) > 1 else self._buf[0])
+        self._buf, self._buffered = [], 0
+        return self._run_window(buf, buf.shape[0])
 
 
 # -- module-level functional forms ----------------------------------------
