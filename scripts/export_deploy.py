@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Build, verify, and smoke-run an AOT deployment artifact
+(tpu_pose/export.py): serialize one of the fused entry points —
+weights, SMPL model, and prior baked in as constants — then reload it
+with no estimator in scope and run frames through it.
+
+Usage:
+  # hermetic synthetic estimator, fused single-person path, any batch:
+  python scripts/export_deploy.py --out /tmp/pose_artifact
+
+  # real assets, TPU+CPU portable artifact, static serving batch:
+  python scripts/export_deploy.py --out /srv/pose --cpm_npz w.npz \
+      --smpl_pkl smpl.pkl --fn estimate_and_fit --batch 128 \
+      --platforms tpu,cpu
+
+Prints one JSON line with the artifact size, lowering target(s), and the
+reload smoke-run timing.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("out", "/tmp/tpu_pose_artifact", "artifact directory")
+flags.DEFINE_string("fn", "estimate_and_fit",
+                    "estimate_2d | estimate_and_fit | "
+                    "estimate_and_fit_multi")
+flags.DEFINE_integer("batch", 0, "static batch size; 0 = symbolic "
+                     "(one artifact, any batch)")
+flags.DEFINE_string("platforms", "", "comma-separated lowering targets "
+                    "(tpu,cpu); empty = current backend")
+flags.DEFINE_string("cpm_npz", "", "converted CPM weights (.npz); "
+                    "synthetic if empty")
+flags.DEFINE_string("smpl_pkl", "", "SMPL model pickle; synthetic if empty")
+flags.DEFINE_string("gmm_pkl", "", "GMM pose-prior pickle (optional)")
+flags.DEFINE_boolean("quantize", False, "bake int8 CPM weights")
+flags.DEFINE_integer("max_people", 2, "slots for estimate_and_fit_multi")
+flags.DEFINE_boolean("smoke", True, "reload the artifact and run a "
+                     "synthetic batch through it")
+
+
+def main(argv):
+    del argv
+    from tpu_pose import export as pexport
+    from tpu_pose.api import PoseEstimator
+
+    if FLAGS.cpm_npz:
+        est = PoseEstimator.from_files(
+            FLAGS.cpm_npz, FLAGS.smpl_pkl, FLAGS.gmm_pkl or None,
+            quantize=FLAGS.quantize)
+    else:
+        est = PoseEstimator.create_synthetic(
+            seed=0, quantize=FLAGS.quantize)
+
+    platforms = (tuple(p for p in FLAGS.platforms.split(",") if p)
+                 or None)
+    kw = ({"max_people": FLAGS.max_people}
+          if FLAGS.fn == "estimate_and_fit_multi" else {})
+    t0 = time.perf_counter()
+    meta = pexport.export_estimator(
+        est, FLAGS.out, fn=FLAGS.fn,
+        batch=FLAGS.batch or None, platforms=platforms, **kw)
+    export_s = time.perf_counter() - t0
+    size = os.path.getsize(os.path.join(FLAGS.out, "program.bin"))
+
+    record = {"artifact": FLAGS.out, "fn": FLAGS.fn,
+              "platforms": meta["platforms"],
+              "decode_impl": meta["decode_impl"],
+              "batch": meta["input"]["shape"][0],
+              "program_mb": round(size / 1e6, 2),
+              "export_s": round(export_s, 2)}
+
+    if FLAGS.smoke:
+        import jax
+        import numpy as np
+        if jax.default_backend() in meta["platforms"]:
+            prog = pexport.load(FLAGS.out)
+            b = FLAGS.batch or 2
+            h, w = meta["input"]["shape"][1:3]
+            frames = np.random.RandomState(0).randint(
+                0, 255, (b, h, w, 3)).astype(np.uint8)
+            t0 = time.perf_counter()
+            out = prog(frames)           # includes compile
+            record["smoke_compile_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            out = prog(frames)
+            record["smoke_run_s"] = round(time.perf_counter() - t0, 4)
+            record["smoke_outputs"] = {
+                k: list(v.shape) for k, v in sorted(out.items())}
+        else:
+            record["smoke"] = (f"skipped: backend "
+                               f"{jax.default_backend()} not in "
+                               f"{meta['platforms']}")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    app.run(main)

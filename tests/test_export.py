@@ -1,0 +1,152 @@
+"""AOT export / deployment artifact tests (tpu_pose/export.py).
+
+The artifact contract: export writes a self-contained directory
+(StableHLO program with params baked in + meta.json); `load` runs it
+with NO estimator in scope; outputs match the live fused path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_pose import export as pexport
+from tpu_pose.api import PoseEstimator
+from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+# f32 conv compute: bf16 convs re-optimized at artifact load time shift
+# heatmaps enough to move the sharp soft-argmax ~0.2 px (measured), which
+# would make the round-trip comparison flaky for reasons unrelated to the
+# export machinery under test.
+SMALL_CPM = CPMConfig(input_size=64, features=16, stage1_head_width=32,
+                      refine_width=16, num_stages=2,
+                      compute_dtype="float32")
+SMALL_FIT = FitConfig(
+    stages=(StageConfig(iters=10, lr=0.05, opt_pose=False, opt_shape=False,
+                        w_pose_prior=0, w_shape_prior=0, w_angle_prior=0),
+            StageConfig(iters=15, lr=0.02, w_pose_prior=0.5,
+                        w_shape_prior=1.0)),
+    img_size=64)
+
+
+@pytest.fixture(scope="module")
+def est():
+    return PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+
+
+def _frames(b, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 255, (b, 64, 64, 3)).astype(np.uint8)
+
+
+def test_export_fused_roundtrip(est, tmp_path):
+    """Artifact output == live fused path. joints2d/conf are pre-fit and
+    must match to float tolerance; the iterative fit amplifies XLA
+    reduction-order differences, so θ/β/cam get a looser bound."""
+    path = str(tmp_path / "fused")
+    meta = pexport.export_estimator(est, path, fn="estimate_and_fit",
+                                    batch=2, platforms=("cpu",))
+    assert meta["fn"] == "estimate_and_fit"
+    assert meta["decode_impl"] == "xla"
+    assert set(meta["outputs"]) == {"joints2d", "conf", "theta", "beta",
+                                    "cam", "vertices", "joints3d",
+                                    "energy"}
+    frames = _frames(2)
+    prog = pexport.load(path)
+    out = prog(frames)
+    live = est.estimate_and_fit(jnp.asarray(frames))
+    np.testing.assert_allclose(out["joints2d"],
+                               np.asarray(live.joints2d), atol=1e-4)
+    np.testing.assert_allclose(out["conf"], np.asarray(live.conf),
+                               atol=1e-5)
+    np.testing.assert_allclose(out["theta"], np.asarray(live.theta),
+                               atol=2e-2)
+    np.testing.assert_allclose(out["cam"], np.asarray(live.cam),
+                               atol=2e-2)
+    assert out["vertices"].shape == (2, 6890, 3)
+
+
+def test_export_symbolic_batch(est, tmp_path):
+    """batch=None → one artifact, any batch size."""
+    path = str(tmp_path / "sym")
+    meta = pexport.export_estimator(est, path, fn="estimate_2d",
+                                    platforms=("cpu",))
+    assert meta["input"]["shape"][0] == "b"
+    prog = pexport.load(path)
+    for b in (1, 3):
+        out = prog(_frames(b, seed=b))
+        assert out["joints2d"].shape == (b, 14, 2)
+        assert out["conf"].shape == (b, 14)
+    # 3-D single frame promotes to batch 1.
+    out = prog(_frames(1)[0])
+    assert out["joints2d"].shape == (1, 14, 2)
+
+
+def test_export_estimate_2d_matches_live(est, tmp_path):
+    path = str(tmp_path / "e2d")
+    pexport.export_estimator(est, path, fn="estimate_2d", batch=2,
+                             platforms=("cpu",))
+    frames = _frames(2, seed=7)
+    out = pexport.load(path)(frames)
+    live = est.estimate_2d(jnp.asarray(frames))
+    np.testing.assert_allclose(out["heatmaps"],
+                               np.asarray(live.heatmaps), atol=1e-4)
+    np.testing.assert_allclose(out["joints2d"],
+                               np.asarray(live.joints2d), atol=1e-4)
+
+
+def test_export_multi_person(est, tmp_path):
+    path = str(tmp_path / "multi")
+    meta = pexport.export_estimator(
+        est, path, fn="estimate_and_fit_multi", batch=1,
+        platforms=("cpu",), max_people=2)
+    assert meta["fn_kwargs"]["max_people"] == 2
+    out = pexport.load(path)(_frames(1, seed=3))
+    assert out["joints2d"].shape == (1, 2, 14, 2)
+    assert out["theta"].shape == (1, 2, 72)
+    assert out["person_mask"].shape == (1, 2)
+
+
+def test_export_input_validation(est, tmp_path):
+    path = str(tmp_path / "val")
+    pexport.export_estimator(est, path, fn="estimate_2d", batch=2,
+                             platforms=("cpu",))
+    prog = pexport.load(path)
+    with pytest.raises(ValueError, match="static batch"):
+        prog(_frames(3))
+    with pytest.raises(ValueError, match="expected frames"):
+        prog(np.zeros((2, 32, 64, 3), np.uint8))
+    # float input is clipped+cast, not rejected.
+    out = prog(_frames(2).astype(np.float32))
+    assert out["joints2d"].shape == (2, 14, 2)
+
+
+def test_load_rejects_non_artifact(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        pexport.load(str(tmp_path / "nope"))
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "meta.json").write_text('{"format_version": 99}')
+    (bad / "program.bin").write_bytes(b"")
+    with pytest.raises(ValueError, match="format"):
+        pexport.load(str(bad))
+
+
+def test_export_unknown_fn(est, tmp_path):
+    with pytest.raises(ValueError, match="unknown fn"):
+        pexport.export_estimator(est, str(tmp_path / "x"), fn="nope")
+
+
+def test_cross_lowering_tpu_from_cpu_host(est, tmp_path):
+    """A CPU host can build a TPU artifact — single-platform TPU keeps
+    the Pallas fused decode; the program must lower + serialize (it can
+    only RUN on a TPU, so execution is covered by the TPU selfcheck)."""
+    path = str(tmp_path / "tpu")
+    meta = pexport.export_estimator(est, path, fn="estimate_and_fit",
+                                    batch=2, platforms=("tpu",))
+    assert meta["decode_impl"] == "pallas"
+    import os
+    assert os.path.getsize(os.path.join(path, "program.bin")) > 1000
+    # Loading parses the artifact even off-TPU (execution would need one).
+    prog = pexport.load(path)
+    assert prog.platforms == ("tpu",)

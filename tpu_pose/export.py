@@ -1,0 +1,286 @@
+"""AOT export — serialized deployment artifacts for the fused pipeline.
+
+The reference deploys by shipping model code + checkpoints and re-tracing
+at startup (TF1 session graphs; SURVEY.md §1 L0). The TPU-native
+deployment story is ahead-of-time: `jax.export` lowers the jitted program
+to StableHLO once, CPM weights / SMPL model / prior are baked in as
+constants, and the serialized artifact runs anywhere jax runs — no
+tpu_pose model code, no checkpoint loading, no Python re-trace at serve
+time. This module is that packaging layer (SURVEY.md §2 row 14
+"entry points", production half).
+
+Artifact layout (a directory):
+
+- ``meta.json``   — format version, exported function, platforms, input
+  spec, output spec, decode impl, estimator settings echo. Human-readable
+  contract of what the program computes.
+- ``program.bin`` — the serialized ``jax.export.Exported`` (StableHLO +
+  calling convention + embedded constants).
+
+Three exportable functions (the serving entry points):
+
+- ``estimate_2d``          — frames → heatmaps, 2D joints, confidences.
+- ``estimate_and_fit``     — frames → the full fused result (2D joints,
+  SMPL θ/β/cam, posed vertices, 3D joints, energies).
+- ``estimate_and_fit_multi`` — the multi-person fused path (static
+  ``max_people`` slots + person mask).
+
+Batch dimension: ``batch=None`` (default) exports with a SYMBOLIC batch
+size — one artifact serves any batch, including the serving layer's
+bucket ladder. A static int pins it (required when the estimator uses
+``cpm_microbatch`` chunking, whose scan length must be concrete).
+
+Platform targeting: artifacts are cross-lowered — a CPU host can export
+for TPU and vice versa. ``platforms=("tpu", "cpu")`` builds one portable
+artifact (decode forced to the XLA path, portable by construction);
+single-platform TPU artifacts keep the fused Pallas decode when the
+estimator's ``decode_impl`` resolves to it.
+
+Loading needs only this module's :func:`load` (pure jax + json, no model
+code): ``prog = load(path); out = prog(frames)`` returns numpy arrays.
+
+Numerics note: the serialized program is the SAME StableHLO the live
+estimator traces, but XLA re-optimizes it at load time; the iterative
+fit amplifies reduction-order differences to ~1e-3 on θ/cam (measured).
+Pre-fit outputs (joints2d, conf) reproduce to float tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+FORMAT_VERSION = 1
+FUNCTIONS = ("estimate_2d", "estimate_and_fit", "estimate_and_fit_multi")
+_META_NAME = "meta.json"
+_PROGRAM_NAME = "program.bin"
+
+
+def _resolve_decode_impl(cpm_cfg, platforms: Sequence[str]) -> str:
+    """Pin ``decode_impl="auto"`` to the export target: the Pallas fused
+    soft-argmax only for single-platform TPU artifacts, the XLA decode
+    everywhere else (multi-platform artifacts must be portable)."""
+    if cpm_cfg.decode_impl != "auto":
+        return cpm_cfg.decode_impl
+    return "pallas" if tuple(platforms) == ("tpu",) else "xla"
+
+
+def _estimator_with_cfg(est, cpm_cfg):
+    """Shallow clone with a replaced CPMConfig — the impl methods read
+    ``self.cpm_cfg`` at trace time; nothing else in the clone is used."""
+    import copy
+    est2 = copy.copy(est)
+    est2.cpm_cfg = cpm_cfg
+    return est2
+
+
+def _build_fn(est, fn_name: str, params, **fn_kwargs):
+    """Dict-returning wrapper over the estimator's traced impl. Dicts
+    (not NamedTuples) so deserialization needs no pytree registration."""
+    if fn_name == "estimate_2d":
+        from tpu_pose.models import cpm as cpm_lib
+
+        def fn(frames):
+            hm, joints, conf = cpm_lib.estimate_2d_microbatched(
+                params, frames, cfg=est.cpm_cfg, chunk=est.cpm_microbatch,
+                refine_center=est.refine_center,
+                refine_scale=est.refine_scale,
+                scale_from_refined=est.scale_from_refined,
+                flip_tta=est.flip_tta, letterbox=est.letterbox)
+            return {"heatmaps": hm, "joints2d": joints, "conf": conf}
+        return fn
+    if fn_name == "estimate_and_fit":
+        def fn(frames):
+            return est._estimate_and_fit_impl(
+                params, est.smpl_model, frames)._asdict()
+        return fn
+    if fn_name == "estimate_and_fit_multi":
+        kw = dict(max_people=2, min_person_score=0.05,
+                  person_score_frac=0.4, dup_px=30.0)
+        kw.update(fn_kwargs)
+
+        def fn(frames):
+            return est._estimate_and_fit_multi_impl(
+                params, est.smpl_model, frames, **kw)._asdict()
+        return fn
+    raise ValueError(f"unknown fn {fn_name!r}; expected one of {FUNCTIONS}")
+
+
+def export_estimator(est, path: str, fn: str = "estimate_and_fit",
+                     batch: Optional[int] = None,
+                     input_shape: Optional[tuple] = None,
+                     platforms: Optional[Sequence[str]] = None,
+                     params_batch_hint: int = 1,
+                     **fn_kwargs) -> dict:
+    """Export one of the estimator's fused entry points as a standalone
+    artifact directory at ``path``.
+
+    Args:
+      est: a ``PoseEstimator``; its refine/flip/letterbox settings are
+        honored and recorded in the artifact metadata.
+      fn: one of :data:`FUNCTIONS`.
+      batch: static batch size, or None for a symbolic batch dimension
+        (one artifact, any batch). Incompatible with ``cpm_microbatch``.
+      input_shape: (H, W) of the input frames; defaults to the network
+        input size. Frames are uint8 (B, H, W, 3).
+      platforms: lowering targets, e.g. ``("tpu",)``, ``("cpu",)`` or
+        ``("tpu", "cpu")``; defaults to the current backend. Cross-
+        lowering works (export for TPU from a CPU host).
+      params_batch_hint: which side of the int8/bf16 precision policy to
+        bake when ``batch=None`` (the policy is batch-dependent;
+        a static ``batch`` overrides the hint).
+      **fn_kwargs: static knobs of the multi-person path
+        (``max_people``, ``min_person_score``, ...).
+
+    Returns the metadata dict that was written to ``meta.json``.
+    """
+    if fn not in FUNCTIONS:
+        raise ValueError(f"unknown fn {fn!r}; expected one of {FUNCTIONS}")
+    if batch is None and est.cpm_microbatch:
+        raise ValueError(
+            "symbolic batch (batch=None) is incompatible with "
+            "cpm_microbatch chunking — pass a static batch")
+    platforms = tuple(platforms) if platforms else (jax.default_backend(),)
+    decode_impl = _resolve_decode_impl(est.cpm_cfg, platforms)
+    if batch is None and decode_impl == "pallas":
+        # The Pallas soft-argmax grid is sized by the (flattened) batch,
+        # which a symbolic dimension can't provide.
+        if est.cpm_cfg.decode_impl == "pallas":
+            raise ValueError(
+                "decode_impl='pallas' needs a static batch — pass batch=N "
+                "or leave decode_impl='auto' (falls back to the XLA "
+                "decode for symbolic-batch artifacts)")
+        decode_impl = "xla"
+    est2 = _estimator_with_cfg(
+        est, dataclasses.replace(est.cpm_cfg, decode_impl=decode_impl))
+    params = est2._params_for_batch(
+        batch if batch is not None else params_batch_hint)
+
+    h, w = input_shape or (est.cpm_cfg.input_size, est.cpm_cfg.input_size)
+    if batch is None:
+        bdim = jax_export.symbolic_shape("b")[0]
+    else:
+        bdim = int(batch)
+    spec = jax.ShapeDtypeStruct((bdim, h, w, 3), jnp.uint8)
+    wrapped = _build_fn(est2, fn, params, **fn_kwargs)
+    exported = jax_export.export(
+        jax.jit(wrapped), platforms=list(platforms))(spec)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "fn": fn,
+        "fn_kwargs": fn_kwargs,
+        "platforms": list(platforms),
+        "decode_impl": decode_impl,
+        "input": {"shape": ["b" if batch is None else int(batch),
+                            int(h), int(w), 3],
+                  "dtype": "uint8"},
+        "outputs": _out_spec(exported),
+        "estimator": {
+            "refine_center": bool(est.refine_center),
+            "refine_scale": bool(est.refine_scale),
+            "flip_tta": bool(est.flip_tta),
+            "letterbox": bool(est.letterbox),
+            "fit_restarts": int(est.fit_restarts),
+            "quantized_params": est.cpm_params_bf16 is not None
+                                or _params_quantized(params),
+        },
+        "tpu_pose_version": _version(),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM_NAME), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return meta
+
+
+def _out_spec(exported) -> dict:
+    """Output name → {shape, dtype} from the Exported's out tree."""
+    leaves_names = exported.out_tree.unflatten(
+        [str(i) for i in range(len(exported.out_avals))])
+    # leaves_names is the dict {name: index-string}.
+    return {name: {"shape": [str(d) for d in
+                             exported.out_avals[int(idx)].shape],
+                   "dtype": str(exported.out_avals[int(idx)].dtype)}
+            for name, idx in leaves_names.items()}
+
+
+def _params_quantized(params) -> bool:
+    try:
+        from tpu_pose.models import cpm as cpm_lib
+        return bool(cpm_lib._is_quantized(params))
+    except Exception:
+        return False
+
+
+def _version() -> str:
+    try:
+        import tpu_pose
+        return tpu_pose.__version__
+    except Exception:
+        return "unknown"
+
+
+class LoadedProgram:
+    """A deserialized deployment artifact: ``prog(frames)`` → dict of
+    numpy arrays. Validates the input against the artifact's recorded
+    spec; the compiled executable is cached after the first call."""
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self._jitted = jax.jit(exported.call)
+
+    @property
+    def fn(self) -> str:
+        return self.meta["fn"]
+
+    @property
+    def platforms(self) -> tuple:
+        return tuple(self.meta["platforms"])
+
+    def __call__(self, frames) -> dict:
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        want = self.meta["input"]["shape"]
+        if frames.ndim != 4 or list(frames.shape[1:]) != want[1:]:
+            raise ValueError(
+                f"expected frames (b, {want[1]}, {want[2]}, 3), "
+                f"got {frames.shape}")
+        if want[0] != "b" and frames.shape[0] != want[0]:
+            raise ValueError(
+                f"artifact was exported for static batch {want[0]}, "
+                f"got {frames.shape[0]}")
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
+        out = self._jitted(frames)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def load(path: str) -> LoadedProgram:
+    """Load an artifact directory written by :func:`export_estimator`.
+    Needs no tpu_pose model code — just jax and the artifact."""
+    meta_path = os.path.join(path, _META_NAME)
+    prog_path = os.path.join(path, _PROGRAM_NAME)
+    if not (os.path.exists(meta_path) and os.path.exists(prog_path)):
+        raise FileNotFoundError(
+            f"{path} is not an export artifact "
+            f"(need {_META_NAME} + {_PROGRAM_NAME})")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format {meta.get('format_version')} "
+            f"!= supported {FORMAT_VERSION}")
+    with open(prog_path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return LoadedProgram(exported, meta)
