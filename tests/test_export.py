@@ -121,6 +121,47 @@ def test_export_input_validation(est, tmp_path):
     assert out["joints2d"].shape == (2, 14, 2)
 
 
+def test_serving_from_artifact(est, tmp_path):
+    """Deployment story end-to-end: export → BatchingServer over the
+    loaded artifact, no estimator on the serving host. Mixed-resolution
+    requests letterbox at submit time against the artifact's recorded
+    network frame, and fields= validates against the artifact's output
+    spec."""
+    from tpu_pose import serving
+    path = str(tmp_path / "srv")
+    pexport.export_estimator(est, path, fn="estimate_and_fit",
+                             platforms=("cpu",))
+    servable = pexport.ServableProgram(path)
+    assert servable.symbolic_batch
+    assert "theta" in servable.result_fields
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    direct = est.estimate_and_fit(jnp.asarray(frames))
+    with serving.BatchingServer(servable, max_batch=4,
+                                max_wait_ms=200.0,
+                                fields=("theta", "joints2d")) as srv:
+        big = rng.randint(0, 255, (96, 80, 3)).astype(np.uint8)
+        futs = srv.submit_many(frames) + [srv.submit(big)]
+        results = [f.result(timeout=300) for f in futs]
+    for i in range(3):
+        assert set(results[i]) == {"theta", "joints2d"}
+        np.testing.assert_allclose(results[i]["theta"],
+                                   np.asarray(direct.theta[i]),
+                                   atol=2e-2)
+    # The mixed-res request resolves in ITS source pixels.
+    assert results[3]["joints2d"].shape == (14, 2)
+    assert np.all(np.isfinite(results[3]["joints2d"]))
+
+    with pytest.raises(ValueError, match="unknown result fields"):
+        serving.BatchingServer(servable, max_batch=2, fields=("nope",))
+    with pytest.raises(ValueError, match="estimate_and_fit artifact"):
+        p2 = str(tmp_path / "e2d_only")
+        pexport.export_estimator(est, p2, fn="estimate_2d",
+                                 platforms=("cpu",))
+        pexport.ServableProgram(p2)
+
+
 def test_load_rejects_non_artifact(tmp_path):
     with pytest.raises(FileNotFoundError):
         pexport.load(str(tmp_path / "nope"))
@@ -135,6 +176,31 @@ def test_load_rejects_non_artifact(tmp_path):
 def test_export_unknown_fn(est, tmp_path):
     with pytest.raises(ValueError, match="unknown fn"):
         pexport.export_estimator(est, str(tmp_path / "x"), fn="nope")
+
+
+def test_export_quantized_params(tmp_path):
+    """quantize=True estimators bake the batch-policy-selected weight
+    set: int8 at/above int8_min_batch, bf16 below. Both artifacts must
+    run and the int8 one must match the live int8 path."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT, quantize=True,
+        int8_min_batch=4)
+    p8 = str(tmp_path / "int8")
+    meta8 = pexport.export_estimator(est, p8, fn="estimate_2d", batch=4,
+                                     platforms=("cpu",))
+    assert meta8["estimator"]["quantized_params"]
+    frames = _frames(4, seed=11)
+    out = pexport.load(p8)(frames)
+    live = est.estimate_2d(jnp.asarray(frames))
+    np.testing.assert_allclose(out["joints2d"],
+                               np.asarray(live.joints2d), atol=1e-3)
+    # Symbolic batch uses the params_batch_hint side of the policy.
+    pb = str(tmp_path / "bf16")
+    metab = pexport.export_estimator(est, pb, fn="estimate_2d",
+                                     platforms=("cpu",),
+                                     params_batch_hint=1)
+    out1 = pexport.load(pb)(_frames(1))
+    assert out1["joints2d"].shape == (1, 14, 2)
 
 
 def test_cross_lowering_tpu_from_cpu_host(est, tmp_path):

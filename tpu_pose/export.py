@@ -189,8 +189,7 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
             "flip_tta": bool(est.flip_tta),
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
-            "quantized_params": est.cpm_params_bf16 is not None
-                                or _params_quantized(params),
+            "quantized_params": _params_quantized(params),
         },
         "tpu_pose_version": _version(),
     }
@@ -247,7 +246,7 @@ class LoadedProgram:
     def platforms(self) -> tuple:
         return tuple(self.meta["platforms"])
 
-    def __call__(self, frames) -> dict:
+    def _validate(self, frames) -> np.ndarray:
         frames = np.asarray(frames)
         if frames.ndim == 3:
             frames = frames[None]
@@ -262,8 +261,53 @@ class LoadedProgram:
                 f"got {frames.shape[0]}")
         if frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)
-        out = self._jitted(frames)
+        return frames
+
+    def call_device(self, frames) -> dict:
+        """Run WITHOUT the device→host sync: returns jax arrays so a
+        caller pipelining transfers (the serving dispatcher) keeps the
+        launch asynchronous."""
+        return self._jitted(self._validate(frames))
+
+    def __call__(self, frames) -> dict:
+        out = self.call_device(frames)
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+class ServableProgram:
+    """Adapter: a fused-path artifact presented through the estimator
+    interface :class:`serving.BatchingServer` consumes — so a serving
+    host deploys from the artifact alone (no checkpoints, no model
+    code, no re-trace at startup).
+
+    ``BatchingServer(ServableProgram("/srv/pose_artifact"))`` serves
+    mixed-resolution traffic: the adapter exposes the artifact's network
+    frame size for the server's submit-time letterbox, and the server's
+    ``fields=`` selection validates against the artifact's recorded
+    output spec. Use a SYMBOLIC-batch artifact (``batch=None`` at
+    export) so every server bucket runs; a static-batch artifact
+    requires ``buckets=(batch,)`` and ``max_batch=batch``.
+    """
+
+    def __init__(self, program):
+        prog = load(program) if isinstance(program, str) else program
+        if prog.fn != "estimate_and_fit":
+            raise ValueError(
+                f"serving needs an estimate_and_fit artifact, "
+                f"got fn={prog.fn!r}")
+        self.program = prog
+        self.result_fields = tuple(prog.meta["outputs"])
+        shape = prog.meta["input"]["shape"]
+        self.symbolic_batch = shape[0] == "b"
+        self.static_batch = None if self.symbolic_batch else shape[0]
+        if shape[1] == shape[2]:
+            import types
+            self.cpm_cfg = types.SimpleNamespace(input_size=shape[1])
+
+    def estimate_and_fit(self, images) -> dict:
+        # jax arrays out (no host sync) — the dispatcher pipelines the
+        # transfer itself.
+        return self.program.call_device(images)
 
 
 def load(path: str) -> LoadedProgram:

@@ -137,9 +137,15 @@ class BatchingServer:
         self.fields = None if fields is None else tuple(fields)
         if self.fields is not None:
             from tpu_pose.api import EstimateAndFitResult, PoseEstimator
+            known = None
             if isinstance(estimator, PoseEstimator):
+                known = set(EstimateAndFitResult._fields)
+            elif hasattr(estimator, "result_fields"):
+                # e.g. export.ServableProgram — fields from artifact meta.
+                known = set(estimator.result_fields)
+            if known is not None:
                 unknown = (set(self.fields) - {"letterbox_affine"}
-                           - set(EstimateAndFitResult._fields))
+                           - known)
                 if unknown:
                     raise ValueError(
                         f"unknown result fields: {sorted(unknown)}")
@@ -274,8 +280,11 @@ class BatchingServer:
         try:
             res = self.estimator.estimate_and_fit(jnp.asarray(padded))
             if self.fields is not None:
-                res = {k: getattr(res, k) for k in self.fields
-                       if k != "letterbox_affine"}
+                # Estimators return a NamedTuple; artifact-backed ones
+                # (export.ServableProgram) a dict.
+                res = {k: (res[k] if isinstance(res, dict)
+                           else getattr(res, k))
+                       for k in self.fields if k != "letterbox_affine"}
             return {"res": res, "futures": futures, "t_enq": t_enq,
                     "affines": affines, "n": n, "bucket": bucket}
         except Exception as e:  # launch failure → fail THIS batch only
