@@ -30,7 +30,9 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("out", "/tmp/tpu_pose_artifact", "artifact directory")
 flags.DEFINE_string("fn", "estimate_and_fit",
                     "estimate_2d | estimate_and_fit | "
-                    "estimate_and_fit_multi")
+                    "estimate_and_fit_multi | estimate_and_fit_video")
+flags.DEFINE_string("video_mode", "smooth", "estimate_and_fit_video "
+                    "fit mode: smooth | temporal | independent")
 flags.DEFINE_integer("batch", 0, "static batch size; 0 = symbolic "
                      "(one artifact, any batch)")
 flags.DEFINE_string("platforms", "", "comma-separated lowering targets "
@@ -60,8 +62,11 @@ def main(argv):
 
     platforms = (tuple(p for p in FLAGS.platforms.split(",") if p)
                  or None)
-    kw = ({"max_people": FLAGS.max_people}
-          if FLAGS.fn == "estimate_and_fit_multi" else {})
+    kw = {}
+    if FLAGS.fn == "estimate_and_fit_multi":
+        kw["max_people"] = FLAGS.max_people
+    elif FLAGS.fn == "estimate_and_fit_video":
+        kw["mode"] = FLAGS.video_mode
     t0 = time.perf_counter()
     meta = pexport.export_estimator(
         est, FLAGS.out, fn=FLAGS.fn,

@@ -121,6 +121,32 @@ def test_export_input_validation(est, tmp_path):
     assert out["joints2d"].shape == (2, 14, 2)
 
 
+def test_export_video(est, tmp_path):
+    """Video-path artifact: T is the leading dim; the smooth whole-
+    sequence fit serializes (Viterbi scan + shared-beta coupling
+    included) and matches the live fused video call."""
+    path = str(tmp_path / "video")
+    meta = pexport.export_estimator(est, path,
+                                    fn="estimate_and_fit_video",
+                                    batch=3, platforms=("cpu",),
+                                    mode="smooth")
+    assert meta["fn_kwargs"]["mode"] == "smooth"
+    frames = _frames(3, seed=21)
+    out = pexport.load(path)(frames)
+    live = est.estimate_and_fit_video(jnp.asarray(frames), mode="smooth")
+    assert out["beta"].shape == (3, 10)
+    np.testing.assert_allclose(out["joints2d"],
+                               np.asarray(live.joints2d), atol=1e-4)
+    np.testing.assert_allclose(out["theta"], np.asarray(live.theta),
+                               atol=2e-2)
+    # Shared-beta coupling survived the round trip.
+    assert np.ptp(out["beta"], axis=0).max() < 1e-5
+    with pytest.raises(ValueError, match="video mode"):
+        pexport.export_estimator(est, str(tmp_path / "vbad"),
+                                 fn="estimate_and_fit_video", batch=2,
+                                 platforms=("cpu",), mode="nope")
+
+
 def test_serving_from_artifact(est, tmp_path):
     """Deployment story end-to-end: export → BatchingServer over the
     loaded artifact, no estimator on the serving host. Mixed-resolution

@@ -58,7 +58,8 @@ import numpy as np
 from jax import export as jax_export
 
 FORMAT_VERSION = 1
-FUNCTIONS = ("estimate_2d", "estimate_and_fit", "estimate_and_fit_multi")
+FUNCTIONS = ("estimate_2d", "estimate_and_fit", "estimate_and_fit_multi",
+             "estimate_and_fit_video")
 _META_NAME = "meta.json"
 _PROGRAM_NAME = "program.bin"
 
@@ -100,6 +101,15 @@ def _build_fn(est, fn_name: str, params, **fn_kwargs):
         def fn(frames):
             return est._estimate_and_fit_impl(
                 params, est.smpl_model, frames)._asdict()
+        return fn
+    if fn_name == "estimate_and_fit_video":
+        mode = fn_kwargs.get("mode", "smooth")
+        if mode not in ("smooth", "temporal", "independent"):
+            raise ValueError(f"unknown video mode: {mode!r}")
+
+        def fn(frames):
+            return est._estimate_and_fit_video_impl(
+                params, est.smpl_model, frames, mode=mode)._asdict()
         return fn
     if fn_name == "estimate_and_fit_multi":
         kw = dict(max_people=2, min_person_score=0.05,
