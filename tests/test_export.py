@@ -147,6 +147,34 @@ def test_export_video(est, tmp_path):
                                  platforms=("cpu",), mode="nope")
 
 
+def test_export_fit_smpl(est, tmp_path):
+    """Joints-only artifact: (joints2d, conf) → fit + mesh, matching the
+    live fit_smpl path; symbolic batch; two-input validation."""
+    path = str(tmp_path / "fit")
+    meta = pexport.export_estimator(est, path, fn="fit_smpl",
+                                    platforms=("cpu",))
+    assert [i["name"] for i in meta["inputs"]] == ["joints2d", "conf"]
+    prog = pexport.load(path)
+
+    rng = np.random.RandomState(4)
+    j2d = rng.uniform(8, 56, (2, 14, 2)).astype(np.float32)
+    conf = np.ones((2, 14), np.float32)
+    out = prog(j2d, conf)
+    live = est.fit_smpl(jnp.asarray(j2d), jnp.asarray(conf))
+    np.testing.assert_allclose(out["theta"], np.asarray(live.theta),
+                               atol=2e-2)
+    np.testing.assert_allclose(out["cam"], np.asarray(live.cam),
+                               atol=2e-2)
+    assert out["vertices"].shape == (2, 6890, 3)
+    # Single-sample promotion + arg-count validation.
+    one = prog(j2d[0], conf[0])
+    assert one["theta"].shape == (1, 72)
+    with pytest.raises(ValueError, match="2 input"):
+        prog(j2d)
+    with pytest.raises(ValueError, match="inconsistent batch"):
+        prog(j2d, np.ones((3, 14), np.float32))
+
+
 def test_serving_from_artifact(est, tmp_path):
     """Deployment story end-to-end: export → BatchingServer over the
     loaded artifact, no estimator on the serving host. Mixed-resolution

@@ -17,13 +17,17 @@ Artifact layout (a directory):
 - ``program.bin`` — the serialized ``jax.export.Exported`` (StableHLO +
   calling convention + embedded constants).
 
-Three exportable functions (the serving entry points):
+Five exportable functions (the serving entry points):
 
 - ``estimate_2d``          — frames → heatmaps, 2D joints, confidences.
 - ``estimate_and_fit``     — frames → the full fused result (2D joints,
   SMPL θ/β/cam, posed vertices, 3D joints, energies).
 - ``estimate_and_fit_multi`` — the multi-person fused path (static
   ``max_people`` slots + person mask).
+- ``estimate_and_fit_video`` — the fused video path (leading dim = T;
+  ``mode`` smooth | temporal | independent).
+- ``fit_smpl``             — (joints2d, conf) → SMPL fit + posed mesh,
+  for deployments whose 2D joints come from an external detector.
 
 Batch dimension: ``batch=None`` (default) exports with a SYMBOLIC batch
 size — one artifact serves any batch, including the serving layer's
@@ -59,7 +63,7 @@ from jax import export as jax_export
 
 FORMAT_VERSION = 1
 FUNCTIONS = ("estimate_2d", "estimate_and_fit", "estimate_and_fit_multi",
-             "estimate_and_fit_video")
+             "estimate_and_fit_video", "fit_smpl")
 _META_NAME = "meta.json"
 _PROGRAM_NAME = "program.bin"
 
@@ -120,6 +124,32 @@ def _build_fn(est, fn_name: str, params, **fn_kwargs):
             return est._estimate_and_fit_multi_impl(
                 params, est.smpl_model, frames, **kw)._asdict()
         return fn
+    if fn_name == "fit_smpl":
+        # Joints-only deployment (an external 2D detector feeds the
+        # fit): joints2d in NETWORK-frame pixels (FitConfig.img_size),
+        # conf in [0, 1]. Mirrors the fused impl's fit+mesh tail.
+        from tpu_pose.fitting import fit as fit_lib
+        from tpu_pose.models import smpl as smpl_lib
+
+        def fn(joints2d, conf):
+            if est.fit_restarts > 1:
+                res = jax.vmap(
+                    lambda j, c: fit_lib.fit_smpl_multistart(
+                        est.smpl_model, j, c, cfg=est.fit_cfg,
+                        prior=est.prior,
+                        restarts=est.fit_restarts))(joints2d, conf)
+            else:
+                init = est._head_init(est.smpl_model, joints2d, conf)
+                res = fit_lib.fit_smpl_batch(
+                    est.smpl_model, joints2d, conf, cfg=est.fit_cfg,
+                    prior=est.prior, init=init)
+            out = smpl_lib.smpl_forward_batch(
+                est.smpl_model, res.beta, res.theta,
+                precision=smpl_lib.EXACT_PRECISION)
+            return {"theta": res.theta, "beta": res.beta,
+                    "cam": res.cam, "vertices": out.vertices,
+                    "joints3d": out.joints, "energy": res.energy}
+        return fn
     raise ValueError(f"unknown fn {fn_name!r}; expected one of {FUNCTIONS}")
 
 
@@ -178,10 +208,23 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
         bdim = jax_export.symbolic_shape("b")[0]
     else:
         bdim = int(batch)
-    spec = jax.ShapeDtypeStruct((bdim, h, w, 3), jnp.uint8)
+    b_meta = "b" if batch is None else int(batch)
+    if fn == "fit_smpl":
+        p = est.cpm_cfg.num_joints
+        specs = (jax.ShapeDtypeStruct((bdim, p, 2), jnp.float32),
+                 jax.ShapeDtypeStruct((bdim, p), jnp.float32))
+        inputs_meta = [
+            {"name": "joints2d", "shape": [b_meta, p, 2],
+             "dtype": "float32"},
+            {"name": "conf", "shape": [b_meta, p], "dtype": "float32"}]
+    else:
+        specs = (jax.ShapeDtypeStruct((bdim, h, w, 3), jnp.uint8),)
+        inputs_meta = [{"name": "frames",
+                        "shape": [b_meta, int(h), int(w), 3],
+                        "dtype": "uint8"}]
     wrapped = _build_fn(est2, fn, params, **fn_kwargs)
     exported = jax_export.export(
-        jax.jit(wrapped), platforms=list(platforms))(spec)
+        jax.jit(wrapped), platforms=list(platforms))(*specs)
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -189,9 +232,11 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
         "fn_kwargs": fn_kwargs,
         "platforms": list(platforms),
         "decode_impl": decode_impl,
-        "input": {"shape": ["b" if batch is None else int(batch),
-                            int(h), int(w), 3],
-                  "dtype": "uint8"},
+        # "input" mirrors inputs[0] for image artifacts (ServableProgram
+        # and pre-video consumers read it); "inputs" is authoritative.
+        "input": {"shape": inputs_meta[0]["shape"],
+                  "dtype": inputs_meta[0]["dtype"]},
+        "inputs": inputs_meta,
         "outputs": _out_spec(exported),
         "estimator": {
             "refine_center": bool(est.refine_center),
@@ -256,31 +301,51 @@ class LoadedProgram:
     def platforms(self) -> tuple:
         return tuple(self.meta["platforms"])
 
-    def _validate(self, frames) -> np.ndarray:
-        frames = np.asarray(frames)
-        if frames.ndim == 3:
-            frames = frames[None]
-        want = self.meta["input"]["shape"]
-        if frames.ndim != 4 or list(frames.shape[1:]) != want[1:]:
-            raise ValueError(
-                f"expected frames (b, {want[1]}, {want[2]}, 3), "
-                f"got {frames.shape}")
-        if want[0] != "b" and frames.shape[0] != want[0]:
-            raise ValueError(
-                f"artifact was exported for static batch {want[0]}, "
-                f"got {frames.shape[0]}")
-        if frames.dtype != np.uint8:
-            frames = np.clip(frames, 0, 255).astype(np.uint8)
-        return frames
+    def _input_specs(self) -> list:
+        # Pre-multi-input artifacts recorded only "input" (frames).
+        return self.meta.get(
+            "inputs",
+            [dict(self.meta["input"], name="frames")])
 
-    def call_device(self, frames) -> dict:
+    def _validate(self, args) -> tuple:
+        specs = self._input_specs()
+        if len(args) != len(specs):
+            raise ValueError(
+                f"{self.fn} artifact takes {len(specs)} input(s) "
+                f"({[s['name'] for s in specs]}), got {len(args)}")
+        out = []
+        for a, spec in zip(args, specs):
+            a = np.asarray(a)
+            want = spec["shape"]
+            if a.ndim == len(want) - 1:   # single sample → batch of 1
+                a = a[None]
+            if a.ndim != len(want) or list(a.shape[1:]) != want[1:]:
+                raise ValueError(
+                    f"expected {spec['name']} (b, "
+                    f"{', '.join(map(str, want[1:]))}), got {a.shape}")
+            if want[0] != "b" and a.shape[0] != want[0]:
+                raise ValueError(
+                    f"artifact was exported for static batch {want[0]}, "
+                    f"got {a.shape[0]}")
+            if str(a.dtype) != spec["dtype"]:
+                if spec["dtype"] == "uint8":
+                    a = np.clip(a, 0, 255).astype(np.uint8)
+                else:
+                    a = a.astype(spec["dtype"])
+            out.append(a)
+        if len({a.shape[0] for a in out}) > 1:
+            raise ValueError(
+                f"inconsistent batch sizes: {[a.shape[0] for a in out]}")
+        return tuple(out)
+
+    def call_device(self, *args) -> dict:
         """Run WITHOUT the device→host sync: returns jax arrays so a
         caller pipelining transfers (the serving dispatcher) keeps the
         launch asynchronous."""
-        return self._jitted(self._validate(frames))
+        return self._jitted(*self._validate(args))
 
-    def __call__(self, frames) -> dict:
-        out = self.call_device(frames)
+    def __call__(self, *args) -> dict:
+        out = self.call_device(*args)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
