@@ -378,6 +378,32 @@ def main(argv):
             os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
             jax.tree.map(np.asarray, params_h))
 
+    # ---- 8. deployment artifact round-trip ------------------------------
+    # Export the trained fused path (jax.export, weights baked in),
+    # reload it with no estimator in scope, and check it against the
+    # live program on the SAME eval frames — the ship-an-artifact story
+    # exercised with real trained weights on the device.
+    log("exporting deployment artifact (trained weights)...")
+    from tpu_pose import export as pexport
+    art_dir = os.path.join(FLAGS.out, "artifact")
+    est_dep = PoseEstimator(params, model, cpm_cfg=cfg, prior=None)
+    pexport.export_estimator(est_dep, art_dir, fn="estimate_and_fit",
+                             batch=int(imgs.shape[0]))
+    prog = pexport.load(art_dir)
+    out_art = prog(np.asarray(imgs))
+    live = est_dep.estimate_and_fit(imgs)
+    profiling.sync(live.theta)
+    d_j2d = float(np.max(np.abs(
+        out_art["joints2d"] - np.asarray(live.joints2d))))
+    d_th = float(np.max(np.abs(out_art["theta"] - np.asarray(live.theta))))
+    results["export_artifact"] = {
+        "program_mb": round(os.path.getsize(
+            os.path.join(art_dir, "program.bin")) / 1e6, 1),
+        "max_d_joints2d_px": d_j2d, "max_d_theta": d_th,
+        "ok": bool(d_j2d < 0.5 and d_th < 0.05)}
+    log(f"artifact round-trip: Δjoints2d {d_j2d:.3g} px, "
+        f"Δθ {d_th:.3g} → {'OK' if results['export_artifact']['ok'] else 'MISMATCH'}")
+
     with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     log(f"done → {FLAGS.out}/results.json")
