@@ -158,6 +158,7 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
                      input_shape: Optional[tuple] = None,
                      platforms: Optional[Sequence[str]] = None,
                      params_batch_hint: int = 1,
+                     n_devices: Optional[int] = None,
                      **fn_kwargs) -> dict:
     """Export one of the estimator's fused entry points as a standalone
     artifact directory at ``path``.
@@ -176,6 +177,14 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
       params_batch_hint: which side of the int8/bf16 precision policy to
         bake when ``batch=None`` (the policy is batch-dependent;
         a static ``batch`` overrides the hint).
+      n_devices: None (default) exports a single-device program. An int
+        exports a MULTI-CHIP data-parallel program: the batch dimension
+        is sharded over a 1-D ``("data",)`` mesh of that many devices
+        (params ride along replicated), XLA partitions the whole fused
+        pipeline, and the serialized program records the device
+        topology. Requires a static ``batch`` divisible by
+        ``n_devices``; loading requires ≥ ``n_devices`` visible devices
+        (the loader rebuilds the mesh and shards inputs itself).
       **fn_kwargs: static knobs of the multi-person path
         (``max_people``, ``min_person_score``, ...).
 
@@ -183,6 +192,16 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
     """
     if fn not in FUNCTIONS:
         raise ValueError(f"unknown fn {fn!r}; expected one of {FUNCTIONS}")
+    if n_devices is not None:
+        if batch is None:
+            raise ValueError("sharded export needs a static batch")
+        if batch % n_devices:
+            raise ValueError(
+                f"batch {batch} not divisible by n_devices {n_devices}")
+        if len(jax.devices()) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices to lower the sharded program, "
+                f"have {len(jax.devices())}")
     if batch is None and est.cpm_microbatch:
         raise ValueError(
             "symbolic batch (batch=None) is incompatible with "
@@ -223,8 +242,19 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
                         "shape": [b_meta, int(h), int(w), 3],
                         "dtype": "uint8"}]
     wrapped = _build_fn(est2, fn, params, **fn_kwargs)
-    exported = jax_export.export(
-        jax.jit(wrapped), platforms=list(platforms))(*specs)
+    if n_devices is None:
+        jitted = jax.jit(wrapped)
+    else:
+        from jax.sharding import (Mesh, NamedSharding,
+                                  PartitionSpec as PS)
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+        batch_shard = NamedSharding(mesh, PS("data"))
+        jitted = jax.jit(wrapped,
+                         in_shardings=(batch_shard,) * len(specs))
+        specs = tuple(
+            jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=batch_shard)
+            for s in specs)
+    exported = jax_export.export(jitted, platforms=list(platforms))(*specs)
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -237,6 +267,8 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
         "input": {"shape": inputs_meta[0]["shape"],
                   "dtype": inputs_meta[0]["dtype"]},
         "inputs": inputs_meta,
+        "sharding": (None if n_devices is None else
+                     {"n_devices": int(n_devices), "axis": "data"}),
         "outputs": _out_spec(exported),
         "estimator": {
             "refine_center": bool(est.refine_center),
@@ -292,6 +324,19 @@ class LoadedProgram:
         self._exported = exported
         self.meta = meta
         self._jitted = jax.jit(exported.call)
+        self._batch_sharding = None
+        shard = meta.get("sharding")
+        if shard:
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as PS)
+            n = shard["n_devices"]
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"artifact needs {n} devices "
+                    f"({shard['axis']}-sharded), have "
+                    f"{len(jax.devices())}")
+            mesh = Mesh(np.array(jax.devices()[:n]), (shard["axis"],))
+            self._batch_sharding = NamedSharding(mesh, PS(shard["axis"]))
 
     @property
     def fn(self) -> str:
@@ -341,8 +386,13 @@ class LoadedProgram:
     def call_device(self, *args) -> dict:
         """Run WITHOUT the device→host sync: returns jax arrays so a
         caller pipelining transfers (the serving dispatcher) keeps the
-        launch asynchronous."""
-        return self._jitted(*self._validate(args))
+        launch asynchronous. Sharded artifacts scatter inputs over the
+        recorded mesh here."""
+        args = self._validate(args)
+        if self._batch_sharding is not None:
+            args = tuple(jax.device_put(a, self._batch_sharding)
+                         for a in args)
+        return self._jitted(*args)
 
     def __call__(self, *args) -> dict:
         out = self.call_device(*args)
