@@ -30,9 +30,13 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("out", "/tmp/tpu_pose_artifact", "artifact directory")
 flags.DEFINE_string("fn", "estimate_and_fit",
                     "estimate_2d | estimate_and_fit | "
-                    "estimate_and_fit_multi | estimate_and_fit_video")
+                    "estimate_and_fit_multi | estimate_and_fit_video | "
+                    "fit_smpl")
 flags.DEFINE_string("video_mode", "smooth", "estimate_and_fit_video "
                     "fit mode: smooth | temporal | independent")
+flags.DEFINE_integer("n_devices", 0, "0 = single-device program; N = "
+                     "batch-sharded multi-chip program over an "
+                     "N-device ('data',) mesh")
 flags.DEFINE_integer("batch", 0, "static batch size; 0 = symbolic "
                      "(one artifact, any batch)")
 flags.DEFINE_string("platforms", "", "comma-separated lowering targets "
@@ -70,7 +74,8 @@ def main(argv):
     t0 = time.perf_counter()
     meta = pexport.export_estimator(
         est, FLAGS.out, fn=FLAGS.fn,
-        batch=FLAGS.batch or None, platforms=platforms, **kw)
+        batch=FLAGS.batch or None, platforms=platforms,
+        n_devices=FLAGS.n_devices or None, **kw)
     export_s = time.perf_counter() - t0
     size = os.path.getsize(os.path.join(FLAGS.out, "program.bin"))
 
@@ -87,14 +92,22 @@ def main(argv):
         if jax.default_backend() in meta["platforms"]:
             prog = pexport.load(FLAGS.out)
             b = FLAGS.batch or 2
-            h, w = meta["input"]["shape"][1:3]
-            frames = np.random.RandomState(0).randint(
-                0, 255, (b, h, w, 3)).astype(np.uint8)
+            rng = np.random.RandomState(0)
+            if FLAGS.fn == "fit_smpl":
+                p = meta["inputs"][0]["shape"][1]
+                size = est.fit_cfg.img_size
+                args = (rng.uniform(0, size, (b, p, 2)).astype(
+                            np.float32),
+                        np.ones((b, p), np.float32))
+            else:
+                h, w = meta["input"]["shape"][1:3]
+                args = (rng.randint(0, 255, (b, h, w, 3)).astype(
+                    np.uint8),)
             t0 = time.perf_counter()
-            out = prog(frames)           # includes compile
+            out = prog(*args)            # includes compile
             record["smoke_compile_s"] = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
-            out = prog(frames)
+            out = prog(*args)
             record["smoke_run_s"] = round(time.perf_counter() - t0, 4)
             record["smoke_outputs"] = {
                 k: list(v.shape) for k, v in sorted(out.items())}
