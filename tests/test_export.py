@@ -263,6 +263,30 @@ def test_export_unknown_fn(est, tmp_path):
         pexport.export_estimator(est, str(tmp_path / "x"), fn="nope")
 
 
+def test_export_letterbox_nonsquare_input(tmp_path):
+    """input_shape + letterbox: the artifact takes non-square source
+    frames and returns joints in SOURCE pixels, matching the live
+    letterboxed estimator."""
+    est_lb = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT, letterbox=True)
+    path = str(tmp_path / "lb")
+    meta = pexport.export_estimator(est_lb, path, fn="estimate_2d",
+                                    batch=2, input_shape=(96, 60),
+                                    platforms=("cpu",))
+    assert meta["input"]["shape"] == [2, 96, 60, 3]
+    assert meta["estimator"]["letterbox"]
+    frames = np.random.RandomState(2).randint(
+        0, 255, (2, 96, 60, 3)).astype(np.uint8)
+    out = pexport.load(path)(frames)
+    live = est_lb.estimate_2d(jnp.asarray(frames))
+    # Matching the live letterboxed estimator IS the source-pixel
+    # contract (the live path's inverse affine is letterbox-tested);
+    # random weights legitimately decode into the pad region, so no
+    # in-bounds assertion here.
+    np.testing.assert_allclose(out["joints2d"],
+                               np.asarray(live.joints2d), atol=1e-3)
+
+
 def test_export_quantized_params(tmp_path):
     """quantize=True estimators bake the batch-policy-selected weight
     set: int8 at/above int8_min_batch, bf16 below. Both artifacts must

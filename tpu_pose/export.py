@@ -192,6 +192,10 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
     """
     if fn not in FUNCTIONS:
         raise ValueError(f"unknown fn {fn!r}; expected one of {FUNCTIONS}")
+    if fn_kwargs and fn not in ("estimate_and_fit_multi",
+                                "estimate_and_fit_video"):
+        raise ValueError(
+            f"{fn} takes no extra kwargs, got {sorted(fn_kwargs)}")
     if n_devices is not None:
         if batch is None:
             raise ValueError("sharded export needs a static batch")
