@@ -247,6 +247,56 @@ def test_export_sharded_multichip(est, tmp_path):
                                  platforms=("cpu",))
 
 
+def test_video_multi_stream_artifact_matches_live(est, tmp_path):
+    """The tracked-streaming artifact (two window programs + carried
+    state) must reproduce the live streaming path: same windows, same
+    identity assignment, same fits — run via ArtifactVideoSession with
+    no estimator in scope."""
+    path = str(tmp_path / "vms")
+    meta = pexport.export_video_multi_stream(
+        est, path, chunk=3, platforms=("cpu",), max_people=2)
+    assert meta["fn"] == "video_multi_stream"
+    assert meta["carry"]["carry_theta"]["shape"] == [2, 72]
+
+    frames = np.random.RandomState(9).randint(
+        0, 255, (7, 64, 64, 3)).astype(np.uint8)
+    live = est.estimate_and_fit_video_multi_stream(
+        jnp.asarray(frames), max_people=2, chunk=3)
+
+    sess = pexport.ArtifactVideoSession(path)
+    outs = []
+    for lo, hi in ((0, 5), (5, 7)):
+        r = sess.push(frames[lo:hi])
+        if r is not None:
+            outs.append(r)
+    outs.append(sess.flush())
+    theta = np.concatenate([o["theta"] for o in outs], axis=1)
+    j2d = np.concatenate([o["joints2d"] for o in outs], axis=0)
+    perm = np.concatenate([o["perm"] for o in outs], axis=0)
+    np.testing.assert_array_equal(perm, np.asarray(live.perm))
+    np.testing.assert_allclose(j2d, np.asarray(live.joints2d),
+                               atol=1e-3)
+    np.testing.assert_allclose(theta, np.asarray(live.theta), atol=2e-2)
+    with pytest.raises(RuntimeError):
+        sess.push(frames[:1])
+    # Loading it as a plain single-program artifact fails clearly.
+    with pytest.raises(FileNotFoundError):
+        pexport.load(path)
+    with pytest.raises(ValueError, match="video_multi_stream"):
+        p2 = str(tmp_path / "plain")
+        pexport.export_estimator(est, p2, fn="estimate_2d", batch=2,
+                                 platforms=("cpu",))
+        pexport.ArtifactVideoSession(p2)
+
+
+def test_video_field_split_mirrors_api():
+    """export.py duplicates api's result-field axis split so deployment
+    hosts don't import the model stack — this pins them together."""
+    from tpu_pose import api
+    assert pexport._VIDEO_T_FIRST == api._VIDEO_MULTI_T_FIRST
+    assert pexport._VIDEO_K_FIRST == api._VIDEO_MULTI_K_FIRST
+
+
 def test_load_rejects_non_artifact(tmp_path):
     with pytest.raises(FileNotFoundError):
         pexport.load(str(tmp_path / "nope"))

@@ -403,6 +403,233 @@ class LoadedProgram:
         return {k: np.asarray(v) for k, v in out.items()}
 
 
+# Result-field axis split for window slicing — MUST mirror
+# api._VIDEO_MULTI_T_FIRST / _VIDEO_MULTI_K_FIRST (tested for drift in
+# tests/test_export.py); duplicated so a deployment host importing only
+# this module never pulls the model stack.
+_VIDEO_T_FIRST = ("joints2d", "conf", "person_scores", "frame_mask",
+                  "perm")
+_VIDEO_K_FIRST = ("theta", "beta", "cam", "vertices", "joints3d",
+                  "energy")
+_CARRY_KEYS = ("carry_feats", "carry_present", "carry_theta",
+               "carry_beta", "carry_cam")
+_PROGRAM_FIRST = "program_first.bin"
+_PROGRAM_ANCHORED = "program_anchored.bin"
+
+
+def export_video_multi_stream(est, path: str, chunk: int = 64,
+                              platforms: Optional[Sequence[str]] = None,
+                              max_people: int = 2,
+                              min_person_score: float = 0.05,
+                              person_score_frac: float = 0.4,
+                              dup_px: float = 30.0) -> dict:
+    """Export the TRACKED STREAMING video pipeline: the same two fused
+    window programs :class:`api.MultiPersonVideoSession` runs (first
+    window; anchored continuation carrying tracker state + per-track
+    last solutions), serialized so a deployment host can run
+    identity-consistent multi-person video of ANY length from the
+    artifact alone — see :class:`ArtifactVideoSession`.
+
+    Artifact layout: ``meta.json`` + ``program_first.bin`` +
+    ``program_anchored.bin``. Both programs take a ``chunk``-frame
+    window (static — the session zero-pads the final partial window) and
+    return the window result plus the flattened carry
+    (track features, presence, per-track θ/β/cam anchors).
+    """
+    platforms = tuple(platforms) if platforms else (jax.default_backend(),)
+    decode_impl = _resolve_decode_impl(est.cpm_cfg, platforms)
+    est2 = _estimator_with_cfg(
+        est, dataclasses.replace(est.cpm_cfg, decode_impl=decode_impl))
+    params = est2._params_for_batch(chunk)
+    size = est2.cpm_cfg.input_size
+    base = dict(max_people=max_people, min_person_score=min_person_score,
+                person_score_frac=person_score_frac, dup_px=dup_px,
+                restarts=max(est.fit_restarts, 1))
+
+    def pack(result, state, anchors):
+        d = dict(result._asdict())
+        d.pop("track_mask")   # per-window; the session recomputes it
+        d["carry_feats"], d["carry_present"] = state
+        d["carry_theta"] = anchors["theta"]
+        d["carry_beta"] = anchors["beta"]
+        d["carry_cam"] = anchors["cam"]
+        return d
+
+    def fn_first(frames, pad_mask):
+        r, s, a = est2._estimate_and_fit_video_multi_impl(
+            params, est2.smpl_model, frames, pad_mask=pad_mask,
+            return_carry=True, **base)
+        return pack(r, s, a)
+
+    def fn_anchored(frames, pad_mask, feats, present, theta, beta, cam):
+        r, s, a = est2._estimate_and_fit_video_multi_impl(
+            params, est2.smpl_model, frames, pad_mask=pad_mask,
+            track_state=(feats, present),
+            anchors={"theta": theta, "beta": beta, "cam": cam},
+            return_carry=True, **base)
+        return pack(r, s, a)
+
+    frame_spec = jax.ShapeDtypeStruct((chunk, size, size, 3), jnp.uint8)
+    mask_spec = jax.ShapeDtypeStruct((chunk,), jnp.float32)
+    carry_avals = jax.eval_shape(fn_first, frame_spec, mask_spec)
+    carry_specs = tuple(
+        jax.ShapeDtypeStruct(carry_avals[k].shape, carry_avals[k].dtype)
+        for k in _CARRY_KEYS)
+
+    exp_first = jax_export.export(
+        jax.jit(fn_first), platforms=list(platforms))(
+            frame_spec, mask_spec)
+    exp_anchored = jax_export.export(
+        jax.jit(fn_anchored), platforms=list(platforms))(
+            frame_spec, mask_spec, *carry_specs)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "fn": "video_multi_stream",
+        "fn_kwargs": {"max_people": max_people,
+                      "min_person_score": min_person_score,
+                      "person_score_frac": person_score_frac,
+                      "dup_px": dup_px},
+        "platforms": list(platforms),
+        "decode_impl": decode_impl,
+        "chunk": int(chunk),
+        "input": {"shape": [int(chunk), size, size, 3],
+                  "dtype": "uint8"},
+        "carry": {k: {"shape": list(map(int, carry_avals[k].shape)),
+                      "dtype": str(carry_avals[k].dtype)}
+                  for k in _CARRY_KEYS},
+        "outputs": _out_spec(exp_first),
+        "estimator": {
+            "refine_scale": bool(est.refine_scale),
+            "flip_tta": bool(est.flip_tta),
+            "letterbox": bool(est.letterbox),
+            "fit_restarts": int(est.fit_restarts),
+            "quantized_params": _params_quantized(params),
+        },
+        "tpu_pose_version": _version(),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM_FIRST), "wb") as f:
+        f.write(exp_first.serialize())
+    with open(os.path.join(path, _PROGRAM_ANCHORED), "wb") as f:
+        f.write(exp_anchored.serialize())
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return meta
+
+
+class ArtifactVideoSession:
+    """Online tracked multi-person video driven ENTIRELY from a
+    :func:`export_video_multi_stream` artifact — the deployment twin of
+    :class:`api.MultiPersonVideoSession` (same push/flush contract, same
+    window programs, bit-identical windows), with no model code and no
+    weights on the host.
+
+    ``push(frames)`` buffers host-side and runs one fused window program
+    per full ``chunk``; returns a dict of numpy arrays covering the
+    completed windows (time-first fields on axis 0, track-first on
+    axis 1, plus ``track_mask`` over the emitted span) or None.
+    ``flush()`` runs the final zero-padded partial window and closes the
+    session. Track i means the same person for the whole session.
+    """
+
+    def __init__(self, path: str):
+        meta_path = os.path.join(path, _META_NAME)
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(f"{path} is not an export artifact")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        if self.meta.get("fn") != "video_multi_stream":
+            raise ValueError(
+                f"need a video_multi_stream artifact, got "
+                f"fn={self.meta.get('fn')!r}")
+        if self.meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {self.meta.get('format_version')} "
+                f"!= supported {FORMAT_VERSION}")
+        with open(os.path.join(path, _PROGRAM_FIRST), "rb") as f:
+            self._first = jax.jit(jax_export.deserialize(f.read()).call)
+        with open(os.path.join(path, _PROGRAM_ANCHORED), "rb") as f:
+            self._anchored = jax.jit(
+                jax_export.deserialize(f.read()).call)
+        self.chunk = int(self.meta["chunk"])
+        self._hw = tuple(self.meta["input"]["shape"][1:3])
+        self._buf: list = []
+        self._buffered = 0
+        self._carry = None
+        self._closed = False
+
+    @property
+    def frames_buffered(self) -> int:
+        return self._buffered
+
+    def _run_window(self, win: np.ndarray, n_real: int) -> dict:
+        pad_mask = np.ones(self.chunk, np.float32)
+        if n_real < self.chunk:
+            pad = np.zeros((self.chunk - n_real,) + win.shape[1:],
+                           win.dtype)
+            win = np.concatenate([win, pad])
+            pad_mask[n_real:] = 0.0
+        if self._carry is None:
+            out = self._first(win, pad_mask)
+        else:
+            out = self._anchored(win, pad_mask, *self._carry)
+        self._carry = tuple(out[k] for k in _CARRY_KEYS)
+        res = {k: np.asarray(v) for k, v in out.items()
+               if k not in _CARRY_KEYS}
+        for k in _VIDEO_T_FIRST:
+            res[k] = res[k][:n_real]
+        for k in _VIDEO_K_FIRST:
+            res[k] = res[k][:, :n_real]
+        return res
+
+    @staticmethod
+    def _concat(outs: list) -> dict:
+        res = outs[0] if len(outs) == 1 else {
+            k: np.concatenate(
+                [o[k] for o in outs],
+                axis=0 if k in _VIDEO_T_FIRST else 1)
+            for k in _VIDEO_T_FIRST + _VIDEO_K_FIRST}
+        res["track_mask"] = (
+            res["frame_mask"].astype(np.float32).mean(axis=0) >= 0.5)
+        return res
+
+    def push(self, frames) -> Optional[dict]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        frames = np.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        if frames.shape[1:3] != self._hw or frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected frames (n, {self._hw[0]}, {self._hw[1]}, 3), "
+                f"got {frames.shape}")
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
+        self._buf.append(frames)
+        self._buffered += frames.shape[0]
+        outs = []
+        while self._buffered >= self.chunk:
+            buf = (np.concatenate(self._buf)
+                   if len(self._buf) > 1 else self._buf[0])
+            win, rest = buf[:self.chunk], buf[self.chunk:]
+            self._buf = [rest] if rest.shape[0] else []
+            self._buffered -= self.chunk
+            outs.append(self._run_window(win, self.chunk))
+        return self._concat(outs) if outs else None
+
+    def flush(self) -> Optional[dict]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        self._closed = True
+        if self._buffered == 0:
+            return None
+        buf = (np.concatenate(self._buf)
+               if len(self._buf) > 1 else self._buf[0])
+        self._buf, self._buffered = [], 0
+        return self._concat([self._run_window(buf, buf.shape[0])])
+
+
 class ServableProgram:
     """Adapter: a fused-path artifact presented through the estimator
     interface :class:`serving.BatchingServer` consumes — so a serving
