@@ -203,3 +203,33 @@ def test_estimate_and_fit_video_stream(est):
     stream_keys = [k for k in est._fit_multistart if k[0] == "stream2d"]
     assert stream_keys and all(k[-1] == 2 for k in stream_keys)
     assert np.all(np.isfinite(np.asarray(r.vertices)))
+
+
+def test_video_session_matches_stream(est):
+    """Online single-person VideoSession (irregular pushes) reproduces
+    estimate_and_fit_video_stream: same windows, same anchor carry —
+    full windows must match tightly; the flush window pads with zero
+    FRAMES (masked) where the one-shot path pads with repeated JOINTS
+    (also masked), so only mask-excluded content differs."""
+    from tpu_pose.api import VideoSession
+    frames = np.random.RandomState(5).randint(
+        0, 255, (5, 64, 64, 3)).astype(np.uint8)
+    ref = est.estimate_and_fit_video_stream(jnp.asarray(frames), chunk=2)
+
+    sess = VideoSession(est, chunk=2)
+    outs = []
+    for lo, hi in ((0, 1), (1, 4), (4, 5)):
+        r = sess.push(frames[lo:hi])
+        if r is not None:
+            outs.append(r)
+    assert sess.frames_buffered == 1
+    outs.append(sess.flush())
+    theta = np.concatenate([np.asarray(o.theta) for o in outs], axis=0)
+    j2d = np.concatenate([np.asarray(o.joints2d) for o in outs], axis=0)
+    np.testing.assert_allclose(j2d, np.asarray(ref.joints2d), atol=1e-4)
+    np.testing.assert_allclose(theta, np.asarray(ref.theta), atol=1e-3)
+    try:
+        sess.push(frames[:1])
+        assert False, "push after flush should raise"
+    except RuntimeError:
+        pass

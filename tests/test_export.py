@@ -289,6 +289,37 @@ def test_video_multi_stream_artifact_matches_live(est, tmp_path):
         pexport.ArtifactVideoSession(p2)
 
 
+def test_video_stream_artifact_matches_live_session(est, tmp_path):
+    """Single-person streaming artifact == live VideoSession: same
+    window programs, same anchor carry."""
+    from tpu_pose.api import VideoSession
+    path = str(tmp_path / "vs")
+    meta = pexport.export_video_stream(est, path, chunk=3,
+                                       platforms=("cpu",))
+    assert meta["fn"] == "video_stream"
+    assert meta["carry_keys"] == ["carry_theta", "carry_beta",
+                                  "carry_cam"]
+    frames = np.random.RandomState(8).randint(
+        0, 255, (7, 64, 64, 3)).astype(np.uint8)
+
+    live_sess = VideoSession(est, chunk=3)
+    live_outs = [r for r in (live_sess.push(frames),
+                             live_sess.flush()) if r is not None]
+    theta_live = np.concatenate(
+        [np.asarray(o.theta) for o in live_outs], axis=0)
+
+    art = pexport.ArtifactVideoSession(path)
+    outs = [r for r in (art.push(frames), art.flush())
+            if r is not None]
+    theta = np.concatenate([o["theta"] for o in outs], axis=0)
+    j2d = np.concatenate([o["joints2d"] for o in outs], axis=0)
+    assert theta.shape == (7, 72) and j2d.shape == (7, 14, 2)
+    np.testing.assert_allclose(theta, theta_live, atol=1e-3)
+    live_j2d = np.concatenate(
+        [np.asarray(o.joints2d) for o in live_outs], axis=0)
+    np.testing.assert_allclose(j2d, live_j2d, atol=1e-4)
+
+
 def test_video_field_split_mirrors_api():
     """export.py duplicates api's result-field axis split so deployment
     hosts don't import the model stack — this pins them together."""

@@ -25,7 +25,8 @@ SMPL(ify) papers. Citations in docstrings use SURVEY.md section numbers.
 __version__ = "0.1.0"
 
 _API_EXPORTS = ("PoseEstimator", "estimate_2d", "fit_smpl",
-                "estimate_and_fit", "MultiPersonVideoSession")
+                "estimate_and_fit", "MultiPersonVideoSession",
+                "VideoSession")
 
 
 def __getattr__(name):

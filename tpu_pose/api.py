@@ -713,6 +713,52 @@ class PoseEstimator:
                 self._estimate_and_fit_video_multi_impl, **base))
         return self._fit_multistart[kf], self._fit_multistart[ka]
 
+    def _video_stream_window_impl(self, cpm_params, smpl_model, frames,
+                                  pad_mask, anchor=None):
+        """One SINGLE-PERSON streaming window: CPM 2D on the window +
+        the anchored joint smooth fit, with pad frames confidence-zeroed
+        and masked out of the data/smoothness/Viterbi terms (the same
+        window semantics as temporal.fit_video_stream, fused with the
+        2D front end for online input). Returns (result, new_anchor);
+        the carry index is -1 — windows whose carry is consumed are
+        always full (the final partial window is only ever flushed)."""
+        from tpu_pose.fitting import temporal
+        _, joints, conf = cpm_lib.estimate_2d_microbatched(
+            cpm_params, frames, cfg=self.cpm_cfg,
+            chunk=self.cpm_microbatch, refine_center=self.refine_center,
+            refine_scale=self.refine_scale,
+            scale_from_refined=self.scale_from_refined,
+            flip_tta=self.flip_tta,
+            letterbox=self.letterbox, source_frame=False)
+        conf = conf * pad_mask[:, None]
+        res = temporal.fit_video_smooth(
+            smpl_model, joints, conf, cfg=self.fit_cfg,
+            prior=self.prior, restarts=max(self.fit_restarts, 1),
+            frame_mask=pad_mask, anchor=anchor)
+        out = smpl_lib.smpl_forward_batch(
+            smpl_model, res.beta, res.theta,
+            precision=smpl_lib.EXACT_PRECISION)
+        result = EstimateAndFitResult(
+            joints2d=self._to_source_frame(joints, frames), conf=conf,
+            theta=res.theta, beta=res.beta, cam=res.cam,
+            vertices=out.vertices, joints3d=out.joints,
+            energy=res.energy)
+        new_anchor = {"theta": res.theta[-1], "beta": res.beta[-1],
+                      "cam": res.cam[-1]}
+        return result, new_anchor
+
+    def _video_window_programs(self, chunk: int):
+        """Jitted (first-window, anchored-window) programs for the
+        single-person online video session, cached per chunk."""
+        kf = ("video_stream_first", self.fit_restarts, chunk)
+        ka = ("video_stream_anchored", self.fit_restarts, chunk)
+        if kf not in self._fit_multistart:
+            self._fit_multistart[kf] = jax.jit(
+                self._video_stream_window_impl)
+            self._fit_multistart[ka] = jax.jit(
+                self._video_stream_window_impl)
+        return self._fit_multistart[kf], self._fit_multistart[ka]
+
 
 # Result-field split for window slicing: time-first fields slice on
 # axis 0, track-first on axis 1 (MultiPersonVideoResult docstring).
@@ -822,6 +868,89 @@ class MultiPersonVideoSession:
         return _concat_video_multi(outs) if outs else None
 
     def flush(self) -> Optional[MultiPersonVideoResult]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        self._closed = True
+        if self._buffered == 0:
+            return None
+        buf = (jnp.concatenate(self._buf)
+               if len(self._buf) > 1 else self._buf[0])
+        self._buf, self._buffered = [], 0
+        return self._run_window(buf, buf.shape[0])
+
+
+class VideoSession:
+    """Online SINGLE-PERSON video: the incremental form of
+    :meth:`PoseEstimator.estimate_and_fit_video_stream` for frames that
+    arrive one at a time (a camera, a decoder). Frames buffer host-side;
+    each full ``chunk``-frame window runs ONE fused device program
+    (CPM 2D + the anchored joint smooth fit), and the last solution
+    carries as the next window's anchor — Viterbi facing continuity,
+    boundary smoothness, and the shared body shape persist across
+    windows at fixed memory for any stream length.
+
+    ``push(frames) -> EstimateAndFitResult | None`` — results for the
+    windows this push completed. ``flush()`` runs the final partial
+    window (zero-padded; pads confidence-zeroed and masked) and closes
+    the session.
+    """
+
+    def __init__(self, estimator: "PoseEstimator", chunk: int = 64):
+        self._est = estimator
+        self.chunk = int(chunk)
+        self._first_fn, self._anchored_fn = (
+            estimator._video_window_programs(self.chunk))
+        self._params = estimator._params_for_batch(self.chunk)
+        self._buf: list = []
+        self._buffered = 0
+        self._anchor = None
+        self._closed = False
+
+    @property
+    def frames_buffered(self) -> int:
+        return self._buffered
+
+    def _run_window(self, win: jnp.ndarray,
+                    n_real: int) -> EstimateAndFitResult:
+        pad_mask = jnp.ones(self.chunk, jnp.float32)
+        if n_real < self.chunk:
+            win = jnp.concatenate([
+                win, jnp.zeros((self.chunk - n_real,) + win.shape[1:],
+                               win.dtype)])
+            pad_mask = pad_mask.at[n_real:].set(0.0)
+        if self._anchor is None:
+            res, self._anchor = self._first_fn(
+                self._params, self._est.smpl_model, win, pad_mask)
+        else:
+            res, self._anchor = self._anchored_fn(
+                self._params, self._est.smpl_model, win, pad_mask,
+                anchor=self._anchor)
+        return jax.tree.map(lambda x: x[:n_real], res)
+
+    def push(self, frames) -> Optional[EstimateAndFitResult]:
+        if self._closed:
+            raise RuntimeError("session already flushed")
+        frames = jnp.asarray(frames)
+        if frames.ndim == 3:
+            frames = frames[None]
+        self._buf.append(frames)
+        self._buffered += frames.shape[0]
+        outs = []
+        while self._buffered >= self.chunk:
+            buf = (jnp.concatenate(self._buf)
+                   if len(self._buf) > 1 else self._buf[0])
+            win, rest = buf[:self.chunk], buf[self.chunk:]
+            self._buf = [rest] if rest.shape[0] else []
+            self._buffered -= self.chunk
+            outs.append(self._run_window(win, self.chunk))
+        if not outs:
+            return None
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                            *outs)
+
+    def flush(self) -> Optional[EstimateAndFitResult]:
         if self._closed:
             raise RuntimeError("session already flushed")
         self._closed = True

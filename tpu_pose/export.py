@@ -493,6 +493,7 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         "platforms": list(platforms),
         "decode_impl": decode_impl,
         "chunk": int(chunk),
+        "carry_keys": list(_CARRY_KEYS),
         "input": {"shape": [int(chunk), size, size, 3],
                   "dtype": "uint8"},
         "carry": {k: {"shape": list(map(int, carry_avals[k].shape)),
@@ -518,12 +519,98 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
     return meta
 
 
+_CARRY_KEYS_SINGLE = ("carry_theta", "carry_beta", "carry_cam")
+
+
+def export_video_stream(est, path: str, chunk: int = 64,
+                        platforms: Optional[Sequence[str]] = None
+                        ) -> dict:
+    """Export the SINGLE-PERSON streaming video pipeline — the two fused
+    window programs :class:`api.VideoSession` runs (CPM 2D + anchored
+    joint smooth fit; the last solution carries as the next window's
+    anchor). Same artifact layout as :func:`export_video_multi_stream`;
+    run with :class:`ArtifactVideoSession`."""
+    platforms = tuple(platforms) if platforms else (jax.default_backend(),)
+    decode_impl = _resolve_decode_impl(est.cpm_cfg, platforms)
+    est2 = _estimator_with_cfg(
+        est, dataclasses.replace(est.cpm_cfg, decode_impl=decode_impl))
+    params = est2._params_for_batch(chunk)
+    size = est2.cpm_cfg.input_size
+
+    def pack(result, anchor):
+        d = dict(result._asdict())
+        d["carry_theta"] = anchor["theta"]
+        d["carry_beta"] = anchor["beta"]
+        d["carry_cam"] = anchor["cam"]
+        return d
+
+    def fn_first(frames, pad_mask):
+        r, a = est2._video_stream_window_impl(
+            params, est2.smpl_model, frames, pad_mask)
+        return pack(r, a)
+
+    def fn_anchored(frames, pad_mask, theta, beta, cam):
+        r, a = est2._video_stream_window_impl(
+            params, est2.smpl_model, frames, pad_mask,
+            anchor={"theta": theta, "beta": beta, "cam": cam})
+        return pack(r, a)
+
+    frame_spec = jax.ShapeDtypeStruct((chunk, size, size, 3), jnp.uint8)
+    mask_spec = jax.ShapeDtypeStruct((chunk,), jnp.float32)
+    carry_avals = jax.eval_shape(fn_first, frame_spec, mask_spec)
+    carry_specs = tuple(
+        jax.ShapeDtypeStruct(carry_avals[k].shape, carry_avals[k].dtype)
+        for k in _CARRY_KEYS_SINGLE)
+
+    exp_first = jax_export.export(
+        jax.jit(fn_first), platforms=list(platforms))(
+            frame_spec, mask_spec)
+    exp_anchored = jax_export.export(
+        jax.jit(fn_anchored), platforms=list(platforms))(
+            frame_spec, mask_spec, *carry_specs)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "fn": "video_stream",
+        "fn_kwargs": {},
+        "platforms": list(platforms),
+        "decode_impl": decode_impl,
+        "chunk": int(chunk),
+        "carry_keys": list(_CARRY_KEYS_SINGLE),
+        "input": {"shape": [int(chunk), size, size, 3],
+                  "dtype": "uint8"},
+        "carry": {k: {"shape": list(map(int, carry_avals[k].shape)),
+                      "dtype": str(carry_avals[k].dtype)}
+                  for k in _CARRY_KEYS_SINGLE},
+        "outputs": _out_spec(exp_first),
+        "estimator": {
+            "refine_center": bool(est.refine_center),
+            "refine_scale": bool(est.refine_scale),
+            "flip_tta": bool(est.flip_tta),
+            "letterbox": bool(est.letterbox),
+            "fit_restarts": int(est.fit_restarts),
+            "quantized_params": _params_quantized(params),
+        },
+        "tpu_pose_version": _version(),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM_FIRST), "wb") as f:
+        f.write(exp_first.serialize())
+    with open(os.path.join(path, _PROGRAM_ANCHORED), "wb") as f:
+        f.write(exp_anchored.serialize())
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return meta
+
+
 class ArtifactVideoSession:
-    """Online tracked multi-person video driven ENTIRELY from a
-    :func:`export_video_multi_stream` artifact — the deployment twin of
-    :class:`api.MultiPersonVideoSession` (same push/flush contract, same
-    window programs, bit-identical windows), with no model code and no
-    weights on the host.
+    """Online streaming video driven ENTIRELY from an artifact — the
+    deployment twin of :class:`api.MultiPersonVideoSession` (for
+    :func:`export_video_multi_stream` artifacts: tracked multi-person)
+    or :class:`api.VideoSession` (for :func:`export_video_stream`
+    artifacts: single-person anchored smooth fits). Same push/flush
+    contract and window programs as the live sessions, with no model
+    code and no weights on the host.
 
     ``push(frames)`` buffers host-side and runs one fused window program
     per full ``chunk``; returns a dict of numpy arrays covering the
@@ -539,10 +626,11 @@ class ArtifactVideoSession:
             raise FileNotFoundError(f"{path} is not an export artifact")
         with open(meta_path) as f:
             self.meta = json.load(f)
-        if self.meta.get("fn") != "video_multi_stream":
+        if self.meta.get("fn") not in ("video_multi_stream",
+                                       "video_stream"):
             raise ValueError(
-                f"need a video_multi_stream artifact, got "
-                f"fn={self.meta.get('fn')!r}")
+                f"need a video_multi_stream or video_stream artifact, "
+                f"got fn={self.meta.get('fn')!r}")
         if self.meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"artifact format {self.meta.get('format_version')} "
@@ -554,6 +642,17 @@ class ArtifactVideoSession:
                 jax_export.deserialize(f.read()).call)
         self.chunk = int(self.meta["chunk"])
         self._hw = tuple(self.meta["input"]["shape"][1:3])
+        self._carry_keys = tuple(
+            self.meta.get("carry_keys", _CARRY_KEYS))
+        if self.meta["fn"] == "video_stream":
+            # Single-person results: every field is time-first.
+            self._t_first = tuple(
+                k for k in self.meta["outputs"]
+                if k not in self._carry_keys)
+            self._k_first = ()
+        else:
+            self._t_first = _VIDEO_T_FIRST
+            self._k_first = _VIDEO_K_FIRST
         self._buf: list = []
         self._buffered = 0
         self._carry = None
@@ -574,24 +673,24 @@ class ArtifactVideoSession:
             out = self._first(win, pad_mask)
         else:
             out = self._anchored(win, pad_mask, *self._carry)
-        self._carry = tuple(out[k] for k in _CARRY_KEYS)
+        self._carry = tuple(out[k] for k in self._carry_keys)
         res = {k: np.asarray(v) for k, v in out.items()
-               if k not in _CARRY_KEYS}
-        for k in _VIDEO_T_FIRST:
+               if k not in self._carry_keys}
+        for k in self._t_first:
             res[k] = res[k][:n_real]
-        for k in _VIDEO_K_FIRST:
+        for k in self._k_first:
             res[k] = res[k][:, :n_real]
         return res
 
-    @staticmethod
-    def _concat(outs: list) -> dict:
+    def _concat(self, outs: list) -> dict:
         res = outs[0] if len(outs) == 1 else {
             k: np.concatenate(
                 [o[k] for o in outs],
-                axis=0 if k in _VIDEO_T_FIRST else 1)
-            for k in _VIDEO_T_FIRST + _VIDEO_K_FIRST}
-        res["track_mask"] = (
-            res["frame_mask"].astype(np.float32).mean(axis=0) >= 0.5)
+                axis=0 if k in self._t_first else 1)
+            for k in self._t_first + self._k_first}
+        if "frame_mask" in res:
+            res["track_mask"] = (
+                res["frame_mask"].astype(np.float32).mean(axis=0) >= 0.5)
         return res
 
     def push(self, frames) -> Optional[dict]:
