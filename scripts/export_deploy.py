@@ -31,7 +31,9 @@ flags.DEFINE_string("out", "/tmp/tpu_pose_artifact", "artifact directory")
 flags.DEFINE_string("fn", "estimate_and_fit",
                     "estimate_2d | estimate_and_fit | "
                     "estimate_and_fit_multi | estimate_and_fit_video | "
-                    "fit_smpl")
+                    "fit_smpl | video_stream | video_multi_stream "
+                    "(the last two build streaming-session artifacts; "
+                    "--batch is the window chunk)")
 flags.DEFINE_string("video_mode", "smooth", "estimate_and_fit_video "
                     "fit mode: smooth | temporal | independent")
 flags.DEFINE_integer("n_devices", 0, "0 = single-device program; N = "
@@ -72,6 +74,26 @@ def main(argv):
     elif FLAGS.fn == "estimate_and_fit_video":
         kw["mode"] = FLAGS.video_mode
     t0 = time.perf_counter()
+    if FLAGS.fn in ("video_stream", "video_multi_stream"):
+        chunk = FLAGS.batch or 64
+        if FLAGS.fn == "video_stream":
+            meta = pexport.export_video_stream(
+                est, FLAGS.out, chunk=chunk, platforms=platforms)
+        else:
+            meta = pexport.export_video_multi_stream(
+                est, FLAGS.out, chunk=chunk, platforms=platforms,
+                max_people=FLAGS.max_people)
+        export_s = time.perf_counter() - t0
+        size = sum(os.path.getsize(os.path.join(FLAGS.out, p))
+                   for p in ("program_first.bin",
+                             "program_anchored.bin"))
+        print(json.dumps({
+            "artifact": FLAGS.out, "fn": FLAGS.fn, "chunk": chunk,
+            "platforms": meta["platforms"],
+            "decode_impl": meta["decode_impl"],
+            "program_mb": round(size / 1e6, 2),
+            "export_s": round(export_s, 2)}))
+        return
     meta = pexport.export_estimator(
         est, FLAGS.out, fn=FLAGS.fn,
         batch=FLAGS.batch or None, platforms=platforms,
