@@ -247,6 +247,30 @@ def test_export_sharded_multichip(est, tmp_path):
                                  platforms=("cpu",))
 
 
+def test_serving_from_sharded_artifact(est, tmp_path):
+    """BatchingServer over a multi-chip artifact: requests pad to the
+    static sharded batch, the loader scatters over the 8-device mesh,
+    per-request results come back correct — the multi-chip serving pod
+    story end-to-end."""
+    from tpu_pose import serving
+    path = str(tmp_path / "dp_srv")
+    pexport.export_estimator(est, path, fn="estimate_and_fit", batch=8,
+                             n_devices=8, platforms=("cpu",))
+    servable = pexport.ServableProgram(path)
+    assert servable.static_batch == 8
+    frames = _frames(3, seed=17)
+    direct = est.estimate_and_fit(jnp.asarray(frames))
+    with serving.BatchingServer(servable, max_batch=8, buckets=(8,),
+                                max_wait_ms=200.0,
+                                fields=("theta", "joints2d")) as srv:
+        results = [f.result(timeout=300)
+                   for f in srv.submit_many(frames)]
+    for i in range(3):
+        np.testing.assert_allclose(results[i]["theta"],
+                                   np.asarray(direct.theta[i]),
+                                   atol=2e-2)
+
+
 def test_video_multi_stream_artifact_matches_live(est, tmp_path):
     """The tracked-streaming artifact (two window programs + carried
     state) must reproduce the live streaming path: same windows, same
