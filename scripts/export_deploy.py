@@ -55,6 +55,14 @@ flags.DEFINE_boolean("smoke", True, "reload the artifact and run a "
 
 def main(argv):
     del argv
+    if set(p for p in FLAGS.platforms.split(",") if p) == {"cpu"}:
+        # CPU-only target (CI / build hosts): force the CPU backend
+        # BEFORE jax initializes — under the axon plugin the env var
+        # alone is ignored and a TPU-less host would hang in device
+        # init (CLAUDE.md quirks).
+        os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from tpu_pose import export as pexport
     from tpu_pose.api import PoseEstimator
 
