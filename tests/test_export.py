@@ -363,6 +363,42 @@ def test_load_rejects_non_artifact(tmp_path):
         pexport.load(str(bad))
 
 
+def test_load_verifies_program_sha256(est, tmp_path):
+    """meta.json records the program's sha256; a corrupted program.bin
+    must fail the integrity check at load, not surface as an opaque
+    deserialize error or silently wrong numerics."""
+    import json
+    path = str(tmp_path / "sha")
+    meta = pexport.export_estimator(est, path, fn="estimate_2d",
+                                    batch=1, platforms=("cpu",))
+    assert len(meta["program_sha256"]) == 64
+    on_disk = json.loads((tmp_path / "sha" / "meta.json").read_text())
+    assert on_disk["program_sha256"] == meta["program_sha256"]
+    pexport.load(path)  # intact artifact verifies fine
+    prog_file = tmp_path / "sha" / "program.bin"
+    blob = bytearray(prog_file.read_bytes())
+    blob[len(blob) // 2] ^= 0xFF
+    prog_file.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="integrity"):
+        pexport.load(path)
+
+
+def test_stream_artifact_verifies_sha256(est, tmp_path):
+    """Both streaming-session programs are hash-verified on open."""
+    path = str(tmp_path / "shastream")
+    meta = pexport.export_video_stream(est, path, chunk=2,
+                                       platforms=("cpu",))
+    assert set(meta["program_sha256"]) == {"program_first.bin",
+                                           "program_anchored.bin"}
+    pexport.ArtifactVideoSession(path)  # intact → opens
+    prog_file = tmp_path / "shastream" / "program_anchored.bin"
+    blob = bytearray(prog_file.read_bytes())
+    blob[0] ^= 0xFF
+    prog_file.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="integrity"):
+        pexport.ArtifactVideoSession(path)
+
+
 def test_export_unknown_fn(est, tmp_path):
     with pytest.raises(ValueError, match="unknown fn"):
         pexport.export_estimator(est, str(tmp_path / "x"), fn="nope")

@@ -52,6 +52,7 @@ Pre-fit outputs (joints2d, conf) reproduce to float tolerance.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Optional, Sequence
@@ -284,9 +285,11 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
         },
         "tpu_pose_version": _version(),
     }
+    blob = exported.serialize()
+    meta["program_sha256"] = hashlib.sha256(blob).hexdigest()
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _PROGRAM_NAME), "wb") as f:
-        f.write(exported.serialize())
+        f.write(blob)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
     return meta
@@ -509,14 +512,25 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         },
         "tpu_pose_version": _version(),
     }
+    _write_stream_artifact(path, meta, exp_first, exp_anchored)
+    return meta
+
+
+def _write_stream_artifact(path: str, meta: dict, exp_first,
+                           exp_anchored) -> None:
+    blob_first = exp_first.serialize()
+    blob_anchored = exp_anchored.serialize()
+    meta["program_sha256"] = {
+        _PROGRAM_FIRST: hashlib.sha256(blob_first).hexdigest(),
+        _PROGRAM_ANCHORED: hashlib.sha256(blob_anchored).hexdigest(),
+    }
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _PROGRAM_FIRST), "wb") as f:
-        f.write(exp_first.serialize())
+        f.write(blob_first)
     with open(os.path.join(path, _PROGRAM_ANCHORED), "wb") as f:
-        f.write(exp_anchored.serialize())
+        f.write(blob_anchored)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
-    return meta
 
 
 _CARRY_KEYS_SINGLE = ("carry_theta", "carry_beta", "carry_cam")
@@ -593,13 +607,7 @@ def export_video_stream(est, path: str, chunk: int = 64,
         },
         "tpu_pose_version": _version(),
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _PROGRAM_FIRST), "wb") as f:
-        f.write(exp_first.serialize())
-    with open(os.path.join(path, _PROGRAM_ANCHORED), "wb") as f:
-        f.write(exp_anchored.serialize())
-    with open(os.path.join(path, _META_NAME), "w") as f:
-        json.dump(meta, f, indent=2, sort_keys=True)
+    _write_stream_artifact(path, meta, exp_first, exp_anchored)
     return meta
 
 
@@ -635,11 +643,13 @@ class ArtifactVideoSession:
             raise ValueError(
                 f"artifact format {self.meta.get('format_version')} "
                 f"!= supported {FORMAT_VERSION}")
-        with open(os.path.join(path, _PROGRAM_FIRST), "rb") as f:
-            self._first = jax.jit(jax_export.deserialize(f.read()).call)
-        with open(os.path.join(path, _PROGRAM_ANCHORED), "rb") as f:
-            self._anchored = jax.jit(
-                jax_export.deserialize(f.read()).call)
+        shas = self.meta.get("program_sha256") or {}
+        self._first = jax.jit(jax_export.deserialize(_read_verified(
+            os.path.join(path, _PROGRAM_FIRST),
+            shas.get(_PROGRAM_FIRST))).call)
+        self._anchored = jax.jit(jax_export.deserialize(_read_verified(
+            os.path.join(path, _PROGRAM_ANCHORED),
+            shas.get(_PROGRAM_ANCHORED))).call)
         self.chunk = int(self.meta["chunk"])
         self._hw = tuple(self.meta["input"]["shape"][1:3])
         self._carry_keys = tuple(
@@ -767,7 +777,10 @@ class ServableProgram:
 
 def load(path: str) -> LoadedProgram:
     """Load an artifact directory written by :func:`export_estimator`.
-    Needs no tpu_pose model code — just jax and the artifact."""
+    Needs no tpu_pose model code — just jax and the artifact. Verifies
+    the program's sha256 against ``meta.json`` when present (artifacts
+    ship over networks; a truncated or bit-rotted program should fail
+    loudly here, not as an opaque deserialize error or wrong numerics)."""
     meta_path = os.path.join(path, _META_NAME)
     prog_path = os.path.join(path, _PROGRAM_NAME)
     if not (os.path.exists(meta_path) and os.path.exists(prog_path)):
@@ -780,6 +793,18 @@ def load(path: str) -> LoadedProgram:
         raise ValueError(
             f"artifact format {meta.get('format_version')} "
             f"!= supported {FORMAT_VERSION}")
+    blob = _read_verified(prog_path, meta.get("program_sha256"))
+    return LoadedProgram(jax_export.deserialize(blob), meta)
+
+
+def _read_verified(prog_path: str, expect_sha: Optional[str]) -> bytes:
     with open(prog_path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
-    return LoadedProgram(exported, meta)
+        blob = f.read()
+    if expect_sha is not None:
+        got = hashlib.sha256(blob).hexdigest()
+        if got != expect_sha:
+            raise ValueError(
+                f"artifact integrity check failed for {prog_path}: "
+                f"sha256 {got} != recorded {expect_sha} "
+                f"(corrupt or tampered program.bin)")
+    return blob
