@@ -1,0 +1,356 @@
+"""Public-dataset adapter tests (tpu_pose/data/datasets.py).
+
+The real LSP/MPII/H3.6M files are license-gated and absent (SURVEY.md
+§0), so — same discipline as tests/test_asset_loaders.py — each test
+FABRICATES a file with the dataset's exact on-disk schema (Matlab
+struct layouts included) and proves the parser reads it correctly:
+joint-order permutations, visibility-flag conventions, head-size
+normalizers, and content-level crop mapping (a painted marker must land
+where the mapped coordinates say).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_pose.data import datasets, pipeline
+
+
+# -- LSP -------------------------------------------------------------------
+
+def _lsp_mat(tmp_path, layout, n=3, seed=0):
+    import scipy.io
+    rng = np.random.RandomState(seed)
+    xy = rng.uniform(10, 90, (n, 14, 2))
+    flag = rng.randint(0, 2, (n, 14)).astype(float)
+    if layout == "lsp":          # (3, 14, N), flag 1 = occluded
+        arr = np.transpose(
+            np.concatenate([xy, flag[..., None]], -1), (2, 1, 0))
+    else:                        # LSPET (14, 3, N), flag 1 = visible
+        arr = np.transpose(
+            np.concatenate([xy, flag[..., None]], -1), (1, 2, 0))
+    path = str(tmp_path / f"joints_{layout}.mat")
+    scipy.io.savemat(path, {"joints": arr})
+    return path, xy, flag
+
+
+def test_lsp_layout_and_flag_inversion(tmp_path):
+    """Original LSP (3,14,N): flag 1 means OCCLUDED → conf = 1 − flag.
+    LSPET (14,3,N): flag 1 means VISIBLE → conf = flag. Same xy/flags
+    through both layouts must produce identical joints and INVERTED
+    confidences."""
+    p1, xy, flag = _lsp_mat(tmp_path, "lsp")
+    p2, _, _ = _lsp_mat(tmp_path, "lspet")
+    j1, c1 = datasets.load_lsp(p1)
+    j2, c2 = datasets.load_lsp(p2)
+    np.testing.assert_allclose(j1, j2, atol=1e-6)
+    np.testing.assert_allclose(c1, 1.0 - c2, atol=1e-6)
+    perm = datasets.LSP_TO_CPM
+    np.testing.assert_allclose(j1, xy[:, perm], atol=1e-5)
+    np.testing.assert_allclose(c1, 1.0 - flag[:, perm], atol=1e-6)
+
+
+def test_lsp_joint_order_semantics(tmp_path):
+    """LSP slot 13 is head top and slot 0 is the right ankle; after the
+    permutation they must sit at CPM slots 0 (head) and 10 (r_ankle)."""
+    p, xy, _ = _lsp_mat(tmp_path, "lsp")
+    j, _ = datasets.load_lsp(p)
+    np.testing.assert_allclose(j[:, 0], xy[:, 13], atol=1e-5)   # head
+    np.testing.assert_allclose(j[:, 10], xy[:, 0], atol=1e-5)   # r_ankle
+    np.testing.assert_allclose(j[:, 1], xy[:, 12], atol=1e-5)   # neck
+
+
+def test_lsp_visibility_override(tmp_path):
+    p, _, flag = _lsp_mat(tmp_path, "lsp")
+    _, c = datasets.load_lsp(p, visibility="visible_flag")
+    np.testing.assert_allclose(c, flag[:, datasets.LSP_TO_CPM])
+    with pytest.raises(ValueError, match="visibility"):
+        datasets.load_lsp(p, visibility="nope")
+
+
+def test_lsp_rejects_bad_schema(tmp_path):
+    import scipy.io
+    bad = str(tmp_path / "bad.mat")
+    scipy.io.savemat(bad, {"joints": np.zeros((4, 4, 4))})
+    with pytest.raises(ValueError, match="neither"):
+        datasets.load_lsp(bad)
+    other = str(tmp_path / "other.mat")
+    scipy.io.savemat(other, {"stuff": np.zeros(3)})
+    with pytest.raises(ValueError, match="joints"):
+        datasets.load_lsp(other)
+
+
+# -- MPII ------------------------------------------------------------------
+
+def _mpii_mat(tmp_path):
+    """Fabricate mpii_human_pose_v1_u12_1.mat's RELEASE schema: nested
+    struct arrays (annolist → image.name / annorect → objpos, scale,
+    head rect x1..y2, annopoints.point → x,y,id,is_visible), img_train
+    flags, a test-set image without annotations, and a second person on
+    image 0. scipy round-trips dicts as 1x1 structs — the same shape
+    squeeze_me collapses in the real file."""
+    import scipy.io
+
+    def point(x, y, pid, vis):
+        return {"x": float(x), "y": float(y), "id": int(pid),
+                "is_visible": (np.array([], dtype=np.uint8)
+                               if vis is None else int(vis))}
+
+    def rect(cx, cy, scale, pts, head=(10.0, 20.0, 30.0, 44.0)):
+        r = {"objpos": {"x": float(cx), "y": float(cy)},
+             "scale": float(scale),
+             "annopoints": {"point": np.array([point(*p) for p in pts],
+                                              dtype=object)}}
+        if head is not None:
+            r.update(x1=head[0], y1=head[1], x2=head[2], y2=head[3])
+        return r
+
+    # Person A: all 16 MPII ids annotated at x=10·id, y=5·id.
+    pts_a = [(10.0 * i, 5.0 * i, i, 1) for i in range(16)]
+    # Person B: only 3 joints (r_wrist 10, head_top 9, upper_neck 8),
+    # one with the empty-array is_visible MPII uses for "unspecified".
+    pts_b = [(200.0, 50.0, 10, 0), (210.0, 20.0, 9, None),
+             (212.0, 40.0, 8, 1)]
+    anno_train = {
+        "image": {"name": "037454012.jpg"},
+        "annorect": np.array(
+            [rect(80, 90, 2.0, pts_a), rect(205, 40, 1.5, pts_b)],
+            dtype=object),
+    }
+    anno_test = {"image": {"name": "test_img.jpg"}}   # no annorect
+    release = {
+        "annolist": np.array([anno_train, anno_test], dtype=object),
+        "img_train": np.array([1, 0]),
+        "single_person": np.array([np.array([1]), np.array([])],
+                                  dtype=object),
+        "version": "12",
+    }
+    path = str(tmp_path / "mpii_human_pose_v1_u12_1.mat")
+    scipy.io.savemat(path, {"RELEASE": release})
+    return path
+
+
+def test_mpii_parse_people_and_fields(tmp_path):
+    path = _mpii_mat(tmp_path)
+    recs = datasets.load_mpii(path)
+    assert len(recs) == 2                      # two annotated people
+    a, b = recs
+    assert a["image"] == "037454012.jpg"
+    assert a["scale"] == 2.0
+    np.testing.assert_allclose(a["center"], [80, 90])
+    # MPII id 9 (head_top) → CPM slot 0; id 0 (r_ankle) → CPM slot 10.
+    np.testing.assert_allclose(a["joints2d"][0], [90.0, 45.0])
+    np.testing.assert_allclose(a["joints2d"][10], [0.0, 0.0])
+    assert a["conf"].sum() == 14               # all CPM joints annotated
+    # Official PCKh normalizer: 0.6 × head-rect diagonal.
+    np.testing.assert_allclose(
+        a["headsize"], 0.6 * np.hypot(30 - 10, 44 - 20), rtol=1e-6)
+
+
+def test_mpii_partial_annotation_and_visibility(tmp_path):
+    path = _mpii_mat(tmp_path)
+    b = datasets.load_mpii(path)[1]
+    # Only head (id 9), neck (id 8), r_wrist (id 10) are annotated.
+    assert b["conf"][0] == 1 and b["conf"][1] == 1 and b["conf"][4] == 1
+    assert b["conf"].sum() == 3
+    np.testing.assert_allclose(b["joints2d"][4], [200.0, 50.0])  # r_wrist
+    # Empty-array is_visible (head) defaults to visible; the explicit
+    # 0 on r_wrist survives.
+    assert b["visible"][0] == 1.0
+    assert b["visible"][4] == 0.0
+
+
+def test_mpii_test_set_skipped_unless_requested(tmp_path):
+    path = _mpii_mat(tmp_path)
+    # The test image has no annotations at all, so even with
+    # train_only=False it yields no person records — but the parser must
+    # not crash on its missing annorect.
+    assert len(datasets.load_mpii(path, train_only=False)) == 2
+
+
+# -- Human3.6M -------------------------------------------------------------
+
+def test_h36m_npz_32_to_17(tmp_path):
+    rng = np.random.RandomState(0)
+    pos32 = rng.randn(5, 32, 3).astype(np.float32)
+    pos17 = rng.randn(4, 17, 3).astype(np.float32)
+    path = str(tmp_path / "data_3d_h36m.npz")
+    np.savez_compressed(
+        path, positions_3d=np.array(
+            {"S1": {"Walking": pos32}, "S9": {"Sitting": pos17}},
+            dtype=object))
+    out = datasets.load_h36m_3d_npz(path)
+    assert out["S1"]["Walking"].shape == (5, 17, 3)
+    np.testing.assert_allclose(
+        out["S1"]["Walking"], pos32[:, datasets.H36M_32_TO_17])
+    np.testing.assert_allclose(out["S9"]["Sitting"], pos17)
+
+
+def test_h36m_npz_rejects_wrong_schema(tmp_path):
+    path = str(tmp_path / "bad.npz")
+    np.savez(path, other=np.zeros(3))
+    with pytest.raises(ValueError, match="positions_3d"):
+        datasets.load_h36m_3d_npz(path)
+
+
+# -- cropping --------------------------------------------------------------
+
+def test_crop_person_content_mapping(tmp_path):
+    """Content-level check (same discipline as test_letterbox): paint a
+    4×4 marker at a known source pixel, crop, and assert the marker's
+    centroid lands at the affine-mapped coordinate within a pixel."""
+    img = np.zeros((120, 160, 3), np.uint8)
+    src = np.array([100.0, 70.0])
+    img[68:72, 98:102] = 255
+    crop, origin, zoom = datasets.crop_person(img, (90, 60), 64.0, 128)
+    mapped = (src - origin) * zoom
+    ys, xs = np.nonzero(crop[..., 0] > 127)
+    # marker centroid in the crop (cell-corner convention: +0.5 to the
+    # pixel indices gives the patch center, matching src = patch center)
+    centroid = np.array([xs.mean() + 0.5, ys.mean() + 0.5])
+    np.testing.assert_allclose(centroid, mapped, atol=1.0)
+    assert crop.shape == (128, 128, 3)
+
+
+def test_crop_person_pads_outside(tmp_path):
+    img = np.full((50, 50, 3), 200, np.uint8)
+    crop, origin, zoom = datasets.crop_person(img, (0, 0), 40.0, 40)
+    assert zoom == 1.0
+    # Top-left quadrant of the crop window is outside the image → zeros.
+    assert crop[:19, :19].max() == 0
+    assert crop[25:, 25:].min() == 200
+
+
+# -- shard conversion end-to-end ------------------------------------------
+
+def _write_lsp_images(tmp_path, joints, size=(110, 130)):
+    from PIL import Image
+    d = tmp_path / "images"
+    d.mkdir()
+    for i in range(len(joints)):
+        img = np.zeros(size + (3,), np.uint8)
+        img[:] = (i * 20 % 255, 30, 60)
+        Image.fromarray(img).save(d / f"im{i + 1:04d}.jpg")
+    return str(d)
+
+
+def test_lsp_to_shards_roundtrip(tmp_path):
+    mat, xy, _ = _lsp_mat(tmp_path, "lsp", n=3)
+    images_dir = _write_lsp_images(tmp_path, xy)
+    out = str(tmp_path / "shards")
+    paths = datasets.lsp_to_shards(mat, images_dir, out, out_size=64,
+                                   shard_size=2)
+    assert len(paths) == 2                      # 3 samples, shard_size 2
+    src = pipeline.NpzShardSource(out)
+    assert len(src) == 3
+    rec = src[0]
+    assert rec["images"].shape == (64, 64, 3)
+    assert rec["gt_joints2d"].shape == (14, 2)
+    assert rec["conf"].shape == (14,)
+    # Joints must land inside the crop (the crop box covers their bbox).
+    assert (rec["gt_joints2d"] >= -1).all()
+    assert (rec["gt_joints2d"] <= 65).all()
+    # headsize = head–neck distance in crop pixels, > 0.
+    assert rec["headsize"] > 0
+
+
+def test_mpii_to_shards_roundtrip(tmp_path):
+    from PIL import Image
+    mat = _mpii_mat(tmp_path)
+    d = tmp_path / "mpii_images"
+    d.mkdir()
+    img = np.zeros((300, 400, 3), np.uint8)
+    img[:] = (10, 120, 40)
+    Image.fromarray(img).save(d / "037454012.jpg")
+    out = str(tmp_path / "mpii_shards")
+    datasets.mpii_to_shards(mat, str(d), out, out_size=64)
+    src = pipeline.NpzShardSource(out)
+    assert len(src) == 2                        # both annotated people
+    rec = src[0]
+    # Person A: crop side = 1.25·scale·200 = 500 px at (80, 90); zoom =
+    # 64/500. head_top source (90, 45) → crop frame:
+    zoom = 64 / 500.0
+    exp = (np.array([90.0, 45.0]) - (np.array([80, 90]) - 250)) * zoom
+    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.5)
+    np.testing.assert_allclose(
+        rec["headsize"], 0.6 * np.hypot(20, 24) * zoom, rtol=1e-4)
+
+
+def test_sequences_to_shards_alignment_check(tmp_path):
+    with pytest.raises(ValueError, match="align"):
+        datasets.sequences_to_shards(
+            np.zeros((3, 8, 8, 3), np.uint8), np.zeros((2, 17, 3)),
+            str(tmp_path / "x"))
+
+
+# -- PCKh protocol extensions (headsize / mask) ---------------------------
+
+def test_pckh_with_headsize_and_mask():
+    from tpu_pose.utils import metrics
+    gt = np.zeros((2, 14, 2))
+    pred = gt.copy()
+    pred[:, 0, 0] = 10.0            # head joint off by 10 px
+    hs = np.array([30.0, 10.0])     # thresh·hs = 15 / 5 px
+    out = metrics.pckh_np(pred, gt, threshold=0.5, headsize=hs)
+    np.testing.assert_allclose(out, [1.0, 13.0 / 14.0])
+    # Masking out the head joint removes the miss entirely.
+    mask = np.ones((2, 14)); mask[:, 0] = 0
+    out_m = metrics.pckh_np(pred, gt, threshold=0.5, headsize=hs,
+                            mask=mask)
+    np.testing.assert_allclose(out_m, [1.0, 1.0])
+    # jnp twin agrees.
+    import jax.numpy as jnp
+    out_j = metrics.pckh(jnp.asarray(pred), jnp.asarray(gt),
+                         threshold=0.5, headsize=jnp.asarray(hs),
+                         mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out_j), out_m, atol=1e-6)
+
+
+# -- 2D streaming eval over converted shards ------------------------------
+
+def test_evaluate_pckh_streaming(tmp_path):
+    """End-to-end: LSP-style shards → evaluate_pckh with a synthetic
+    estimator; PCKh is finite, per-joint table covers the 14 names, and
+    the cursor resume skips accumulated batches."""
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.parallel import eval as eval_lib
+    from tpu_pose.utils.config import CPMConfig
+
+    mat, xy, _ = _lsp_mat(tmp_path, "lsp", n=4)
+    images_dir = _write_lsp_images(tmp_path, xy)
+    out = str(tmp_path / "shards")
+    datasets.lsp_to_shards(mat, images_dir, out, out_size=64,
+                           shard_size=4)
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=CPMConfig(input_size=64, features=8,
+                                  stage1_head_width=16, refine_width=8,
+                                  num_stages=2))
+
+    def batches():
+        src = pipeline.NpzShardSource(out)
+        for start in (0, 2):
+            idx = range(start, start + 2)
+            yield {k: np.stack([src[i][k] for i in idx])
+                   for k in ("images", "gt_joints2d", "conf", "headsize")}
+
+    ckpt = str(tmp_path / "cursor.json")
+    res = eval_lib.evaluate_pckh(est, batches(), checkpoint_path=ckpt,
+                                 save_every=1)
+    assert res["num_frames"] == 4
+    assert 0.0 <= res["pckh"] <= 1.0
+    assert set(res["per_joint"]) == set(
+        __import__("tpu_pose.models.joints",
+                   fromlist=["CPM_JOINT_NAMES"]).CPM_JOINT_NAMES)
+    # Resume: state says all 4 accumulated; a rerun adds nothing.
+    res2 = eval_lib.evaluate_pckh(est, batches(), checkpoint_path=ckpt)
+    assert res2["num_frames"] == 4
+    np.testing.assert_allclose(res2["pckh"], res["pckh"])
+
+    # Sharded over the 8-fake-device mesh (uneven batch of 2 → padded to
+    # 8, sliced back) == single-device.
+    from tpu_pose.parallel import mesh as mesh_lib
+    res_mesh = eval_lib.evaluate_pckh(est, batches(),
+                                      mesh=mesh_lib.make_mesh())
+    assert res_mesh["num_frames"] == 4
+    np.testing.assert_allclose(res_mesh["pckh"], res["pckh"], atol=1e-5)

@@ -182,3 +182,134 @@ def evaluate_h36m_style(
         out["pckh"] = state.sum_pckh / state.n2d
         out["num_frames_2d"] = state.n2d
     return out
+
+
+def sharded_2d_fn(estimator, mesh):
+    """jit ``estimate_2d`` with the batch sharded over the mesh and
+    params replicated — the 2D-only counterpart of
+    :func:`sharded_fused_fn` for detector benchmarks (MPII/LSP)."""
+    from tpu_pose.models import cpm as cpm_lib
+    batch_s = mesh_lib.batch_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+    fn = jax.jit(
+        lambda params, images: cpm_lib.estimate_2d_microbatched(
+            params, images, cfg=estimator.cpm_cfg,
+            chunk=estimator.cpm_microbatch,
+            refine_center=estimator.refine_center,
+            refine_scale=estimator.refine_scale,
+            scale_from_refined=estimator.scale_from_refined,
+            flip_tta=estimator.flip_tta,
+            letterbox=estimator.letterbox),
+        in_shardings=(repl, batch_s), out_shardings=batch_s)
+    params = mesh_lib.replicate(
+        estimator._params_for_batch(1), mesh)
+
+    def run(images):
+        return fn(params, images)
+
+    return run
+
+
+@dataclasses.dataclass
+class Eval2DState:
+    """Resumable accumulator for the 2D-detector eval (PCKh protocol)."""
+    cursor: int = 0
+    n: int = 0
+    sum_pckh: float = 0.0
+    joint_hits: list = dataclasses.field(
+        default_factory=lambda: [0.0] * 14)
+    joint_counts: list = dataclasses.field(
+        default_factory=lambda: [0.0] * 14)
+
+    def save(self, path: str):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Eval2DState":
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            if set(d) == {f.name for f in dataclasses.fields(cls)}:
+                return cls(**d)
+        return cls()
+
+
+def evaluate_pckh(
+    estimator,
+    batches: Iterator,          # dicts: images, gt_joints2d[, conf, headsize]
+    mesh=None,
+    threshold: float = 0.5,
+    checkpoint_path: Optional[str] = None,
+    save_every: int = 10,
+):
+    """Streaming 2D-detector evaluation: PCKh@``threshold`` over shards
+    from :mod:`tpu_pose.data.datasets` (MPII/LSP protocol — SURVEY.md §6
+    CPM quality rows).
+
+    Batches carry ``images`` (B, S, S, 3) and ``gt_joints2d`` (B, 14, 2)
+    in the same pixel frame; ``headsize`` (B,) switches normalization
+    from the head-segment proxy to the official MPII head-rect size, and
+    ``conf`` (B, 14) masks unannotated joints (official protocol).
+    Same 1-deep pipeline + cursor-resume as the 3D evaluator. Returns
+    overall PCKh plus the official-style per-joint breakdown.
+    """
+    import numpy as np
+    state = (Eval2DState.load(checkpoint_path) if checkpoint_path
+             else Eval2DState())
+    run = (sharded_2d_fn(estimator, mesh) if mesh is not None
+           else (lambda im: estimator.estimate_2d(im)))
+    n_dev = mesh.devices.size if mesh is not None else 1
+
+    def accumulate(res, batch, n_real, batch_index):
+        # Both paths return (heatmaps, joints2d, conf): Estimate2DResult
+        # is a NamedTuple; the sharded fn returns the raw tuple.
+        pred = np.asarray(res[1])[:n_real]
+        gt = np.asarray(batch["gt_joints2d"])[:n_real]
+        headsize = (np.asarray(batch["headsize"])[:n_real]
+                    if "headsize" in batch else None)
+        mask = (np.asarray(batch["conf"])[:n_real] > 0
+                if "conf" in batch else np.ones(gt.shape[:2], bool))
+        state.n += n_real
+        state.sum_pckh += float(metrics_lib.pckh_np(
+            pred, gt, threshold=threshold, headsize=headsize,
+            mask=mask).sum())
+        hs = (headsize if headsize is not None else np.linalg.norm(
+            gt[:, 0] - gt[:, 1], axis=-1))
+        hit = (np.linalg.norm(pred - gt, axis=-1)
+               <= threshold * hs[:, None])
+        m = mask.astype(np.float64)
+        for j in range(gt.shape[1]):
+            state.joint_hits[j] += float((hit[:, j] * m[:, j]).sum())
+            state.joint_counts[j] += float(m[:, j].sum())
+        state.cursor = batch_index + 1
+        if checkpoint_path and (batch_index + 1) % save_every == 0:
+            state.save(checkpoint_path)
+
+    pending = None
+    for i, batch in enumerate(batches):
+        if i < state.cursor:
+            continue
+        images = batch["images"]
+        n_real = int(images.shape[0])
+        if mesh is not None and n_real % n_dev != 0:
+            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
+        res = run(images)
+        if pending is not None:
+            accumulate(*pending)
+        pending = (res, batch, n_real, i)
+    if pending is not None:
+        accumulate(*pending)
+    if checkpoint_path:
+        state.save(checkpoint_path)
+
+    out = {"pckh": state.sum_pckh / max(state.n, 1),
+           "num_frames": state.n,
+           "per_joint": {}}
+    from tpu_pose.models import joints as joints_lib
+    for j, name in enumerate(joints_lib.CPM_JOINT_NAMES):
+        c = state.joint_counts[j]
+        out["per_joint"][name] = state.joint_hits[j] / c if c else 0.0
+    return out

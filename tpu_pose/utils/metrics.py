@@ -109,22 +109,32 @@ def scaled_mpjpe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 def pckh(pred2d: jnp.ndarray, gt2d: jnp.ndarray,
          threshold: float = 0.5,
-         head_a: int = 0, head_b: int = 1) -> jnp.ndarray:
+         head_a: int = 0, head_b: int = 1,
+         headsize=None, mask=None) -> jnp.ndarray:
     """PCKh: fraction of 2D keypoints within ``threshold`` × the
     ground-truth head-segment length (the MPII-style normalized metric;
     SURVEY.md §6 quality rows).
 
     With 14-joint CPM annotations the head segment is joint ``head_a``
     (head top, index 0) to ``head_b`` (neck, index 1) — the standard proxy
-    when the MPII head bounding box is unavailable.
+    when the MPII head bounding box is unavailable. Pass ``headsize``
+    (...,) — e.g. from MPII's annotated head rectangle via
+    ``data.datasets.load_mpii`` — for the official MPII normalization,
+    and ``mask`` (..., P) to score only annotated joints (the official
+    protocol skips unlabeled ones).
 
     pred2d/gt2d: (..., P, 2); returns (...) per-example fraction.
     """
-    head = jnp.linalg.norm(
-        gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
+    if headsize is None:
+        headsize = jnp.linalg.norm(
+            gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
     dist = jnp.linalg.norm(pred2d - gt2d, axis=-1)
-    return jnp.mean(
-        (dist <= threshold * head[..., None]).astype(jnp.float32), axis=-1)
+    hit = (dist <= threshold * headsize[..., None]).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(hit, axis=-1)
+    mask = mask.astype(jnp.float32)
+    return (jnp.sum(hit * mask, axis=-1)
+            / jnp.maximum(jnp.sum(mask, axis=-1), 1.0))
 
 
 # -- host-numpy twins (eval hot path) -------------------------------------
@@ -159,12 +169,20 @@ def scaled_mpjpe_np(pred, gt) -> "np.ndarray":
 
 
 def pckh_np(pred2d, gt2d, threshold: float = 0.5,
-            head_a: int = 0, head_b: int = 1) -> "np.ndarray":
+            head_a: int = 0, head_b: int = 1,
+            headsize=None, mask=None) -> "np.ndarray":
     """Host twin of :func:`pckh`. pred2d/gt2d: (B, P, 2) → (B,)."""
     import numpy as np
     pred2d = np.asarray(pred2d, np.float64)
     gt2d = np.asarray(gt2d, np.float64)
-    head = np.linalg.norm(
-        gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
+    if headsize is None:
+        headsize = np.linalg.norm(
+            gt2d[..., head_a, :] - gt2d[..., head_b, :], axis=-1)
+    else:
+        headsize = np.asarray(headsize, np.float64)
     dist = np.linalg.norm(pred2d - gt2d, axis=-1)
-    return (dist <= threshold * head[..., None]).mean(-1)
+    hit = (dist <= threshold * headsize[..., None]).astype(np.float64)
+    if mask is None:
+        return hit.mean(-1)
+    mask = np.asarray(mask, np.float64)
+    return (hit * mask).sum(-1) / np.maximum(mask.sum(-1), 1.0)
