@@ -1,21 +1,11 @@
 #!/usr/bin/env python
-"""Convert a public pose dataset's distribution files into the
-npz-shard interchange (SURVEY.md §2 row 12; day-one tooling like
-scripts/reference_day_one.py — the datasets are license-gated and
-absent here, so this runs the moment a user supplies them).
+"""Convert a public pose dataset into npz shards.
 
-  # LSP / LSPET (auto-detected from the joints.mat layout):
-  python scripts/convert_dataset.py --dataset lsp \
-      --annotations /data/lsp/joints.mat --images /data/lsp/images \
-      --out /data/lsp_shards
-
-  # MPII (one sample per annotated person):
-  python scripts/convert_dataset.py --dataset mpii \
-      --annotations /data/mpii/mpii_human_pose_v1_u12_1.mat \
-      --images /data/mpii/images --out /data/mpii_shards
-
-Then evaluate the 2D detector on the shards:
-  python scripts/eval_2d.py --data_dir /data/mpii_shards --cpm_npz ...
+Repo-checkout shim: the implementation lives in
+tpu_pose/tools/convert_dataset.py (also installed as the `tpu-pose-convert-dataset`
+console command); this file keeps the documented
+`python scripts/convert_dataset.py ...` invocation working from a git checkout
+without installing the package.
 """
 
 import os
@@ -23,46 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from absl import app, flags  # noqa: E402
-
-FLAGS = flags.FLAGS
-flags.DEFINE_enum("dataset", None, ["lsp", "mpii"],
-                  "source dataset format (lsp covers LSPET too)")
-flags.DEFINE_string("annotations", None, "annotation .mat file")
-flags.DEFINE_string("images", None, "image directory")
-flags.DEFINE_string("out", None, "output shard directory")
-flags.DEFINE_integer("size", 368, "output crop size (network input)")
-flags.DEFINE_float("margin", 0.0, "crop margin; 0 = dataset default "
-                   "(1.5 × joint bbox for LSP, 1.25 × scale·200 for "
-                   "MPII)")
-flags.DEFINE_integer("shard_size", 256, "samples per npz shard")
-flags.DEFINE_integer("limit", 0, "convert only the first N samples "
-                     "(0 = all)")
-flags.mark_flag_as_required("dataset")
-flags.mark_flag_as_required("annotations")
-flags.mark_flag_as_required("images")
-flags.mark_flag_as_required("out")
-
-
-def main(argv):
-    del argv
-    from tpu_pose.data import datasets
-
-    limit = FLAGS.limit or None
-    if FLAGS.dataset == "lsp":
-        paths = datasets.lsp_to_shards(
-            FLAGS.annotations, FLAGS.images, FLAGS.out,
-            out_size=FLAGS.size, margin=FLAGS.margin or 1.5,
-            shard_size=FLAGS.shard_size, limit=limit)
-    else:
-        paths = datasets.mpii_to_shards(
-            FLAGS.annotations, FLAGS.images, FLAGS.out,
-            out_size=FLAGS.size, margin=FLAGS.margin or 1.25,
-            shard_size=FLAGS.shard_size, limit=limit)
-    from tpu_pose.data import pipeline
-    n = len(pipeline.NpzShardSource(FLAGS.out))
-    print(f"wrote {len(paths)} shard(s), {n} samples → {FLAGS.out}")
-
+from tpu_pose.tools.convert_dataset import run  # noqa: E402
 
 if __name__ == "__main__":
-    app.run(main)
+    run()

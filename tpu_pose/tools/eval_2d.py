@@ -1,0 +1,87 @@
+"""2D-detector benchmark: PCKh@t over npz shards from
+scripts/convert_dataset.py (MPII/LSP protocol — SURVEY.md §6 CPM
+quality rows). Streams the sharded estimate_2d program over all visible
+devices with the same 1-deep pipeline + cursor resume as the 3D eval.
+
+  python scripts/eval_2d.py --data_dir /data/mpii_shards \
+      --cpm_npz /models/cpm.npz --batch 64
+  python scripts/eval_2d.py --synthetic_batches 5 --batch 32   # smoke
+"""
+
+import os
+import sys  # noqa: F401
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("data_dir", "", "shard dir (images/gt_joints2d/"
+                    "conf/headsize)")
+flags.DEFINE_integer("synthetic_batches", 0, "evaluate N synthetic "
+                     "batches instead of shards (smoke mode)")
+flags.DEFINE_integer("batch", 32, "global batch size")
+flags.DEFINE_string("cpm_npz", "", "converted CPM weights (synthetic "
+                    "if empty)")
+flags.DEFINE_string("smpl_pkl", "", "SMPL pickle — optional: the 2D "
+                    "eval never runs the fit, so a synthetic stand-in "
+                    "model is used when empty")
+flags.DEFINE_float("threshold", 0.5, "PCKh threshold")
+flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
+flags.DEFINE_boolean("refine_center", True, "in-graph person "
+                     "localization")
+flags.DEFINE_boolean("refine_scale", False, "crop/zoom scale "
+                     "normalization second pass")
+flags.DEFINE_boolean("flip_tta", False, "horizontal-flip test-time "
+                     "augmentation")
+
+
+def main(argv):
+    del argv
+    import jax
+
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.data import pipeline, synthetic
+    from tpu_pose.parallel import eval as eval_lib
+    from tpu_pose.parallel import mesh as mesh_lib
+
+    kw = dict(refine_center=FLAGS.refine_center,
+              refine_scale=FLAGS.refine_scale, flip_tta=FLAGS.flip_tta)
+    if FLAGS.cpm_npz and FLAGS.smpl_pkl:
+        est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
+                                       **kw)
+    elif FLAGS.cpm_npz:
+        from tpu_pose.models import smpl_data
+        from tpu_pose.utils import tf_converter
+        est = PoseEstimator(tf_converter.load_params_npz(FLAGS.cpm_npz),
+                            smpl_data.synthetic_smpl(seed=0), **kw)
+    else:
+        print("note: no weights supplied — synthetic estimator")
+        est = PoseEstimator.create_synthetic(seed=0, **kw)
+
+    if FLAGS.synthetic_batches:
+        batches = synthetic.eval_batches(
+            est.smpl_model, FLAGS.batch, FLAGS.synthetic_batches,
+            est.cpm_cfg)
+    elif FLAGS.data_dir:
+        batches = pipeline.batches(
+            FLAGS.data_dir, FLAGS.batch,
+            keys=("images", "gt_joints2d", "conf", "headsize"))
+    else:
+        raise app.UsageError("provide --data_dir or --synthetic_batches")
+
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    out = eval_lib.evaluate_pckh(
+        est, batches, mesh=mesh, threshold=FLAGS.threshold,
+        checkpoint_path=FLAGS.resume or None)
+    print(f"frames={out['num_frames']}  "
+          f"PCKh@{FLAGS.threshold}={out['pckh'] * 100:.1f}%")
+    for name, v in out["per_joint"].items():
+        print(f"  {name:12s} {v * 100:5.1f}%")
+
+
+def run():
+    """Console entry point (pyproject.toml [project.scripts])."""
+    app.run(main)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,416 @@
+"""End-to-end self-check (hermetic, no license-gated assets):
+
+1. Train the full-geometry CPM on synthetic labeled frames.
+2. Evaluate the fused estimate→fit pipeline with the trained weights
+   (MPJPE / PA-MPJPE vs ground truth), against the random-weight baseline.
+3. Compare temporal warm-start video fitting vs independent per-frame fits
+   on a smooth synthetic sequence.
+
+This exercises every subsystem in one run: data generation, DP training,
+checkpointing, quantization (optional), fused inference+fit, temporal
+fitting, metrics. Takes ~15 min on one v5e (mostly training steps).
+
+  python scripts/selfcheck_e2e.py --steps 800 --out /tmp/selfcheck
+"""
+
+import json
+import os
+import sys
+import time
+
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_integer("steps", 800, "CPM training steps")
+flags.DEFINE_integer("train_batch", 16, "training batch size")
+flags.DEFINE_integer("eval_frames", 64, "eval frames (fused pipeline)")
+flags.DEFINE_integer("video_frames", 32, "temporal-fit sequence length")
+flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
+flags.DEFINE_integer("hard_steps", 2400, "CPM training steps on the HARD "
+                     "set (0 skips the hard section)")
+flags.DEFINE_integer("hard_eval_frames", 48, "hard-set eval frames")
+flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
+
+
+def main(argv):
+    del argv
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.data import synthetic
+    from tpu_pose.fitting import temporal
+    from tpu_pose.models import cpm_train, smpl_data
+    from tpu_pose.models import smpl as smpl_lib
+    from tpu_pose.utils import checkpoint as ckpt_lib
+    from tpu_pose.utils import metrics, profiling
+    from tpu_pose.utils.config import CPMConfig
+
+    os.makedirs(FLAGS.out, exist_ok=True)
+    t0 = time.time()
+    results = {}
+
+    def log(msg):
+        print(f"[{time.time() - t0:6.0f}s] {msg}", flush=True)
+
+    cfg = CPMConfig()
+    model = smpl_data.synthetic_smpl(seed=0)
+
+    # ---- 1. train ------------------------------------------------------
+    log("generating training pool...")
+    # Device-resident pool: re-shipping a batch every step makes the
+    # loop host-link-bound (~2 s/step of pure transfer on the axon
+    # tunnel). Ship ONCE, as bytes: uint8 images (normalized in-graph by
+    # the train step), one shared center-map array across all batches
+    # — ~145 MB total instead of 640 MB of f32.
+    cmap_dev = None
+    pool = []
+    for b in synthetic.cpm_train_batches(model, FLAGS.train_batch, 16,
+                                         cfg, seed=0, raw_images=True):
+        if cmap_dev is None:
+            cmap_dev = jax.device_put(jnp.asarray(b["center_maps"]))
+        pool.append({"images": jax.device_put(jnp.asarray(b["images"])),
+                     "center_maps": cmap_dev,
+                     "heatmaps": jax.device_put(jnp.asarray(b["heatmaps"]))})
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), cfg, lr=2e-4, total_steps=FLAGS.steps)
+    rand_params = params
+    step = cpm_train.make_train_step(cfg, opt)
+    log(f"training {FLAGS.steps} steps...")
+    for s in range(FLAGS.steps):
+        params, opt_state, loss = step(params, opt_state,
+                                       pool[s % len(pool)])
+        if (s + 1) % 100 == 0:
+            log(f"step {s + 1}: loss {float(loss):.5f}")
+    results["train_final_loss"] = float(loss)
+    ckpt_lib.save_cpm_params(os.path.join(FLAGS.out, "cpm_weights.npz"),
+                             jax.tree.map(np.asarray, params))
+
+    # ---- 2. fused-pipeline eval: trained vs random weights --------------
+    ex = synthetic.make_examples(model, FLAGS.eval_frames, cfg, seed=1234)
+    imgs = jnp.asarray(ex["images"])
+    gt3d = jnp.asarray(ex["gt_joints3d"])
+
+    def fused_eval(tag, p, **est_kw):
+        est = PoseEstimator(p, model, cpm_cfg=cfg,
+                            **({"fit_restarts": FLAGS.restarts,
+                                "prior": None} | est_kw))
+        res = est.estimate_and_fit(imgs)
+        profiling.sync(res.theta)
+        px_err = float(jnp.mean(jnp.linalg.norm(
+            res.joints2d - jnp.asarray(ex["joints2d"]), axis=-1)))
+        # scale-aligned MPJPE (monocular scale ambiguity)
+        pred, gt = res.joints3d, gt3d
+        pred_c = pred - pred.mean(-2, keepdims=True)
+        gt_c = gt - gt.mean(-2, keepdims=True)
+        s = (jnp.sqrt((gt_c ** 2).sum((-2, -1)))
+             / (jnp.sqrt((pred_c ** 2).sum((-2, -1))) + 1e-9))
+        mp = float(jnp.mean(jnp.linalg.norm(
+            pred_c * s[..., None, None] - gt_c, axis=-1))) * 1000
+        pa = float(np.mean(metrics.pa_mpjpe_np(
+            np.asarray(pred), np.asarray(gt)))) * 1000
+        log(f"{tag}: 2D px err {px_err:.2f} | MPJPE {mp:.1f} mm | "
+            f"PA {pa:.1f} mm")
+        results[tag] = {"px_err": px_err, "mpjpe_mm": mp, "pa_mpjpe_mm": pa}
+
+    fused_eval("fused_random_weights", rand_params)
+    fused_eval("fused_trained_weights", params)
+
+    # ---- 2a. informative pose prior: EM-fitted GMM-8 on the pose corpus
+    # (fitting/priors.fit_gmm — the artifact the SMPLify lineage ships as
+    # gmm_08.pkl, built here from the synthetic training distribution).
+    log("EM-fitting a GMM-8 prior to 4000 corpus poses...")
+    from tpu_pose.fitting import priors as priors_lib
+    th_corpus, _ = synthetic.sample_poses(np.random.RandomState(7), 4000)
+    fitted_prior = priors_lib.fit_gmm(th_corpus[:, 3:], num_components=8)
+    fused_eval("fused_fitted_prior", params, prior=fitted_prior)
+
+    # ---- 2b. learned init head: single-start fits, three inits ----------
+    # Compares mean-pose init vs learned init vs multistart on the SAME
+    # trained CPM (fitting/init_head.py; ROADMAP r1 #2 accuracy lever).
+    log("training init head (self-supervised from the SMPL model)...")
+    from tpu_pose.fitting import init_head as head_lib
+    head, head_losses = head_lib.train_init_head(model, steps=2000,
+                                                 batch=256)
+    results["init_head_final_loss"] = float(head_losses[-20:].mean())
+    fused_eval("fused_meanpose_init", params, fit_restarts=1)
+    fused_eval("fused_learned_init", params, fit_restarts=1,
+               init_head=head)
+
+    # ---- 3. temporal warm-start vs independent --------------------------
+    vex = synthetic.make_video_examples(model, FLAGS.video_frames, cfg,
+                                        seed=77)
+    est = PoseEstimator(params, model, prior=None, cpm_cfg=cfg)
+    e2d = est.estimate_2d(jnp.asarray(vex["images"]))
+    gt3d_v = jnp.asarray(vex["gt_joints3d"])
+
+    def video_eval(tag, fn):
+        t1 = time.time()
+        res = jax.jit(fn)(e2d.joints2d, e2d.conf)
+        profiling.sync(res.theta)
+        dt = time.time() - t1
+        out = jax.jit(smpl_lib.smpl_forward_batch)(model, res.beta,
+                                                   res.theta)
+        pa = float(np.mean(metrics.pa_mpjpe_np(
+            np.asarray(out.joints), np.asarray(gt3d_v)))) * 1000
+        log(f"{tag}: PA-MPJPE {pa:.1f} mm ({dt:.1f}s inc. compile)")
+        results[tag] = {"pa_mpjpe_mm": pa}
+
+    video_eval("video_temporal", lambda j, c: temporal.fit_video(
+        model, j, c, cfg=est.fit_cfg))
+    video_eval("video_independent",
+               lambda j, c: temporal.fit_video_independent(
+                   model, j, c, cfg=est.fit_cfg))
+    video_eval("video_smooth",
+               lambda j, c: temporal.fit_video_smooth(
+                   model, j, c, cfg=est.fit_cfg, prior=fitted_prior))
+
+    # ---- 4. multi-person decode with TRAINED weights ---------------------
+    # Compose two half-scale blob-people per frame (left/right), run the
+    # multi-person fused path, and score how well the two recovered
+    # hypotheses' 2D centroids match the two GT person centroids.
+    n_multi = 8
+    exA = synthetic.make_examples(model, n_multi, cfg, seed=555)
+    exB = synthetic.make_examples(model, n_multi, cfg, seed=556)
+    s4 = cfg.input_size // 4
+    jA = exA["joints2d"] * 0.5 + np.array([0.0, s4])          # left half
+    jB = exB["joints2d"] * 0.5 + np.array([2.0 * s4, s4])     # right half
+    frames = np.stack([
+        np.maximum(synthetic.render_blob_image(jA[i], cfg.input_size),
+                   synthetic.render_blob_image(jB[i], cfg.input_size))
+        for i in range(n_multi)])
+    est_multi = PoseEstimator(params, model, prior=fitted_prior,
+                              cpm_cfg=cfg, fit_restarts=FLAGS.restarts)
+    multi = est_multi.estimate_and_fit_multi(jnp.asarray(frames),
+                                             max_people=2)
+    profiling.sync(multi.theta)
+    pred_c = np.asarray(multi.joints2d.mean(-2))              # (N, 2, 2)
+    gt_c = np.stack([jA.mean(-2), jB.mean(-2)], axis=1)       # (N, 2, 2)
+    # Best assignment of 2 hypotheses to 2 people per frame.
+    d_id = np.linalg.norm(pred_c - gt_c, axis=-1).mean(-1)
+    d_sw = np.linalg.norm(pred_c - gt_c[:, ::-1], axis=-1).mean(-1)
+    center_err = float(np.minimum(d_id, d_sw).mean())
+    # Per-person 3D accuracy (VERDICT r2 next #4): PA-MPJPE of each
+    # fitted hypothesis vs its assigned GT person, masked by person_mask
+    # (the fits now run with the same multistart levers as the
+    # single-person path). GT 3D comes from the poses behind exA/exB.
+    swap = d_sw < d_id
+    pred3d = np.asarray(multi.joints3d)                        # (N,2,24,3)
+    gt3d_pair = np.stack([exA["gt_joints3d"][:n_multi],
+                          exB["gt_joints3d"][:n_multi]], axis=1)
+    mask2 = np.asarray(multi.person_mask)
+    pas = []
+    for i in range(n_multi):
+        order = [1, 0] if swap[i] else [0, 1]
+        for slot in range(2):
+            if mask2[i, slot]:
+                pas.append(float(metrics.pa_mpjpe_np(
+                    pred3d[i, slot][None],
+                    gt3d_pair[i, order[slot]][None])[0]))
+    pa_two_person = float(np.mean(pas)) * 1000
+    log(f"multi-person per-person PA-MPJPE {pa_two_person:.1f} mm over "
+        f"{len(pas)} masked fits (single-person figure: "
+        f"{results['fused_fitted_prior']['pa_mpjpe_mm']:.1f} mm)")
+    # Person-COUNT selection (cpm.select_people): two-person frames
+    # should keep both hypotheses, single-person frames only one.
+    counts2 = np.asarray(multi.person_mask.sum(-1))
+    single = est.estimate_and_fit_multi(
+        jnp.asarray(exA["images"][:n_multi]), max_people=2)
+    profiling.sync(single.person_mask)
+    counts1 = np.asarray(single.person_mask.sum(-1))
+    count_acc = float(((counts2 == 2).mean() + (counts1 == 1).mean()) / 2)
+    log(f"multi-person (trained): mean matched center err "
+        f"{center_err:.1f} px over {n_multi} two-person frames; "
+        f"count-selection acc {count_acc:.2f} "
+        f"(two-person counts {counts2.tolist()}, "
+        f"one-person counts {counts1.tolist()})")
+    results["multi_person"] = {"center_err_px": center_err,
+                               "frames": n_multi,
+                               "count_acc": count_acc,
+                               "pa_mpjpe_mm_per_person": pa_two_person,
+                               "masked_fits": len(pas)}
+
+    # ---- 5. HARD benchmark: mesh-rendered cluttered frames ---------------
+    # (data/synthetic_hard.py; VERDICT r2 next #2) Train the CPM on the
+    # hard set, then measure (a) the fused ladder on hard frames, (b) the
+    # scale-robustness ablation for refine_scale (next #1), (c) hard
+    # two-person per-person accuracy.
+    if FLAGS.hard_steps > 0:
+        from tpu_pose.data import synthetic_hard as sh
+        log("generating HARD training pool (mesh render, clutter, "
+            "scale/offset jitter, occlusion)...")
+        pool_h = []
+        # 32 batches × 2400 steps with flip augmentation: measured
+        # recipe (2026-08-17) — 16×1200 underfit the flip-augmented
+        # distribution (36.3 plain); 32×2400 dominates every hard row
+        # (32.2 plain, 19.3 rc+flip_tta vs the 23.1 pre-flip best).
+        for b in sh.hard_train_batches(model, FLAGS.train_batch, 32, cfg,
+                                       seed=0, raw_images=True):
+            pool_h.append(jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x)), b))
+        params_h, opt_state_h, opt_h = cpm_train.init_train_state(
+            jax.random.PRNGKey(1), cfg, lr=2e-4,
+            total_steps=FLAGS.hard_steps)
+        step_h = cpm_train.make_train_step(cfg, opt_h)
+        log(f"training {FLAGS.hard_steps} steps on the hard set...")
+        for s in range(FLAGS.hard_steps):
+            params_h, opt_state_h, loss_h = step_h(
+                params_h, opt_state_h, pool_h[s % len(pool_h)])
+            if (s + 1) % 200 == 0:
+                log(f"hard step {s + 1}: loss {float(loss_h):.5f}")
+        results["hard_train_final_loss"] = float(loss_h)
+
+        def hard_eval(tag, scale_range, **est_kw):
+            exh = sh.make_hard_examples(
+                model, FLAGS.hard_eval_frames, cfg, seed=4321,
+                scale_range=scale_range)
+            esth = PoseEstimator(params_h, model, prior=fitted_prior,
+                                 cpm_cfg=cfg,
+                                 fit_restarts=FLAGS.restarts, **est_kw)
+            res = esth.estimate_and_fit(jnp.asarray(exh["images"]))
+            profiling.sync(res.theta)
+            vis = exh["visibility"] > 0
+            d = np.linalg.norm(np.asarray(res.joints2d)
+                               - exh["joints2d"], axis=-1)
+            px_err = float(d[vis].mean())
+            pa = float(np.mean(metrics.pa_mpjpe_np(
+                np.asarray(res.joints3d),
+                exh["gt_joints3d"]))) * 1000
+            log(f"{tag}: 2D px err {px_err:.2f} (visible joints) | "
+                f"PA {pa:.1f} mm")
+            results[tag] = {"px_err": px_err, "pa_mpjpe_mm": pa}
+            return px_err
+
+        # (a) the hard ladder at the training scale range. (The training
+        # pool is flip-augmented by default — hard_train_batches
+        # flip_prob=0.5 — which is what makes flip_tta a win instead of
+        # a loss.)
+        hard_eval("hard_plain", (0.45, 0.95))
+        hard_eval("hard_refine_center", (0.45, 0.95), refine_center=True)
+        hard_eval("hard_rc_flip_tta", (0.45, 0.95), refine_center=True,
+                  flip_tta=True)
+        # (b) scale robustness: full 0.3–1.0 sweep, fixed-scale baseline,
+        # and the crop/zoom second pass (done-criterion: refine_scale
+        # within ~1.2× of the fixed-scale baseline).
+        px_fixed = hard_eval("hard_fixed_scale", (0.75, 0.85))
+        px_naive = hard_eval("hard_scale_sweep_plain", (0.3, 1.0))
+        px_rs = hard_eval("hard_scale_sweep_refine_scale", (0.3, 1.0),
+                          refine_scale=True)
+        results["scale_robustness"] = {
+            "fixed_px": px_fixed, "sweep_plain_px": px_naive,
+            "sweep_refine_scale_px": px_rs,
+            "ratio_vs_fixed": px_rs / max(px_fixed, 1e-6)}
+        log(f"scale robustness: refine_scale {px_rs:.2f} px vs fixed "
+            f"{px_fixed:.2f} px (ratio {px_rs / max(px_fixed, 1e-6):.2f}"
+            f"; naive sweep {px_naive:.2f} px)")
+
+        # (c) hard two-person frames: per-person PA with trained-on-hard
+        # weights (depth-ordered compositing → real inter-person
+        # occlusion).
+        mh = sh.make_hard_multi_examples(model, 8, cfg, seed=99)
+        est_mh = PoseEstimator(params_h, model, prior=fitted_prior,
+                               cpm_cfg=cfg, fit_restarts=FLAGS.restarts)
+        rmh = est_mh.estimate_and_fit_multi(jnp.asarray(mh["images"]),
+                                            max_people=2)
+        profiling.sync(rmh.theta)
+        pc = np.asarray(rmh.joints2d.mean(-2))
+        gc = mh["joints2d"].mean(-2)
+        d_id = np.linalg.norm(pc - gc, axis=-1).mean(-1)
+        d_sw = np.linalg.norm(pc - gc[:, ::-1], axis=-1).mean(-1)
+        swap = d_sw < d_id
+        maskh = np.asarray(rmh.person_mask)
+        pas_h = []
+        for i in range(len(pc)):
+            order = [1, 0] if swap[i] else [0, 1]
+            for slot in range(2):
+                if maskh[i, slot]:
+                    pas_h.append(float(metrics.pa_mpjpe_np(
+                        np.asarray(rmh.joints3d)[i, slot][None],
+                        mh["gt_joints3d"][i, order[slot]][None])[0]))
+        results["hard_multi_person"] = {
+            "center_err_px": float(np.minimum(d_id, d_sw).mean()),
+            "pa_mpjpe_mm_per_person": float(np.mean(pas_h)) * 1000,
+            "masked_fits": len(pas_h)}
+        log(f"hard multi-person: center err "
+            f"{results['hard_multi_person']['center_err_px']:.1f} px, "
+            f"per-person PA "
+            f"{results['hard_multi_person']['pa_mpjpe_mm_per_person']:.1f}"
+            f" mm over {len(pas_h)} masked fits")
+        # (d) multi-person VIDEO: identity tracking through a crossing
+        # (people swap sides mid-sequence, the nearer occluding the
+        # farther at the crossing) → per-track smooth fits
+        # (api.estimate_and_fit_video_multi / fitting/tracking.py).
+        vh = sh.make_hard_multi_video(model, 24, cfg, seed=7,
+                                      crossing=True)
+        rvm = est_mh.estimate_and_fit_video_multi(
+            jnp.asarray(vh["images"]), max_people=2)
+        profiling.sync(rvm.theta)
+        tc = np.asarray(rvm.joints2d).mean(-2)        # (T, 2, 2)
+        gc = vh["centers"]
+        # Global track→identity matching over the WHOLE sequence, then
+        # per-frame identity accuracy under it — an identity swap at the
+        # crossing shows up as id_acc dropping toward 0.5.
+        d_id = np.linalg.norm(tc - gc, axis=-1).sum()
+        d_sw = np.linalg.norm(tc - gc[:, ::-1], axis=-1).sum()
+        order = [0, 1] if d_id <= d_sw else [1, 0]
+        ga = gc[:, order]
+        per_frame = (np.linalg.norm(tc - ga, axis=-1).sum(-1)
+                     <= np.linalg.norm(tc - ga[:, ::-1], axis=-1).sum(-1))
+        id_acc = float(per_frame.mean())
+        center_err_v = float(np.linalg.norm(tc - ga, axis=-1).mean())
+        gj = vh["gt_joints3d"][:, order]              # (T, 2, 24, 3)
+        pa_v = float(np.mean([
+            np.mean(metrics.pa_mpjpe_np(
+                np.asarray(rvm.joints3d)[k], gj[:, k]))
+            for k in range(2)])) * 1000
+        results["hard_multi_video"] = {
+            "id_acc": id_acc, "center_err_px": center_err_v,
+            "pa_mpjpe_mm_per_person": pa_v}
+        log(f"hard multi-video (crossing): id acc {id_acc:.2f}, center "
+            f"err {center_err_v:.1f} px, per-person PA {pa_v:.1f} mm")
+        ckpt_lib.save_cpm_params(
+            os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
+            jax.tree.map(np.asarray, params_h))
+
+    # ---- 8. deployment artifact round-trip ------------------------------
+    # Export the trained fused path (jax.export, weights baked in),
+    # reload it with no estimator in scope, and check it against the
+    # live program on the SAME eval frames — the ship-an-artifact story
+    # exercised with real trained weights on the device.
+    log("exporting deployment artifact (trained weights)...")
+    from tpu_pose import export as pexport
+    art_dir = os.path.join(FLAGS.out, "artifact")
+    est_dep = PoseEstimator(params, model, cpm_cfg=cfg, prior=None)
+    pexport.export_estimator(est_dep, art_dir, fn="estimate_and_fit",
+                             batch=int(imgs.shape[0]))
+    prog = pexport.load(art_dir)
+    out_art = prog(np.asarray(imgs))
+    live = est_dep.estimate_and_fit(imgs)
+    profiling.sync(live.theta)
+    d_j2d = float(np.max(np.abs(
+        out_art["joints2d"] - np.asarray(live.joints2d))))
+    d_th = float(np.max(np.abs(out_art["theta"] - np.asarray(live.theta))))
+    results["export_artifact"] = {
+        "program_mb": round(os.path.getsize(
+            os.path.join(art_dir, "program.bin")) / 1e6, 1),
+        "max_d_joints2d_px": d_j2d, "max_d_theta": d_th,
+        "ok": bool(d_j2d < 0.5 and d_th < 0.05)}
+    log(f"artifact round-trip: Δjoints2d {d_j2d:.3g} px, "
+        f"Δθ {d_th:.3g} → {'OK' if results['export_artifact']['ok'] else 'MISMATCH'}")
+
+    with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    log(f"done → {FLAGS.out}/results.json")
+
+
+def run():
+    """Console entry point (pyproject.toml [project.scripts])."""
+    app.run(main)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,105 @@
+"""CPM training entry point (SURVEY.md §2 row 3 training path; L6 script).
+
+Data-parallel over all visible devices (shard_map + grad-pmean over ICI),
+orbax-checkpointed, resumable. Trains on npz shards (see
+tpu_pose/data/pipeline.py) or, with --synthetic, on generated data —
+hermetic end-to-end without the license-gated Caffe/TF checkpoint.
+
+  python scripts/train_cpm.py --synthetic --steps 200 --batch 32 \
+      --ckpt_dir /tmp/cpm_ckpt --export /tmp/cpm_weights.npz
+"""
+
+import os
+import sys  # noqa: F401
+
+from absl import app, flags  # noqa: E402
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("data_dir", "", "npz-shard dir with images/center_maps/"
+                    "heatmaps arrays")
+flags.DEFINE_boolean("synthetic", False, "train on generated synthetic data")
+flags.DEFINE_integer("steps", 1000, "total optimizer steps")
+flags.DEFINE_integer("batch", 32, "global batch size")
+flags.DEFINE_float("lr", 1e-4, "adam learning rate")
+flags.DEFINE_string("ckpt_dir", "", "orbax checkpoint dir (resume if "
+                    "present)")
+flags.DEFINE_integer("ckpt_every", 200, "checkpoint interval (steps)")
+flags.DEFINE_string("export", "", "write final weights npz here")
+flags.DEFINE_integer("input_size", 368, "CPM input resolution")
+flags.DEFINE_integer("log_every", 20, "loss log interval")
+
+
+def main(argv):
+    del argv
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from tpu_pose.data import pipeline, synthetic
+    from tpu_pose.models import cpm_train, smpl_data
+    from tpu_pose.parallel import mesh as mesh_lib
+    from tpu_pose.utils import checkpoint as ckpt_lib
+    from tpu_pose.utils import profiling
+    from tpu_pose.utils.config import CPMConfig
+
+    cfg = CPMConfig(input_size=FLAGS.input_size)
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), cfg, lr=FLAGS.lr, total_steps=FLAGS.steps)
+    start_step = 0
+    if FLAGS.ckpt_dir and ckpt_lib.latest_step(FLAGS.ckpt_dir) is not None:
+        start_step, params, opt_state = ckpt_lib.restore_train_state(
+            FLAGS.ckpt_dir, params, opt_state)
+        print(f"resumed from step {start_step}")
+
+    step_fn = cpm_train.make_train_step(cfg, opt, mesh=mesh)
+    if mesh is not None:
+        params = mesh_lib.replicate(params, mesh)
+        opt_state = mesh_lib.replicate(opt_state, mesh)
+
+    if FLAGS.synthetic:
+        model = smpl_data.synthetic_smpl(seed=0)
+        batches = itertools.chain.from_iterable(
+            synthetic.cpm_train_batches(model, FLAGS.batch, 10_000, cfg,
+                                        seed=e) for e in itertools.count())
+    elif FLAGS.data_dir:
+        batches = pipeline.batches(
+            FLAGS.data_dir, FLAGS.batch,
+            keys=("images", "center_maps", "heatmaps"),
+            shuffle=True, num_epochs=10_000)
+    else:
+        raise app.UsageError("provide --data_dir or --synthetic")
+
+    loss = float("nan")
+    for step, batch in enumerate(batches, start=start_step):
+        if step >= FLAGS.steps:
+            break
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if (step + 1) % FLAGS.log_every == 0:
+            print(f"step {step + 1}: loss {float(loss):.6f}")
+        if FLAGS.ckpt_dir and (step + 1) % FLAGS.ckpt_every == 0:
+            ckpt_lib.save_train_state(FLAGS.ckpt_dir, step + 1, params,
+                                      opt_state)
+
+    profiling.sync(loss)
+    if FLAGS.ckpt_dir:
+        ckpt_lib.save_train_state(FLAGS.ckpt_dir, FLAGS.steps, params,
+                                  opt_state)
+    if FLAGS.export:
+        ckpt_lib.save_cpm_params(
+            FLAGS.export, jax.tree.map(np.asarray, params))
+        print(f"exported weights to {FLAGS.export}")
+    print(f"done: {FLAGS.steps} steps, final loss {float(loss):.6f}")
+
+
+def run():
+    """Console entry point (pyproject.toml [project.scripts])."""
+    app.run(main)
+
+
+if __name__ == "__main__":
+    run()
