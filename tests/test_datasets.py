@@ -169,6 +169,84 @@ def test_mpii_test_set_skipped_unless_requested(tmp_path):
     assert len(datasets.load_mpii(path, train_only=False)) == 2
 
 
+# -- COCO ------------------------------------------------------------------
+
+def _coco_json(tmp_path):
+    import json
+    # Person: nose + both shoulders/elbows/wrists/hips/knees/ankles
+    # labeled; left ear unlabeled; right wrist occluded (v=1).
+    kp = np.zeros((17, 3), np.float32)
+    kp[0] = (50, 20, 2)                       # nose
+    for i, (x, y) in zip(range(5, 17), [(60, 40), (40, 40), (65, 60),
+                                        (35, 60), (70, 80), (30, 80),
+                                        (55, 90), (45, 90), (56, 130),
+                                        (44, 130), (57, 170), (43, 170)]):
+        kp[i] = (x, y, 2)
+    kp[10, 2] = 1                             # r_wrist occluded
+    ann = {"id": 7, "image_id": 3, "category_id": 1,
+           "num_keypoints": int((kp[:, 2] > 0).sum()),
+           "keypoints": [float(v) for v in kp.ravel()],
+           "bbox": [25.0, 10.0, 50.0, 170.0]}
+    crowd = {"id": 8, "image_id": 3, "category_id": 1,
+             "num_keypoints": 0, "keypoints": [0.0] * 51,
+             "bbox": [0, 0, 10, 10]}
+    notperson = {"id": 9, "image_id": 3, "category_id": 2,
+                 "num_keypoints": 5, "keypoints": [1.0] * 51,
+                 "bbox": [0, 0, 10, 10]}
+    data = {"images": [{"id": 3, "file_name": "000000000003.jpg",
+                        "width": 120, "height": 200}],
+            "annotations": [ann, crowd, notperson],
+            "categories": [{"id": 1, "name": "person"}]}
+    path = str(tmp_path / "person_keypoints_val.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return path, kp
+
+
+def test_coco_parse_and_synthesized_joints(tmp_path):
+    path, kp = _coco_json(tmp_path)
+    recs = datasets.load_coco(path)
+    assert len(recs) == 1              # crowd + non-person skipped
+    r = recs[0]
+    assert r["image"] == "000000000003.jpg"
+    # neck = shoulder midpoint of COCO 5/6; head = nose.
+    np.testing.assert_allclose(r["joints2d"][1], [50, 40])
+    np.testing.assert_allclose(r["joints2d"][0], [50, 20])
+    # r_shoulder (CPM 2) = COCO 6 (RIGHT shoulder, x=40).
+    np.testing.assert_allclose(r["joints2d"][2], [40, 40])
+    np.testing.assert_allclose(r["joints2d"][5], [60, 40])
+    # occluded r_wrist (COCO 10 → CPM 4): labeled but not visible.
+    assert r["conf"][4] == 1.0 and r["visible"][4] == 0.0
+    assert r["conf"].sum() == 14
+    np.testing.assert_allclose(r["center"], [50, 95])
+    np.testing.assert_allclose(r["scale"], 170.0 / 200.0)
+    np.testing.assert_allclose(r["headsize"], 20.0)   # nose→neck
+    with pytest.raises(ValueError, match="COCO"):
+        import json
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"foo": 1}))
+        datasets.load_coco(str(bad))
+
+
+def test_coco_to_shards_roundtrip(tmp_path):
+    from PIL import Image
+    path, _ = _coco_json(tmp_path)
+    d = tmp_path / "coco_images"
+    d.mkdir()
+    Image.fromarray(np.zeros((200, 120, 3), np.uint8)).save(
+        d / "000000000003.jpg")
+    out = str(tmp_path / "coco_shards")
+    datasets.coco_to_shards(path, str(d), out, out_size=64)
+    src = pipeline.NpzShardSource(out)
+    assert len(src) == 1
+    rec = src[0]
+    # crop side = 1.25·170 = 212.5 → 212 px at center (50, 95).
+    zoom = 64 / 212.0
+    exp = (np.array([50.0, 20.0]) - (np.array([50, 95]) - 106)) * zoom
+    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.5)
+    np.testing.assert_allclose(rec["headsize"], 20.0 * zoom, rtol=1e-4)
+
+
 # -- Human3.6M -------------------------------------------------------------
 
 def test_h36m_npz_32_to_17(tmp_path):

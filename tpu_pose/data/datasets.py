@@ -48,8 +48,8 @@ from tpu_pose.data import pipeline
 
 __all__ = [
     "LSP_TO_CPM", "MPII_TO_CPM", "H36M_32_TO_17", "MPII_SC_BIAS",
-    "load_lsp", "load_mpii", "load_h36m_3d_npz",
-    "crop_person", "lsp_to_shards", "mpii_to_shards",
+    "load_lsp", "load_mpii", "load_coco", "load_h36m_3d_npz",
+    "crop_person", "lsp_to_shards", "mpii_to_shards", "coco_to_shards",
     "sequences_to_shards",
 ]
 
@@ -207,6 +207,120 @@ def load_mpii(mat_path: str, train_only: bool = True,
                 "headsize": headsize,
             })
     return records
+
+
+# -- COCO keypoints --------------------------------------------------------
+
+# COCO 17 keypoints: 0 nose, 1/2 l/r eye, 3/4 l/r ear, 5/6 l/r shoulder,
+# 7/8 l/r elbow, 9/10 l/r wrist, 11/12 l/r hip, 13/14 l/r knee,
+# 15/16 l/r ankle. Direct CPM correspondences (CPM slot → COCO id); the
+# two CPM joints COCO lacks are synthesized: neck = shoulder midpoint
+# (the standard COCO→MPII-style conversion) and head = nose (the closest
+# available proxy, ~half a head low — documented approximation).
+_COCO_DIRECT = {2: 6, 3: 8, 4: 10, 5: 5, 6: 7, 7: 9,
+                8: 12, 9: 14, 10: 16, 11: 11, 12: 13, 13: 15}
+
+
+def load_coco(json_path: str, person_category: int = 1) -> List[dict]:
+    """Parse a COCO-keypoints annotation file (the
+    ``person_keypoints_*.json`` schema: ``images`` + ``annotations``
+    with 17×(x, y, v) keypoint triplets — also what most labeling tools
+    export). One record per annotated person, same shape as
+    :func:`load_mpii`'s records:
+
+    ``{"image": file_name, "center", "scale" (bbox height / 200, the
+    MPII unit), "joints2d" (14, 2) CPM order, "conf" (14,) 1 = labeled,
+    "visible" (14,), "headsize" (nose–shoulder-midpoint distance — COCO
+    has no head rectangle; documented proxy, like LSP's)}``
+
+    CPM joints COCO lacks: neck = shoulder midpoint (labeled only when
+    both shoulders are), head = nose. v∈{0 unlabeled, 1 occluded,
+    2 visible} maps to conf = v>0, visible = v==2.
+    """
+    import json as json_lib
+    with open(json_path) as f:
+        data = json_lib.load(f)
+    if "annotations" not in data or "images" not in data:
+        raise ValueError(
+            f"{json_path} is not a COCO annotation file "
+            f"(keys: {sorted(data)[:8]})")
+    name_of = {im["id"]: im["file_name"] for im in data["images"]}
+    records: List[dict] = []
+    for ann in data["annotations"]:
+        if ann.get("category_id", 1) != person_category:
+            continue
+        kp = np.asarray(ann.get("keypoints", ()), np.float32)
+        if kp.size != 51 or ann.get("num_keypoints", 0) == 0:
+            continue
+        kp = kp.reshape(17, 3)
+        joints = np.zeros((14, 2), np.float32)
+        conf = np.zeros(14, np.float32)
+        visible = np.zeros(14, np.float32)
+        for cpm_i, coco_i in _COCO_DIRECT.items():
+            x, y, v = kp[coco_i]
+            if v > 0:
+                joints[cpm_i] = (x, y)
+                conf[cpm_i] = 1.0
+                visible[cpm_i] = float(v == 2)
+        if kp[5, 2] > 0 and kp[6, 2] > 0:      # neck = shoulder midpoint
+            joints[1] = (kp[5, :2] + kp[6, :2]) / 2.0
+            conf[1] = 1.0
+            visible[1] = float(kp[5, 2] == 2 and kp[6, 2] == 2)
+        if kp[0, 2] > 0:                       # head ≈ nose
+            joints[0] = kp[0, :2]
+            conf[0] = 1.0
+            visible[0] = float(kp[0, 2] == 2)
+        if "bbox" in ann:
+            x0, y0, w, h = ann["bbox"]
+        else:
+            lo, hi = joints[conf > 0].min(0), joints[conf > 0].max(0)
+            x0, y0 = lo
+            w, h = hi - lo
+        # COCO has no head rectangle: use the nose–neck segment, or (if
+        # either is unlabeled) ~an anatomical head length, 0.13 × the
+        # person bbox height.
+        headsize = (float(np.linalg.norm(joints[0] - joints[1]))
+                    if conf[0] and conf[1] else 0.13 * float(h))
+        records.append({
+            "image": name_of.get(ann["image_id"], str(ann["image_id"])),
+            "center": np.array([x0 + w / 2.0, y0 + h / 2.0], np.float32),
+            "scale": float(h) / 200.0,
+            "joints2d": joints,
+            "conf": conf,
+            "visible": visible,
+            "headsize": headsize,
+        })
+    return records
+
+
+def coco_to_shards(json_path: str, images_dir: str, out_dir: str,
+                   out_size: int = 368, margin: float = 1.25,
+                   shard_size: int = 256,
+                   limit: Optional[int] = None) -> List[str]:
+    """COCO keypoints → person-centric npz shards (one sample per
+    annotated person, cropped at the bbox center, side = ``margin`` ×
+    bbox height). Same shard keys as :func:`lsp_to_shards`."""
+    records = [r for r in load_coco(json_path)
+               if r["scale"] > 0 and r["conf"].sum() >= 4]
+    if limit is not None:
+        records = records[:limit]
+    if not records:
+        raise ValueError(f"no usable annotated people in {json_path}")
+    images, out_j, out_c, out_hs = [], [], [], []
+    for r in records:
+        img = _load_image(os.path.join(images_dir, r["image"]))
+        side = float(r["scale"]) * 200.0 * margin
+        crop, origin, zoom = crop_person(img, r["center"], side, out_size)
+        images.append(crop)
+        out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
+        out_c.append(r["conf"])
+        out_hs.append(np.float32(r["headsize"] * zoom))
+    return pipeline.write_npz_shards(out_dir, {
+        "images": np.stack(images),
+        "gt_joints2d": np.stack(out_j),
+        "conf": np.stack(out_c),
+        "headsize": np.asarray(out_hs, np.float32),
+    }, shard_size=shard_size)
 
 
 # -- Human3.6M -------------------------------------------------------------

@@ -23,9 +23,9 @@ import sys  # noqa: F401
 from absl import app, flags  # noqa: E402
 
 FLAGS = flags.FLAGS
-flags.DEFINE_enum("dataset", None, ["lsp", "mpii"],
-                  "source dataset format (lsp covers LSPET too)")
-flags.DEFINE_string("annotations", None, "annotation .mat file")
+flags.DEFINE_enum("dataset", None, ["lsp", "mpii", "coco"],
+                  "source dataset format (lsp covers LSPET too; coco takes a\n                  person_keypoints json)")
+flags.DEFINE_string("annotations", None, "annotation file (.mat, or\n                    person_keypoints .json for coco)")
 flags.DEFINE_string("images", None, "image directory")
 flags.DEFINE_string("out", None, "output shard directory")
 flags.DEFINE_integer("size", 368, "output crop size (network input)")
@@ -50,6 +50,11 @@ def main(argv):
         paths = datasets.lsp_to_shards(
             FLAGS.annotations, FLAGS.images, FLAGS.out,
             out_size=FLAGS.size, margin=FLAGS.margin or 1.5,
+            shard_size=FLAGS.shard_size, limit=limit)
+    elif FLAGS.dataset == "coco":
+        paths = datasets.coco_to_shards(
+            FLAGS.annotations, FLAGS.images, FLAGS.out,
+            out_size=FLAGS.size, margin=FLAGS.margin or 1.25,
             shard_size=FLAGS.shard_size, limit=limit)
     else:
         paths = datasets.mpii_to_shards(
