@@ -33,6 +33,30 @@ def test_estimate_2d_shapes(est):
     assert r.conf.shape == (2, 14)
 
 
+def test_entry_points_reject_malformed_inputs(est):
+    """Wrong-rank / wrong-channel inputs must fail with a clear message
+    at the API boundary, not as an opaque conv/vmap tracer error from
+    inside the jitted program."""
+    frames3 = np.zeros((64, 64, 3), np.uint8)       # missing batch dim
+    frames2ch = np.zeros((2, 64, 64, 2), np.uint8)  # 2 channels
+    for call in (est.estimate_2d, est.estimate_and_fit,
+                 est.estimate_and_fit_multi,
+                 est.estimate_and_fit_video,
+                 est.estimate_and_fit_video_stream,
+                 est.estimate_and_fit_video_multi,
+                 est.estimate_and_fit_video_multi_stream):
+        with pytest.raises(ValueError, match="frame stack"):
+            call(frames3)
+        with pytest.raises(ValueError, match="frame stack"):
+            call(frames2ch)
+    with pytest.raises(ValueError, match="fit_smpl takes"):
+        est.fit_smpl(np.zeros((2, 10, 2)), np.zeros((2, 10)))  # wrong P
+    with pytest.raises(ValueError, match="fit_smpl takes"):
+        est.fit_smpl(np.zeros((2, 14, 2)), np.zeros((3, 14)))  # mismatch
+    with pytest.raises(ValueError, match="fit_smpl takes"):
+        est.fit_smpl(np.zeros((2, 14, 3)), np.zeros((2, 14)))  # xy only
+
+
 def test_fit_smpl_single_and_batch(est):
     rng = np.random.RandomState(1)
     j = jnp.asarray(rng.rand(14, 2) * 64, jnp.float32)

@@ -77,6 +77,31 @@ class EstimateAndFitResult(NamedTuple):
     energy: jnp.ndarray     # (B,)
 
 
+def _check_frames(images, what: str = "images") -> None:
+    """Entry-point input validation: a wrong-rank or wrong-channel frame
+    stack otherwise surfaces as an opaque conv/vmap tracer error deep in
+    the jitted program."""
+    shape = getattr(images, "shape", None)
+    if shape is None or len(shape) != 4 or shape[-1] != 3:
+        raise ValueError(
+            f"{what} must be a (batch/T, H, W, 3) frame stack, got "
+            f"shape {shape} — wrap a single frame as images[None] "
+            f"(or use VideoSession.push, which accepts single frames)")
+
+
+def _check_fit_inputs(joints2d, conf, num_joints: int) -> None:
+    js, cs = (getattr(joints2d, "shape", None), getattr(conf, "shape",
+                                                        None))
+    ok = (js is not None and cs is not None
+          and len(js) in (2, 3) and js[-1] == 2
+          and js[-2] == num_joints and cs == js[:-1])
+    if not ok:
+        raise ValueError(
+            f"fit_smpl takes joints2d ([B,] {num_joints}, 2) in pixels "
+            f"with matching conf ([B,] {num_joints}); got joints2d "
+            f"{js}, conf {cs}")
+
+
 class PoseEstimator:
     """Bundles CPM weights, SMPL model data, prior, and configs.
 
@@ -271,6 +296,7 @@ class PoseEstimator:
         ``flip_tta`` (default: the constructor setting) averages the
         original and mirrored passes — the CPM evaluation protocol
         (2× CPM FLOPs)."""
+        _check_frames(images)
         lb = self.letterbox if letterbox is None else letterbox
         rs = self.refine_scale if refine_scale is None else refine_scale
         rc = self.refine_center if refine_center is None else refine_center
@@ -287,6 +313,7 @@ class PoseEstimator:
         global-orientation hypotheses per sample in parallel and keeps
         the lowest-energy one (escapes the facing ambiguity; ~×restarts
         fit FLOPs, same wall-clock shape)."""
+        _check_fit_inputs(joints2d, conf, self.cpm_cfg.num_joints)
         if restarts > 1:
             if init is not None:
                 raise ValueError("init and restarts>1 are exclusive")
@@ -360,6 +387,7 @@ class PoseEstimator:
         batch → 2D inference → batched traced fit → posed mesh, ONE device
         program end to end. CPM precision follows the batch-size policy
         (``int8_min_batch``)."""
+        _check_frames(images)
         return self._fused(self._params_for_batch(images.shape[0]),
                            self.smpl_model, images)
 
@@ -407,6 +435,7 @@ class PoseEstimator:
         accuracy/stability frontier, temporal.py), "temporal" (the
         reference's warm-start semantics), or "independent" (per-frame
         cold starts). CPM precision follows the batch-size policy."""
+        _check_frames(frames, "frames")
         if mode not in ("smooth", "temporal", "independent"):
             raise ValueError(f"unknown video mode: {mode!r}")
         key = ("video", mode)
@@ -428,6 +457,7 @@ class PoseEstimator:
         compiled chunk program, continuity carried across boundaries).
         Use :meth:`estimate_and_fit_video` when the sequence fits one
         device program."""
+        _check_frames(frames, "frames")
         from tpu_pose.fitting import temporal
         # NETWORK-frame joints for the fit (the letterboxed preprocessing
         # still applies when configured); source mapping happens at the
@@ -515,6 +545,7 @@ class PoseEstimator:
         shapes); ``person_mask`` marks which hypotheses are judged real
         people (cpm.select_people: absolute + frame-relative score
         thresholds, top-1 always kept) and ``person_scores`` ranks them."""
+        _check_frames(images)
         key = ("multi", max_people, min_person_score, person_score_frac,
                dup_px)
         if key not in self._fit_multistart:
@@ -645,6 +676,7 @@ class PoseEstimator:
         Memory scales with T·max_people (all hypotheses refine per
         frame); for very long sequences run in windows and stitch on
         track features."""
+        _check_frames(frames, "frames")
         key = ("video_multi", max_people, min_person_score,
                person_score_frac, dup_px, self.fit_restarts)
         if key not in self._fit_multistart:
@@ -678,6 +710,7 @@ class PoseEstimator:
         Use :meth:`estimate_and_fit_video_multi` when the sequence fits
         one device program; use :class:`MultiPersonVideoSession` when
         frames arrive incrementally (camera / decoder)."""
+        _check_frames(frames, "frames")
         t_total = frames.shape[0]
         if t_total <= chunk:
             return self.estimate_and_fit_video_multi(
