@@ -32,6 +32,13 @@ flags.DEFINE_boolean("thorough", False, "use the long fit schedule")
 flags.DEFINE_boolean("letterbox", True, "aspect-preserving resize+pad "
                      "preprocessing (recommended for non-square images); "
                      "joints come back in source-image pixels")
+flags.DEFINE_boolean("multi", False, "multi-person: fit up to "
+                     "--max_people per frame (with --video: "
+                     "identity-tracked through occlusions; overlays "
+                     "draw every accepted person, meshes export per "
+                     "person/track)")
+flags.DEFINE_integer("max_people", 2, "person hypothesis slots for "
+                     "--multi")
 flags.DEFINE_boolean("video", False, "treat the inputs as ONE ordered "
                      "sequence and fit it jointly (shared body shape, "
                      "Viterbi-consistent facing, temporal smoothness — "
@@ -88,6 +95,8 @@ def main(argv):
     else:
         raise app.UsageError("provide --images or --synthetic N")
 
+    if FLAGS.multi:
+        return _run_multi(est, images, letterbox)
     res = (est.estimate_and_fit_video(images) if FLAGS.video
            else est.estimate_and_fit(images))
 
@@ -124,6 +133,65 @@ def main(argv):
             faces=np.asarray(est.smpl_model.faces), affine=affine)
     print(f"wrote {len(images)} fits to {FLAGS.out_dir} "
           f"(mean energy {float(np.mean(np.asarray(res.energy))):.4f})")
+
+
+def _run_multi(est, images, letterbox):
+    """--multi rendering: every accepted person per frame on one
+    overlay, one OBJ per (frame, person) — per (track, frame) with
+    --video, where person/track k keeps one color across frames."""
+    import numpy as np
+
+    from tpu_pose.utils import checkpoint as ckpt_lib
+    from tpu_pose.utils import viz
+
+    if FLAGS.video:
+        res = est.estimate_and_fit_video_multi(
+            images, max_people=FLAGS.max_people)
+        # Track-major (K, T, ...) → frame-major views for rendering.
+        mask = np.asarray(res.frame_mask)             # (T, K)
+        joints = np.asarray(res.joints2d)             # (T, K, P, 2)
+        conf = np.asarray(res.conf)
+        verts = np.transpose(np.asarray(res.vertices), (1, 0, 2, 3))
+        cams = np.transpose(np.asarray(res.cam), (1, 0, 2))
+    else:
+        res = est.estimate_and_fit_multi(images,
+                                         max_people=FLAGS.max_people)
+        mask = np.asarray(res.person_mask)            # (B, K)
+        joints = np.asarray(res.joints2d)
+        conf = np.asarray(res.conf)
+        verts = np.asarray(res.vertices)              # (B, K, V, 3)
+        cams = np.asarray(res.cam)
+
+    os.makedirs(FLAGS.out_dir, exist_ok=True)
+    extra = {"joints2d": joints, "conf": conf,
+             "person_mask": mask.astype(np.float32)}
+    if FLAGS.video:
+        extra["perm"] = np.asarray(res.perm)
+    ckpt_lib.save_fit_results(
+        os.path.join(FLAGS.out_dir, "fits.npz"),
+        np.asarray(res.theta), np.asarray(res.beta),
+        np.asarray(res.cam), energy=np.asarray(res.energy), extra=extra)
+
+    h0, w0 = images.shape[1:3]
+    s = (np.array([1.0, 1.0], np.float32) if letterbox else
+         np.array([w0 / est.cpm_cfg.input_size,
+                   h0 / est.cpm_cfg.input_size], np.float32))
+    for i in range(len(images)):
+        img = np.array(images[i], copy=True)
+        for k in range(joints.shape[1]):
+            if not mask[i, k]:
+                continue
+            img = viz.draw_skeleton(img, joints[i, k] * s, conf[i, k])
+            viz.save_obj(
+                os.path.join(FLAGS.out_dir, f"mesh_{i:03d}_p{k}.obj"),
+                verts[i, k], np.asarray(est.smpl_model.faces))
+        viz.save_image(
+            os.path.join(FLAGS.out_dir, f"pose2d_{i:03d}.png"), img)
+    n_people = (int(np.asarray(res.track_mask).sum()) if FLAGS.video
+                else int(mask.sum()))
+    what = "tracks" if FLAGS.video else "person fits"
+    print(f"wrote {len(images)} frames, {n_people} {what} "
+          f"to {FLAGS.out_dir}")
 
 
 def run():
