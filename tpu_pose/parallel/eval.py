@@ -201,8 +201,9 @@ def sharded_2d_fn(estimator, mesh):
             flip_tta=estimator.flip_tta,
             letterbox=estimator.letterbox),
         in_shardings=(repl, batch_s), out_shardings=batch_s)
-    params = mesh_lib.replicate(
-        estimator._params_for_batch(1), mesh)
+    # The f32/bf16 param set, matching sharded_fused_fn (eval favors
+    # accuracy; the int8 serving set is bench-gated separately).
+    params = mesh_lib.replicate(estimator.cpm_params, mesh)
 
     def run(images):
         return fn(params, images)
