@@ -1,0 +1,164 @@
+"""HTTP serving front-end tests (tpu_pose/serving_http.py): real
+sockets on localhost, concurrent clients, both body encodings, field
+selection, npz responses, error codes, and the telemetry endpoints."""
+
+import io
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from tpu_pose.api import PoseEstimator
+from tpu_pose.serving_http import PoseHTTPServer
+from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+SMALL_CPM = CPMConfig(input_size=64, features=16, stage1_head_width=32,
+                      refine_width=16, num_stages=2)
+SMALL_FIT = FitConfig(
+    stages=(StageConfig(iters=10, lr=0.05, w_pose_prior=0,
+                        w_shape_prior=0, w_angle_prior=0),),
+    img_size=64)
+
+
+@pytest.fixture(scope="module")
+def srv():
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT, letterbox=True)
+    with PoseHTTPServer(est, max_batch=4, max_wait_ms=10.0,
+                        fields=("joints2d", "conf", "theta", "energy",
+                                "letterbox_affine")) as s:
+        yield s
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _post(srv, body, ctype, path="/predict", accept=None):
+    conn = HTTPConnection(srv.host, srv.port, timeout=120)
+    headers = {"Content-Type": ctype}
+    if accept:
+        headers["Accept"] = accept
+    conn.request("POST", path, body=body, headers=headers)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, r.getheader("Content-Type"), data
+
+
+def test_predict_npy_json_roundtrip(srv):
+    frame = np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    status, ctype, data = _post(srv, _npy_bytes(frame),
+                                "application/x-npy")
+    assert status == 200 and ctype == "application/json"
+    out = json.loads(data)
+    assert set(out) == {"joints2d", "conf", "theta", "energy",
+                        "letterbox_affine"}
+    assert np.asarray(out["joints2d"]).shape == (14, 2)
+    assert np.asarray(out["theta"]).shape == (72,)
+
+
+def test_predict_png_mixed_resolution_source_pixels(srv):
+    """A non-network-resolution PNG request letterboxes at submit and
+    returns joints in SOURCE pixels (inside the 100×40 frame)."""
+    from PIL import Image
+    img = np.zeros((100, 40, 3), np.uint8)
+    img[:] = (40, 90, 160)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    status, _, data = _post(srv, buf.getvalue(), "image/png")
+    assert status == 200
+    out = json.loads(data)
+    j = np.asarray(out["joints2d"])
+    aff = np.asarray(out["letterbox_affine"])
+    assert aff.shape == (4,) and not np.allclose(aff, [1, 1, 0, 0])
+    assert (j[:, 0] >= -40).all() and (j[:, 0] <= 80).all()
+
+
+def test_field_selection_and_unknown_field(srv):
+    frame = np.zeros((64, 64, 3), np.uint8)
+    status, _, data = _post(srv, _npy_bytes(frame),
+                            "application/x-npy",
+                            path="/predict?fields=theta,energy")
+    assert status == 200
+    assert set(json.loads(data)) == {"theta", "energy"}
+    status, _, data = _post(srv, _npy_bytes(frame),
+                            "application/x-npy",
+                            path="/predict?fields=nope")
+    assert status == 400
+    assert "unknown fields" in json.loads(data)["error"]
+
+
+def test_npz_response(srv):
+    frame = np.zeros((64, 64, 3), np.uint8)
+    status, ctype, data = _post(srv, _npy_bytes(frame),
+                                "application/x-npy",
+                                accept="application/x-npz")
+    assert status == 200 and ctype == "application/x-npz"
+    with np.load(io.BytesIO(data)) as z:
+        assert "joints2d" in z.files
+        assert z["joints2d"].shape == (14, 2)
+
+
+def test_error_codes(srv):
+    # undecodable image body
+    status, _, data = _post(srv, b"not a png", "image/png")
+    assert status == 400
+    # wrong content type
+    status, _, _ = _post(srv, b"{}", "application/json")
+    assert status == 400
+    # wrong shape npy
+    status, _, data = _post(srv, _npy_bytes(np.zeros((4, 4))),
+                            "application/x-npy")
+    assert status == 400 and "H, W, 3" in json.loads(data)["error"]
+    # bad route
+    status, _, _ = _post(srv, b"", "application/x-npy", path="/nope")
+    assert status in (400, 404)
+
+
+def test_health_stats_metrics(srv):
+    conn = HTTPConnection(srv.host, srv.port, timeout=30)
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    assert r.status == 200 and json.loads(r.read())["ok"] is True
+    conn.request("GET", "/stats")
+    r = conn.getresponse()
+    snap = json.loads(r.read())
+    assert {"requests", "batches", "mean_batch"} <= set(snap)
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    text = r.read().decode()
+    conn.close()
+    assert "# TYPE tpu_pose_requests counter" in text
+    assert "tpu_pose_latency_ms_p50" in text
+
+
+def test_concurrent_clients_batch_together(srv):
+    """8 threads POSTing concurrently must all succeed; the batching
+    telemetry shows at least one multi-request batch formed."""
+    before = srv.server.stats.snapshot()["requests"]
+    frames = [np.random.RandomState(i).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8) for i in range(8)]
+    results = [None] * 8
+
+    def go(i):
+        results[i] = _post(srv, _npy_bytes(frames[i]),
+                           "application/x-npy")
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    snap = srv.server.stats.snapshot()
+    assert snap["requests"] >= before + 8
+    # Distinct inputs produced distinct decodes (per-request slicing).
+    j0 = json.loads(results[0][2])["joints2d"]
+    j1 = json.loads(results[1][2])["joints2d"]
+    assert not np.allclose(j0, j1)
