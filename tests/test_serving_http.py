@@ -138,6 +138,22 @@ def test_health_stats_metrics(srv):
     assert "tpu_pose_latency_ms_p50" in text
 
 
+def test_predict_batch(srv):
+    stack = np.random.RandomState(3).randint(
+        0, 255, (5, 64, 64, 3)).astype(np.uint8)
+    status, _, data = _post(srv, _npy_bytes(stack), "application/x-npy",
+                            path="/predict_batch?fields=joints2d,energy",
+                            accept="application/x-npz")
+    assert status == 200
+    with np.load(io.BytesIO(data)) as z:
+        assert z["joints2d"].shape == (5, 14, 2)
+        assert z["energy"].shape == (5,)
+    # wrong rank → 400 with the contract in the message
+    status, _, data = _post(srv, _npy_bytes(stack[0]),
+                            "application/x-npy", path="/predict_batch")
+    assert status == 400 and "N, H, W, 3" in json.loads(data)["error"]
+
+
 def test_concurrent_clients_batch_together(srv):
     """8 threads POSTing concurrently must all succeed; the batching
     telemetry shows at least one multi-request batch formed."""

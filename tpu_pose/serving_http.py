@@ -21,6 +21,10 @@ Endpoints:
   nested lists; or an ``.npz`` stream when the request sends
   ``Accept: application/x-npz`` (the compact form — use it for
   ``vertices``).
+- ``POST /predict_batch`` — bulk clients: an ``.npy`` (N, H, W, 3)
+  stack, submitted as N independent requests (they fill device buckets
+  together); response fields gain a leading N axis. Same ``?fields=``
+  / ``Accept`` contract.
 - ``GET /healthz`` — liveness: 200 ``{"ok": true}`` while the
   dispatcher thread is alive.
 - ``GET /stats`` — the BatchingServer telemetry snapshot as JSON.
@@ -144,7 +148,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         pose = self.server.pose
         path, _, query = self.path.partition("?")
-        if path != "/predict":
+        if path not in ("/predict", "/predict_batch"):
             self._error(404, f"no route {path!r}")
             return
         try:
@@ -156,19 +160,45 @@ class _Handler(BaseHTTPRequestHandler):
                         f"Content-Length must be in (0, {_MAX_BODY}]")
             return
         body = self.rfile.read(length)
-        try:
-            frame = _decode_body(body,
-                                 self.headers.get("Content-Type"))
-        except ValueError as e:
-            self._error(400, str(e))
-            return
         fields = None
         for part in query.split("&"):
             if part.startswith("fields="):
                 fields = tuple(f for f in part[7:].split(",") if f)
         try:
-            fut = pose.server.submit(frame)
-            res = _to_plain(fut.result(timeout=pose.request_timeout_s))
+            if path == "/predict_batch":
+                ctype = (self.headers.get("Content-Type") or "").split(
+                    ";")[0].strip().lower()
+                if ctype != "application/x-npy":
+                    raise ValueError(
+                        "/predict_batch takes an application/x-npy "
+                        "(N, H, W, 3) stack")
+                try:
+                    stack = np.load(io.BytesIO(body), allow_pickle=False)
+                except Exception as e:
+                    raise ValueError(f"bad .npy body: {e}")
+                if stack.ndim != 4 or stack.shape[-1] != 3:
+                    raise ValueError(
+                        f"stack must be (N, H, W, 3), got "
+                        f"{tuple(stack.shape)}")
+                if stack.dtype != np.uint8:
+                    stack = np.clip(stack, 0, 255).astype(np.uint8)
+            else:
+                frame = _decode_body(body,
+                                     self.headers.get("Content-Type"))
+        except ValueError as e:
+            self._error(400, str(e))
+            return
+        try:
+            if path == "/predict_batch":
+                futs = pose.server.submit_many(stack)
+                outs = [_to_plain(f.result(
+                    timeout=pose.request_timeout_s)) for f in futs]
+                res = {k: np.stack([o[k] for o in outs])
+                       for k in outs[0]}
+            else:
+                fut = pose.server.submit(frame)
+                res = _to_plain(fut.result(
+                    timeout=pose.request_timeout_s))
         except Exception as e:
             self._error(500, f"{type(e).__name__}: {e}")
             return
