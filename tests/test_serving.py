@@ -198,3 +198,64 @@ def test_pipelined_dispatch_many_batches(est):
         for v, f in enumerate(futs):
             assert f.result(timeout=60)["first_px"] == v
     assert srv.stats.snapshot()["requests"] == 20
+
+
+def test_server_multi_person_fn(est):
+    """fn="estimate_and_fit_multi": per-request results carry the
+    hypothesis axis + person_mask; fields validate against the multi
+    result; fn_kwargs thread through."""
+    with serving.BatchingServer(
+            est, max_batch=4, max_wait_ms=5.0,
+            fn="estimate_and_fit_multi",
+            fn_kwargs={"max_people": 3},
+            fields=("joints2d", "person_mask", "theta")) as srv:
+        frames = np.random.RandomState(0).randint(
+            0, 255, (3, 64, 64, 3)).astype(np.uint8)
+        outs = [f.result(timeout=300) for f in srv.submit_many(frames)]
+    for out in outs:
+        assert set(out) == {"joints2d", "person_mask", "theta"}
+        assert np.asarray(out["joints2d"]).shape == (3, 14, 2)
+        assert np.asarray(out["person_mask"]).shape == (3,)
+        assert np.asarray(out["person_mask"]).any()  # top-1 always kept
+        assert np.asarray(out["theta"]).shape == (3, 72)
+
+
+def test_server_multi_fn_validation(est):
+    with pytest.raises(ValueError, match="fn must be"):
+        serving.BatchingServer(est, fn="estimate_2d")
+    with pytest.raises(ValueError, match="fn_kwargs only"):
+        serving.BatchingServer(est, fn_kwargs={"max_people": 2})
+    # Multi fields rejected on the single-person fn and vice versa.
+    with pytest.raises(ValueError, match="unknown result fields"):
+        serving.BatchingServer(est, fields=("person_mask",))
+    srv = serving.BatchingServer(est, fn="estimate_and_fit_multi",
+                                 fields=("person_mask",))
+    srv.shutdown()
+
+
+def test_server_fn_must_match_artifact(est, tmp_path):
+    """An estimate_and_fit_multi artifact behind the default fn (or the
+    reverse) is a contract mismatch and must fail at construction."""
+    from tpu_pose import export as pexport
+    import dataclasses as _dc
+    est2 = PoseEstimator.create_synthetic(
+        seed=0,
+        cpm_cfg=_dc.replace(est.cpm_cfg, compute_dtype="float32"),
+        fit_cfg=est.fit_cfg, with_prior=False)
+    path = str(tmp_path / "multi_art")
+    pexport.export_estimator(est2, path, fn="estimate_and_fit_multi",
+                             batch=2, platforms=("cpu",),
+                             max_people=2)
+    sp = pexport.ServableProgram(path)
+    with pytest.raises(ValueError, match="construct the server"):
+        serving.BatchingServer(sp)   # default fn mismatches
+    with pytest.raises(ValueError, match="artifact-backed"):
+        serving.BatchingServer(sp, fn="estimate_and_fit_multi",
+                               fn_kwargs={"max_people": 2})
+    with serving.BatchingServer(sp, fn="estimate_and_fit_multi",
+                                buckets=(2,), max_batch=2,
+                                fields=("joints2d", "person_mask")) as s:
+        frames = np.zeros((2, 64, 64, 3), np.uint8)
+        out = [f.result(timeout=300) for f in s.submit_many(frames)]
+    assert np.asarray(out[0]["joints2d"]).shape == (2, 14, 2)
+    assert np.asarray(out[0]["person_mask"]).shape == (2,)

@@ -756,11 +756,13 @@ class ServableProgram:
 
     def __init__(self, program):
         prog = load(program) if isinstance(program, str) else program
-        if prog.fn != "estimate_and_fit":
+        if prog.fn not in ("estimate_and_fit",
+                           "estimate_and_fit_multi"):
             raise ValueError(
-                f"serving needs an estimate_and_fit artifact, "
-                f"got fn={prog.fn!r}")
+                f"serving needs an estimate_and_fit or "
+                f"estimate_and_fit_multi artifact, got fn={prog.fn!r}")
         self.program = prog
+        self.fn = prog.fn     # BatchingServer(fn=...) must match this
         self.result_fields = tuple(prog.meta["outputs"])
         shape = prog.meta["input"]["shape"]
         self.symbolic_batch = shape[0] == "b"
@@ -769,10 +771,15 @@ class ServableProgram:
             import types
             self.cpm_cfg = types.SimpleNamespace(input_size=shape[1])
 
-    def estimate_and_fit(self, images) -> dict:
+    def _call(self, images) -> dict:
         # jax arrays out (no host sync) — the dispatcher pipelines the
         # transfer itself.
         return self.program.call_device(images)
+
+    # Both server fn names resolve to the artifact's single program; the
+    # server verifies its fn matches self.fn before dispatching.
+    estimate_and_fit = _call
+    estimate_and_fit_multi = _call
 
 
 def load(path: str) -> LoadedProgram:

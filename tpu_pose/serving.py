@@ -121,6 +121,13 @@ class BatchingServer:
         affine (identity for already-network-sized frames) so clients
         can map camera/mesh projections back themselves; ``joints2d``
         is ALWAYS returned in the request's source pixels.
+      fn: the fused entry point to serve — ``"estimate_and_fit"``
+        (default) or ``"estimate_and_fit_multi"`` (per-request results
+        gain the ``max_people`` hypothesis axis + ``person_mask``);
+        must match an artifact-backed estimator's exported fn.
+      fn_kwargs: static knobs for the multi path on a live estimator
+        (``max_people``, ``min_person_score``, ...); artifacts bake
+        them at export time.
 
     Use as a context manager, or call :meth:`shutdown`.
     """
@@ -128,18 +135,45 @@ class BatchingServer:
     def __init__(self, estimator, max_batch: int = 64,
                  max_wait_ms: float = 5.0,
                  buckets: Optional[Sequence[int]] = None,
-                 fields: Optional[Sequence[str]] = None):
+                 fields: Optional[Sequence[str]] = None,
+                 fn: str = "estimate_and_fit",
+                 fn_kwargs: Optional[dict] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if fn not in ("estimate_and_fit", "estimate_and_fit_multi"):
+            raise ValueError(
+                f"fn must be estimate_and_fit or estimate_and_fit_multi,"
+                f" got {fn!r}")
         self.estimator = estimator
+        self.fn = fn
+        self.fn_kwargs = dict(fn_kwargs or {})
+        if self.fn_kwargs and fn != "estimate_and_fit_multi":
+            raise ValueError("fn_kwargs only apply to "
+                             "estimate_and_fit_multi")
+        est_fn = getattr(estimator, "fn", None)
+        if est_fn is not None and est_fn != fn:
+            # e.g. an estimate_and_fit_multi artifact behind fn=
+            # "estimate_and_fit": the program would silently serve the
+            # wrong contract.
+            raise ValueError(
+                f"estimator serves fn={est_fn!r}; construct the server "
+                f"with fn={est_fn!r}")
+        if self.fn_kwargs and est_fn is not None:
+            raise ValueError(
+                "artifact-backed estimators bake the multi-person knobs "
+                "at export time; fn_kwargs only apply to live "
+                "PoseEstimators")
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self.fields = None if fields is None else tuple(fields)
         if self.fields is not None:
-            from tpu_pose.api import EstimateAndFitResult, PoseEstimator
+            from tpu_pose.api import (EstimateAndFitResult,
+                                      MultiPersonResult, PoseEstimator)
             known = None
             if isinstance(estimator, PoseEstimator):
-                known = set(EstimateAndFitResult._fields)
+                known = set(MultiPersonResult._fields
+                            if fn == "estimate_and_fit_multi"
+                            else EstimateAndFitResult._fields)
             elif hasattr(estimator, "result_fields"):
                 # e.g. export.ServableProgram — fields from artifact meta.
                 known = set(estimator.result_fields)
@@ -278,7 +312,8 @@ class BatchingServer:
         # frame is a degenerate fit input).
         padded = np.stack(images + [images[-1]] * (bucket - n))
         try:
-            res = self.estimator.estimate_and_fit(jnp.asarray(padded))
+            res = getattr(self.estimator, self.fn)(
+                jnp.asarray(padded), **self.fn_kwargs)
             if self.fields is not None:
                 # Estimators return a NamedTuple; artifact-backed ones
                 # (export.ServableProgram) a dict.
