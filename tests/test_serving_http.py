@@ -178,3 +178,22 @@ def test_concurrent_clients_batch_together(srv):
     j0 = json.loads(results[0][2])["joints2d"]
     j1 = json.loads(results[1][2])["joints2d"]
     assert not np.allclose(j0, j1)
+
+
+def test_http_multi_person_fn():
+    """fn=estimate_and_fit_multi threads through the HTTP layer: the
+    response carries the hypothesis axis + person_mask."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+    with PoseHTTPServer(est, max_batch=2, max_wait_ms=5.0,
+                        fn="estimate_and_fit_multi",
+                        fn_kwargs={"max_people": 2},
+                        fields=("joints2d", "person_mask")) as s:
+        frame = np.random.RandomState(5).randint(
+            0, 255, (64, 64, 3)).astype(np.uint8)
+        status, _, data = _post(s, _npy_bytes(frame),
+                                "application/x-npy")
+    assert status == 200
+    out = json.loads(data)
+    assert np.asarray(out["joints2d"]).shape == (2, 14, 2)
+    assert np.asarray(out["person_mask"]).shape == (2,)
