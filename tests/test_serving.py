@@ -259,3 +259,46 @@ def test_server_fn_must_match_artifact(est, tmp_path):
         out = [f.result(timeout=300) for f in s.submit_many(frames)]
     assert np.asarray(out[0]["joints2d"]).shape == (2, 14, 2)
     assert np.asarray(out[0]["person_mask"]).shape == (2,)
+
+
+def test_server_fit_smpl_fn(est):
+    """fn="fit_smpl": joints-in, fit-out batching for external-detector
+    deployments; frames submit is rejected with guidance."""
+    rng = np.random.RandomState(0)
+    with serving.BatchingServer(est, max_batch=4, max_wait_ms=5.0,
+                                fn="fit_smpl",
+                                fields=("theta", "cam", "energy")) as srv:
+        with pytest.raises(ValueError, match="submit_fit"):
+            srv.submit(np.zeros((64, 64, 3), np.uint8))
+        futs = [srv.submit_fit(rng.rand(14, 2).astype(np.float32) * 64,
+                               np.ones(14, np.float32))
+                for _ in range(3)]
+        outs = [f.result(timeout=300) for f in futs]
+    for out in outs:
+        assert set(out) == {"theta", "cam", "energy"}
+        assert np.asarray(out["theta"]).shape == (72,)
+    with serving.BatchingServer(est) as srv2:
+        with pytest.raises(ValueError, match="fit_smpl"):
+            srv2.submit_fit(np.zeros((14, 2)), np.ones(14))
+    with pytest.raises(ValueError, match="letterbox_affine"):
+        serving.BatchingServer(est, fn="fit_smpl",
+                               fields=("letterbox_affine",))
+
+
+def test_server_fit_smpl_from_artifact(est, tmp_path):
+    """A fit_smpl AOT artifact serves joints-only deployments: the host
+    has no model code and the response includes the baked posed mesh."""
+    from tpu_pose import export as pexport
+    path = str(tmp_path / "fit_art")
+    pexport.export_estimator(est, path, fn="fit_smpl", batch=2,
+                             platforms=("cpu",))
+    sp = pexport.ServableProgram(path)
+    rng = np.random.RandomState(1)
+    with serving.BatchingServer(sp, fn="fit_smpl", buckets=(2,),
+                                max_batch=2) as srv:
+        futs = [srv.submit_fit(rng.rand(14, 2).astype(np.float32) * 64,
+                               np.ones(14, np.float32))
+                for _ in range(2)]
+        outs = [f.result(timeout=300) for f in futs]
+    assert np.asarray(outs[0]["vertices"]).shape == (6890, 3)
+    assert np.asarray(outs[0]["theta"]).shape == (72,)

@@ -197,3 +197,43 @@ def test_http_multi_person_fn():
     out = json.loads(data)
     assert np.asarray(out["joints2d"]).shape == (2, 14, 2)
     assert np.asarray(out["person_mask"]).shape == (2,)
+
+
+def test_http_fit_route():
+    """POST /fit on a fn=fit_smpl server: npz joints in, fit out; single
+    person and batched rows; wrong-server and bad-body get 400."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+    rng = np.random.RandomState(0)
+
+    def npz_body(j, c):
+        buf = io.BytesIO()
+        np.savez(buf, joints2d=j, conf=c)
+        return buf.getvalue()
+
+    with PoseHTTPServer(est, max_batch=4, max_wait_ms=5.0,
+                        fn="fit_smpl") as s:
+        j = rng.rand(14, 2).astype(np.float32) * 64
+        status, _, data = _post(
+            s, npz_body(j, np.ones(14, np.float32)),
+            "application/x-npz", path="/fit?fields=theta,energy")
+        assert status == 200
+        out = json.loads(data)
+        assert np.asarray(out["theta"]).shape == (72,)
+        jb = rng.rand(3, 14, 2).astype(np.float32) * 64
+        status, _, data = _post(
+            s, npz_body(jb, np.ones((3, 14), np.float32)),
+            "application/x-npz", path="/fit?fields=theta",
+            accept="application/x-npz")
+        assert status == 200
+        with np.load(io.BytesIO(data)) as z:
+            assert z["theta"].shape == (3, 72)
+        status, _, data = _post(s, b"junk", "application/x-npz",
+                                path="/fit")
+        assert status == 400
+    with PoseHTTPServer(est, max_batch=2, max_wait_ms=5.0) as s2:
+        status, _, data = _post(
+            s2, npz_body(j, np.ones(14, np.float32)),
+            "application/x-npz", path="/fit")
+        assert status == 400
+        assert "submit_fit" in json.loads(data)["error"]

@@ -757,10 +757,11 @@ class ServableProgram:
     def __init__(self, program):
         prog = load(program) if isinstance(program, str) else program
         if prog.fn not in ("estimate_and_fit",
-                           "estimate_and_fit_multi"):
+                           "estimate_and_fit_multi", "fit_smpl"):
             raise ValueError(
-                f"serving needs an estimate_and_fit or "
-                f"estimate_and_fit_multi artifact, got fn={prog.fn!r}")
+                f"serving needs an estimate_and_fit, "
+                f"estimate_and_fit_multi, or fit_smpl artifact, "
+                f"got fn={prog.fn!r}")
         self.program = prog
         self.fn = prog.fn     # BatchingServer(fn=...) must match this
         self.result_fields = tuple(prog.meta["outputs"])
@@ -771,15 +772,17 @@ class ServableProgram:
             import types
             self.cpm_cfg = types.SimpleNamespace(input_size=shape[1])
 
-    def _call(self, images) -> dict:
+    def _call(self, *args) -> dict:
         # jax arrays out (no host sync) — the dispatcher pipelines the
         # transfer itself.
-        return self.program.call_device(images)
+        return self.program.call_device(*args)
 
-    # Both server fn names resolve to the artifact's single program; the
+    # Every servable fn name resolves to the artifact's single program
+    # (fit_smpl takes (joints2d, conf) per its two-input spec); the
     # server verifies its fn matches self.fn before dispatching.
     estimate_and_fit = _call
     estimate_and_fit_multi = _call
+    fit_smpl = _call
 
 
 def load(path: str) -> LoadedProgram:

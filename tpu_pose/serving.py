@@ -140,10 +140,11 @@ class BatchingServer:
                  fn_kwargs: Optional[dict] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
-        if fn not in ("estimate_and_fit", "estimate_and_fit_multi"):
+        if fn not in ("estimate_and_fit", "estimate_and_fit_multi",
+                      "fit_smpl"):
             raise ValueError(
-                f"fn must be estimate_and_fit or estimate_and_fit_multi,"
-                f" got {fn!r}")
+                f"fn must be estimate_and_fit, estimate_and_fit_multi, "
+                f"or fit_smpl, got {fn!r}")
         self.estimator = estimator
         self.fn = fn
         self.fn_kwargs = dict(fn_kwargs or {})
@@ -169,17 +170,20 @@ class BatchingServer:
         if self.fields is not None:
             from tpu_pose.api import (EstimateAndFitResult,
                                       MultiPersonResult, PoseEstimator)
+            from tpu_pose.fitting.fit import FitResult
             known = None
             if isinstance(estimator, PoseEstimator):
                 known = set(MultiPersonResult._fields
                             if fn == "estimate_and_fit_multi"
+                            else FitResult._fields if fn == "fit_smpl"
                             else EstimateAndFitResult._fields)
             elif hasattr(estimator, "result_fields"):
                 # e.g. export.ServableProgram — fields from artifact meta.
                 known = set(estimator.result_fields)
             if known is not None:
-                unknown = (set(self.fields) - {"letterbox_affine"}
-                           - known)
+                extra = (set() if fn == "fit_smpl"
+                         else {"letterbox_affine"})
+                unknown = set(self.fields) - extra - known
                 if unknown:
                     raise ValueError(
                         f"unknown result fields: {sorted(unknown)}")
@@ -204,12 +208,15 @@ class BatchingServer:
 
     def submit(self, image: np.ndarray) -> Future:
         """Enqueue ONE frame (H, W, 3) of ANY resolution; resolves to a
-        per-frame result pytree (the fused EstimateAndFitResult sliced to
-        this frame, ``joints2d`` in THIS frame's source pixels).
+        per-frame result pytree (the fused result sliced to this frame,
+        ``joints2d`` in THIS frame's source pixels).
 
         Non-network-sized frames letterbox here, on the caller's thread —
         preprocessing parallelizes across client threads and the dispatch
         thread stays on the device critical path."""
+        if self.fn == "fit_smpl":
+            raise ValueError("fn='fit_smpl' servers take joints, not "
+                             "frames — use submit_fit(joints2d, conf)")
         if image.ndim != 3:
             raise ValueError(f"submit takes one (H, W, 3) frame, "
                              f"got shape {image.shape}")
@@ -233,6 +240,30 @@ class BatchingServer:
     def submit_many(self, images: np.ndarray) -> list:
         """Enqueue a (N, H, W, 3) stack as N independent requests."""
         return [self.submit(im) for im in images]
+
+    def submit_fit(self, joints2d: np.ndarray,
+                   conf: np.ndarray) -> Future:
+        """fn='fit_smpl' request: ONE person's 2D joints (P, 2) in
+        NETWORK-frame pixels + confidences (P,) — the external-detector
+        deployment contract (export.py fit_smpl artifacts). Resolves to
+        the per-request fit result (θ, β, cam, energy — plus the posed
+        mesh when serving an artifact, which bakes the SMPL forward)."""
+        if self.fn != "fit_smpl":
+            raise ValueError("submit_fit needs a fn='fit_smpl' server")
+        joints2d = np.asarray(joints2d, np.float32)
+        conf = np.asarray(conf, np.float32)
+        if (joints2d.ndim != 2 or joints2d.shape[-1] != 2
+                or conf.shape != joints2d.shape[:1]):
+            raise ValueError(
+                f"submit_fit takes joints2d (P, 2) + conf (P,), got "
+                f"{joints2d.shape}, {conf.shape}")
+        fut: Future = Future()
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._queue.put(((joints2d, conf), fut,
+                             time.perf_counter(), None))
+        return fut
 
     # -- dispatch side ----------------------------------------------------
 
@@ -301,19 +332,25 @@ class BatchingServer:
         """Pad + dispatch one device batch WITHOUT waiting on its result
         (JAX dispatch is async); returns the in-flight record, or None if
         the launch itself failed (futures already failed)."""
-        images = [b[0] for b in batch]
+        payloads = [b[0] for b in batch]
         futures = [b[1] for b in batch]
         t_enq = [b[2] for b in batch]
         affines = [b[3] if len(b) > 3 else None for b in batch]
-        n = len(images)
+        n = len(payloads)
         bucket = self._bucket_for(n)
-        # Pad by repeating the last frame: real pixels keep every
+        # Pad by repeating the last request: real values keep every
         # padded lane on the measured numeric path (an all-zeros
-        # frame is a degenerate fit input).
-        padded = np.stack(images + [images[-1]] * (bucket - n))
+        # frame/joint set is a degenerate fit input).
+        pad = [payloads[-1]] * (bucket - n)
         try:
+            if self.fn == "fit_smpl":
+                args = tuple(
+                    jnp.asarray(np.stack([p[i] for p in payloads + pad]))
+                    for i in range(2))
+            else:
+                args = (jnp.asarray(np.stack(payloads + pad)),)
             res = getattr(self.estimator, self.fn)(
-                jnp.asarray(padded), **self.fn_kwargs)
+                *args, **self.fn_kwargs)
             if self.fields is not None:
                 # Estimators return a NamedTuple; artifact-backed ones
                 # (export.ServableProgram) a dict.

@@ -25,6 +25,10 @@ Endpoints:
   stack, submitted as N independent requests (they fill device buckets
   together); response fields gain a leading N axis. Same ``?fields=``
   / ``Accept`` contract.
+- ``POST /fit`` — fn=``fit_smpl`` servers (external-detector
+  deployments): an ``.npz`` body with ``joints2d`` (P, 2) or (N, P, 2)
+  network-frame pixels and ``conf`` (P,) / (N, P); batched rows are N
+  independent requests. Same response contract.
 - ``GET /healthz`` — liveness: 200 ``{"ok": true}`` while the
   dispatcher thread is alive.
 - ``GET /stats`` — the BatchingServer telemetry snapshot as JSON.
@@ -148,7 +152,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         pose = self.server.pose
         path, _, query = self.path.partition("?")
-        if path not in ("/predict", "/predict_batch"):
+        if path not in ("/predict", "/predict_batch", "/fit"):
             self._error(404, f"no route {path!r}")
             return
         try:
@@ -165,7 +169,25 @@ class _Handler(BaseHTTPRequestHandler):
             if part.startswith("fields="):
                 fields = tuple(f for f in part[7:].split(",") if f)
         try:
-            if path == "/predict_batch":
+            if path == "/fit":
+                try:
+                    with np.load(io.BytesIO(body),
+                                 allow_pickle=False) as z:
+                        joints = np.asarray(z["joints2d"], np.float32)
+                        conf = np.asarray(z["conf"], np.float32)
+                except Exception as e:
+                    raise ValueError(
+                        f"/fit takes an .npz body with joints2d + conf:"
+                        f" {e}")
+                single = joints.ndim == 2
+                if single:
+                    joints, conf = joints[None], conf[None]
+                if (joints.ndim != 3 or joints.shape[-1] != 2
+                        or conf.shape != joints.shape[:2]):
+                    raise ValueError(
+                        f"joints2d must be ([N,] P, 2) with matching "
+                        f"conf, got shapes {joints.shape}, {conf.shape}")
+            elif path == "/predict_batch":
                 ctype = (self.headers.get("Content-Type") or "").split(
                     ";")[0].strip().lower()
                 if ctype != "application/x-npy":
@@ -189,7 +211,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(400, str(e))
             return
         try:
-            if path == "/predict_batch":
+            if path == "/fit":
+                futs = [pose.server.submit_fit(j, c)
+                        for j, c in zip(joints, conf)]
+                outs = [_to_plain(f.result(
+                    timeout=pose.request_timeout_s)) for f in futs]
+                res = {k: np.stack([o[k] for o in outs])
+                       for k in outs[0]}
+                if single:
+                    res = {k: v[0] for k, v in res.items()}
+            elif path == "/predict_batch":
                 futs = pose.server.submit_many(stack)
                 outs = [_to_plain(f.result(
                     timeout=pose.request_timeout_s)) for f in futs]
@@ -199,6 +230,11 @@ class _Handler(BaseHTTPRequestHandler):
                 fut = pose.server.submit(frame)
                 res = _to_plain(fut.result(
                     timeout=pose.request_timeout_s))
+        except ValueError as e:
+            # e.g. /fit against a frames server, wrong joint count —
+            # client errors, not server faults.
+            self._error(400, str(e))
+            return
         except Exception as e:
             self._error(500, f"{type(e).__name__}: {e}")
             return

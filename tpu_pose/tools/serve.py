@@ -35,10 +35,20 @@ flags.DEFINE_integer("port", 8080, "bind port (0 = pick a free one)")
 flags.DEFINE_integer("max_batch", 64, "largest device batch")
 flags.DEFINE_float("max_wait_ms", 5.0, "batch-fill wait after the "
                    "first queued request")
-flags.DEFINE_string("fields", "joints2d,conf,theta,beta,cam,energy",
-                    "comma-separated result fields to serve (empty = "
-                    "everything; 'vertices' is ~80 KB/frame — prefer "
-                    "reconstructing client-side from theta/beta)")
+flags.DEFINE_enum("fn", "estimate_and_fit",
+                  ["estimate_and_fit", "estimate_and_fit_multi",
+                   "fit_smpl"],
+                  "entry point to serve: the fused single-person path "
+                  "(POST /predict), the multi-person hypothesis-slot "
+                  "path, or joints-only fitting (POST /fit — external "
+                  "2D detectors). Must match --artifact's exported fn.")
+flags.DEFINE_integer("max_people", 2, "hypothesis slots for "
+                     "--fn estimate_and_fit_multi (live weights only)")
+flags.DEFINE_string("fields", "",
+                    "comma-separated result fields to serve; empty = a "
+                    "per-fn default trimming 'vertices' (~80 KB/frame "
+                    "— prefer reconstructing client-side from "
+                    "theta/beta), 'all' = everything")
 flags.DEFINE_boolean("verbose", False, "log each request")
 
 
@@ -64,13 +74,31 @@ def main(argv):
         est = PoseEstimator.create_synthetic(seed=0, letterbox=True,
                                              quantize=FLAGS.quantize)
 
-    fields = tuple(f for f in FLAGS.fields.split(",") if f) or None
+    if FLAGS.fields == "all":
+        fields = None
+    elif FLAGS.fields:
+        fields = tuple(f for f in FLAGS.fields.split(",") if f)
+    else:
+        fields = {
+            "estimate_and_fit": ("joints2d", "conf", "theta", "beta",
+                                 "cam", "energy"),
+            "estimate_and_fit_multi": ("joints2d", "conf",
+                                       "person_scores", "person_mask",
+                                       "theta", "beta", "cam",
+                                       "energy"),
+            "fit_smpl": None,   # FitResult is already compact
+        }[FLAGS.fn]
+    fn_kwargs = ({"max_people": FLAGS.max_people}
+                 if (FLAGS.fn == "estimate_and_fit_multi"
+                     and not FLAGS.artifact) else None)
     srv = PoseHTTPServer(est, host=FLAGS.host, port=FLAGS.port,
                          max_batch=FLAGS.max_batch,
                          max_wait_ms=FLAGS.max_wait_ms,
-                         fields=fields, verbose=FLAGS.verbose)
+                         fields=fields, fn=FLAGS.fn,
+                         fn_kwargs=fn_kwargs, verbose=FLAGS.verbose)
+    route = "/fit" if FLAGS.fn == "fit_smpl" else "/predict"
     print(f"listening on http://{srv.host}:{srv.port}  "
-          f"(POST /predict, GET /healthz /stats /metrics)")
+          f"(POST {route}, GET /healthz /stats /metrics)")
     srv.serve_forever()
 
 
