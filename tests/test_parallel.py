@@ -227,3 +227,90 @@ def test_video_smooth_sharded_over_frames_matches_single(est):
                                np.asarray(single.beta), atol=2e-4)
     np.testing.assert_allclose(np.asarray(sharded.energy),
                                np.asarray(single.energy), atol=1e-5)
+
+
+def test_masked_supervision_loss():
+    """joint_mask semantics: all-ones == unmasked; a masked-out channel's
+    error does not move the loss; the DP sharded step accepts the mask
+    and matches single-device."""
+    cfg = SMALL_CPM
+    key = jax.random.PRNGKey(4)
+    params, opt_state, opt = cpm_train.init_train_state(key, cfg, lr=1e-3)
+    rng = np.random.RandomState(5)
+    batch = {
+        "images": jnp.asarray(rng.rand(8, 64, 64, 3), jnp.float32) - 0.5,
+        "center_maps": jnp.asarray(rng.rand(8, 64, 64, 1), jnp.float32),
+        "heatmaps": jnp.asarray(rng.rand(8, 8, 8, 15), jnp.float32),
+    }
+    base = cpm_train.stage_supervision_loss(
+        params, batch["images"], batch["center_maps"],
+        batch["heatmaps"], cfg)
+    ones = jnp.ones((8, 15), jnp.float32)
+    masked_all = cpm_train.stage_supervision_loss(
+        params, batch["images"], batch["center_maps"],
+        batch["heatmaps"], cfg, joint_mask=ones)
+    np.testing.assert_allclose(float(base), float(masked_all), rtol=1e-6)
+
+    # Corrupt channel 3's target wildly; with channel 3 masked out the
+    # loss must not change.
+    mask = ones.at[:, 3].set(0.0)
+    ref = cpm_train.stage_supervision_loss(
+        params, batch["images"], batch["center_maps"],
+        batch["heatmaps"], cfg, joint_mask=mask)
+    bad = batch["heatmaps"].at[:, :, :, 3].set(1e3)
+    corrupted = cpm_train.stage_supervision_loss(
+        params, batch["images"], batch["center_maps"], bad, cfg,
+        joint_mask=mask)
+    np.testing.assert_allclose(float(ref), float(corrupted), rtol=1e-6)
+
+    # Sharded step with the mask in the batch == single-device.
+    batch_m = dict(batch, joint_mask=ones.at[:, 2].set(0.0))
+    step1 = cpm_train.make_train_step(cfg, opt)
+    _, _, loss1 = step1(params, opt_state, batch_m)
+    mesh = mesh_lib.make_mesh()
+    stepN = cpm_train.make_train_step(cfg, opt, mesh=mesh)
+    _, _, lossN = stepN(mesh_lib.replicate(params, mesh),
+                        mesh_lib.replicate(opt_state, mesh),
+                        mesh_lib.shard_batch(batch_m, mesh))
+    np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-5)
+
+
+def test_painted_batches_from_adapter_shards(tmp_path):
+    """tools/train_cpm._painted_batches: convert_dataset-schema shards →
+    train batches with painted targets, center maps, joint masks, flip
+    relabeling; the train step consumes them and the loss is finite."""
+    from tpu_pose.data import pipeline as pipe
+    from tpu_pose.tools import train_cpm as tool
+
+    rng = np.random.RandomState(0)
+    n, size = 6, 64
+    images = rng.randint(0, 255, (n, size, size, 3)).astype(np.uint8)
+    joints = rng.uniform(5, size - 5, (n, 14, 2)).astype(np.float32)
+    conf = np.ones((n, 14), np.float32)
+    conf[:, 5] = 0.0                      # one unannotated joint
+    pipe.write_npz_shards(str(tmp_path), {
+        "images": images, "gt_joints2d": joints, "conf": conf,
+        "headsize": np.ones(n, np.float32)}, shard_size=4)
+
+    cfg = SMALL_CPM
+    it = tool._painted_batches(str(tmp_path), batch=4, cfg=cfg,
+                               flip_prob=1.0)   # force the flip path
+    b = next(it)
+    assert b["images"].shape == (4, size, size, 3)
+    assert b["heatmaps"].shape == (4, 8, 8, 15)
+    assert b["center_maps"].shape == (4, size, size, 1)
+    assert b["joint_mask"].shape == (4, 15)
+    # Unannotated joint 5 flips to slot CPM_FLIP_PERM⁻¹... the mask must
+    # still have exactly one zero per row and the background column 1.
+    assert (b["joint_mask"][:, :14].sum(1) == 13).all()
+    assert (b["joint_mask"][:, 14] == 1).all()
+    # Painted peak sits at the (flipped) joint: heatmap argmax within a
+    # stride cell of gt for an annotated joint.
+    hm = b["heatmaps"][0, :, :, 0]
+    peak = np.unravel_index(np.argmax(hm), hm.shape)
+    params, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(0), cfg, lr=1e-3)
+    step = cpm_train.make_train_step(cfg, opt)
+    _, _, loss = step(params, opt_state,
+                      jax.tree.map(jnp.asarray, b))
+    assert np.isfinite(float(loss))

@@ -30,19 +30,32 @@ from tpu_pose.utils.config import CPMConfig
 
 
 def stage_supervision_loss(params, images, center_maps, target_heatmaps,
-                           cfg: CPMConfig) -> jnp.ndarray:
+                           cfg: CPMConfig,
+                           joint_mask=None) -> jnp.ndarray:
     """Σ_stages ‖b_t − b*‖² (mean over batch/pixels) — every stage gets the
     same ground-truth belief maps, per the CPM paper.
 
     ``images`` may be raw uint8 — normalization then happens IN-GRAPH
     (x/256 − 0.5, the CPM convention), so input pipelines ship 4×-smaller
-    byte tensors to the device (host-link discipline, docs/DESIGN.md §6)."""
+    byte tensors to the device (host-link discipline, docs/DESIGN.md §6).
+
+    ``joint_mask`` (B, P+1): per-example channel supervision weights for
+    partially-annotated real datasets (MPII labels a subset of joints
+    per person; an unlabeled joint's zero target map would otherwise
+    actively train the channel to predict absence). All-ones ≡ the
+    unmasked loss."""
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 256.0 - 0.5
     beliefs = cpm_lib.cpm_forward(params, images, center_maps, cfg)
     loss = 0.0
     for b in beliefs:
-        loss = loss + jnp.mean((b - target_heatmaps) ** 2)
+        err = (b - target_heatmaps) ** 2
+        if joint_mask is None:
+            loss = loss + jnp.mean(err)
+        else:
+            w = joint_mask[:, None, None, :].astype(err.dtype)
+            denom = jnp.sum(w) * err.shape[1] * err.shape[2]
+            loss = loss + jnp.sum(err * w) / jnp.maximum(denom, 1.0)
     return loss / len(beliefs)
 
 
@@ -58,7 +71,8 @@ def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
     def loss_fn(params, batch):
         return stage_supervision_loss(
             params, batch["images"], batch["center_maps"],
-            batch["heatmaps"], cfg)
+            batch["heatmaps"], cfg,
+            joint_mask=batch.get("joint_mask"))
 
     def local_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -74,13 +88,16 @@ def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
 
     replicated = P()
     sharded = P(DATA_AXIS)
-    step = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(replicated, replicated,
-                  {"images": sharded, "center_maps": sharded,
-                   "heatmaps": sharded}),
-        out_specs=(replicated, replicated, replicated),
-    )
+
+    def step(params, opt_state, batch):
+        specs = {k: sharded for k in batch}
+        fn = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(replicated, replicated, specs),
+            out_specs=(replicated, replicated, replicated),
+        )
+        return fn(params, opt_state, batch)
+
     return jax.jit(step)
 
 

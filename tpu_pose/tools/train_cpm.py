@@ -15,6 +15,12 @@ import sys  # noqa: F401
 from absl import app, flags  # noqa: E402
 
 FLAGS = flags.FLAGS
+flags.DEFINE_float("flip_aug", 0.5, "horizontal-flip augmentation "
+                   "probability for painted-target shards (removes "
+                   "chirality bias so flip TTA helps; CPM_FLIP_PERM "
+                   "relabeling)")
+flags.DEFINE_float("heatmap_sigma", 3.0, "target Gaussian sigma "
+                   "(stride-cells) for painted-target shards")
 flags.DEFINE_string("data_dir", "", "npz-shard dir with images/center_maps/"
                     "heatmaps arrays")
 flags.DEFINE_boolean("synthetic", False, "train on generated synthetic data")
@@ -27,6 +33,50 @@ flags.DEFINE_integer("ckpt_every", 200, "checkpoint interval (steps)")
 flags.DEFINE_string("export", "", "write final weights npz here")
 flags.DEFINE_integer("input_size", 368, "CPM input resolution")
 flags.DEFINE_integer("log_every", 20, "loss log interval")
+
+
+def _painted_batches(data_dir, batch, cfg, flip_prob=0.5, sigma=3.0,
+                     seed=0):
+    """Dataset-adapter shards (images/gt_joints2d/conf — the
+    convert_dataset.py schema) → CPM train batches: paints the stride-
+    resolution Gaussian targets + the standard center map, supervises
+    only annotated joints (joint_mask; MPII people are partially
+    labeled), and flip-augments with CPM_FLIP_PERM relabeling (the
+    hard-training recipe — a chirally-biased net degrades under flip
+    TTA, docs/DESIGN.md §9)."""
+    import numpy as np
+
+    from tpu_pose.data import pipeline, synthetic
+    from tpu_pose.models import joints as joints_lib
+    from tpu_pose.ops import preprocess as pre
+
+    cmap = np.asarray(pre.gaussian_center_map(cfg.input_size,
+                                              cfg.center_sigma))
+    rng = np.random.RandomState(seed)
+    size = cfg.input_size
+    for b in pipeline.batches(data_dir, batch,
+                              keys=("images", "gt_joints2d", "conf"),
+                              shuffle=True, num_epochs=10_000):
+        imgs = np.array(b["images"])
+        joints = np.array(b["gt_joints2d"], np.float32)
+        conf = np.array(b["conf"], np.float32)
+        n = len(imgs)
+        for i in range(n):
+            if flip_prob > 0.0 and rng.rand() < flip_prob:
+                imgs[i] = imgs[i][:, ::-1]
+                joints[i] = joints[i][joints_lib.CPM_FLIP_PERM]
+                joints[i, :, 0] = size - 1.0 - joints[i, :, 0]
+                conf[i] = conf[i][joints_lib.CPM_FLIP_PERM]
+        hms = np.stack([
+            synthetic.gaussian_heatmaps(joints[i], size, cfg.stride,
+                                        sigma=sigma) for i in range(n)])
+        mask = np.concatenate(
+            [(conf > 0).astype(np.float32), np.ones((n, 1), np.float32)],
+            axis=1)
+        yield {"images": imgs,
+               "center_maps": np.broadcast_to(
+                   cmap, (n, *cmap.shape)).copy(),
+               "heatmaps": hms, "joint_mask": mask}
 
 
 def main(argv):
@@ -65,10 +115,23 @@ def main(argv):
             synthetic.cpm_train_batches(model, FLAGS.batch, 10_000, cfg,
                                         seed=e) for e in itertools.count())
     elif FLAGS.data_dir:
-        batches = pipeline.batches(
-            FLAGS.data_dir, FLAGS.batch,
-            keys=("images", "center_maps", "heatmaps"),
-            shuffle=True, num_epochs=10_000)
+        src = pipeline.NpzShardSource(FLAGS.data_dir)
+        with np.load(src.paths[0]) as z:
+            stored_targets = "heatmaps" in z.files
+        if stored_targets:
+            batches = pipeline.batches(
+                FLAGS.data_dir, FLAGS.batch,
+                keys=("images", "center_maps", "heatmaps"),
+                shuffle=True, num_epochs=10_000)
+        else:
+            # convert_dataset.py shards (images/gt_joints2d/conf):
+            # paint stride-res targets on the fly, mask unannotated
+            # joints, flip-augment.
+            print("painting CPM targets from gt_joints2d "
+                  f"(flip_aug={FLAGS.flip_aug})")
+            batches = _painted_batches(
+                FLAGS.data_dir, FLAGS.batch, cfg,
+                flip_prob=FLAGS.flip_aug, sigma=FLAGS.heatmap_sigma)
     else:
         raise app.UsageError("provide --data_dir or --synthetic")
 
