@@ -27,6 +27,8 @@ __version__ = "0.1.0"
 _API_EXPORTS = ("PoseEstimator", "estimate_2d", "fit_smpl",
                 "estimate_and_fit", "MultiPersonVideoSession",
                 "VideoSession")
+_LAZY = {"BatchingServer": "tpu_pose.serving",
+         "PoseHTTPServer": "tpu_pose.serving_http"}
 
 
 def __getattr__(name):
@@ -34,4 +36,7 @@ def __getattr__(name):
     if name in _API_EXPORTS:
         from tpu_pose import api
         return getattr(api, name)
+    if name in _LAZY:
+        import importlib
+        return getattr(importlib.import_module(_LAZY[name]), name)
     raise AttributeError(name)
