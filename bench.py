@@ -240,6 +240,42 @@ def main():
             f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
             f"(mean batch {snap['mean_batch']:.1f}, occupancy "
             f"{snap['occupancy']:.2f})")
+        # (c) The same load THROUGH the HTTP data plane (serving_http):
+        # quantifies the socket + npy-decode + JSON-encode tax over the
+        # in-process 6a figure.
+        import io as _io
+        import json as _json
+        from http.client import HTTPConnection
+
+        from tpu_pose.serving_http import PoseHTTPServer
+
+        def post_npy(host, port, frame):
+            buf = _io.BytesIO()
+            np.save(buf, frame)
+            conn = HTTPConnection(host, port, timeout=300)
+            conn.request("POST", "/predict?fields=theta,joints2d,conf",
+                         body=buf.getvalue(),
+                         headers={"Content-Type": "application/x-npy"})
+            r = conn.getresponse()
+            out = _json.loads(r.read())
+            conn.close()
+            assert r.status == 200, out
+            return out
+
+        with PoseHTTPServer(est, max_batch=64, max_wait_ms=5.0,
+                            buckets=(64,),
+                            fields=("theta", "joints2d",
+                                    "conf")) as hsrv, \
+                ThreadPoolExecutor(max_workers=4) as pool:
+            go = lambda fr: post_npy(hsrv.host, hsrv.port, fr)  # noqa: E731
+            list(pool.map(go, same[:64]))          # warm
+            t0 = _time.perf_counter()
+            list(pool.map(go, same))
+            dt = _time.perf_counter() - t0
+            snap = hsrv.server.stats.snapshot()
+        log(f"config6c HTTP serving open-loop {n_req} same-res reqs "
+            f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
+            f"(mean batch {snap['mean_batch']:.1f})")
 
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).
