@@ -432,3 +432,31 @@ def test_evaluate_pckh_streaming(tmp_path):
                                       mesh=mesh_lib.make_mesh())
     assert res_mesh["num_frames"] == 4
     np.testing.assert_allclose(res_mesh["pckh"], res["pckh"], atol=1e-5)
+
+
+def test_mpii_single_rect_single_point_squeeze(tmp_path):
+    """squeeze_me collapses 1-element struct arrays to scalars — the
+    classic MPII parsing trap: one annorect with one annotated point
+    must still parse (np.atleast_1d at both levels)."""
+    import scipy.io
+    anno = {
+        "image": {"name": "solo.jpg"},
+        "annorect": {
+            "objpos": {"x": 30.0, "y": 40.0}, "scale": 1.0,
+            "x1": 0.0, "y1": 0.0, "x2": 10.0, "y2": 10.0,
+            "annopoints": {"point": {"x": 33.0, "y": 44.0, "id": 9,
+                                     "is_visible": 1}},
+        },
+    }
+    release = {"annolist": np.array([anno], dtype=object),
+               "img_train": np.array([1]),
+               "single_person": np.array([np.array([1])], dtype=object)}
+    path = str(tmp_path / "solo.mat")
+    scipy.io.savemat(path, {"RELEASE": release})
+    recs = datasets.load_mpii(path)
+    assert len(recs) == 1
+    r = recs[0]
+    np.testing.assert_allclose(r["joints2d"][0], [33.0, 44.0])  # head
+    assert r["conf"].sum() == 1
+    np.testing.assert_allclose(r["headsize"],
+                               0.6 * np.hypot(10, 10), rtol=1e-6)
