@@ -209,7 +209,7 @@ def test_serving_from_artifact(est, tmp_path):
 
     with pytest.raises(ValueError, match="unknown result fields"):
         serving.BatchingServer(servable, max_batch=2, fields=("nope",))
-    with pytest.raises(ValueError, match="estimate_and_fit artifact"):
+    with pytest.raises(ValueError, match="fn='estimate_2d'"):
         p2 = str(tmp_path / "e2d_only")
         pexport.export_estimator(est, p2, fn="estimate_2d",
                                  platforms=("cpu",))
