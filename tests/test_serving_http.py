@@ -237,3 +237,42 @@ def test_http_fit_route():
             "application/x-npz", path="/fit")
         assert status == 400
         assert "submit_fit" in json.loads(data)["error"]
+
+
+def test_pose_client_roundtrip(srv):
+    """tpu_pose.client.PoseClient against a live endpoint: predict /
+    predict_batch / stats / healthy, npz wire format, field selection,
+    error surfacing."""
+    from tpu_pose.client import PoseClient, ServingError
+    c = PoseClient(f"http://{srv.host}:{srv.port}",
+                   fields=("joints2d", "theta"))
+    frame = np.random.RandomState(7).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    out = c.predict(frame)
+    assert set(out) == {"joints2d", "theta"}
+    assert out["joints2d"].shape == (14, 2)
+    outs = c.predict_batch(np.stack([frame, frame]))
+    assert outs["theta"].shape == (2, 72)
+    np.testing.assert_allclose(outs["theta"][0], outs["theta"][1])
+    assert c.healthy()
+    assert c.stats()["requests"] >= 3
+    bad = PoseClient(f"http://{srv.host}:{srv.port}", fields=("nope",))
+    with pytest.raises(ServingError, match="unknown fields"):
+        bad.predict(frame)
+    with pytest.raises(ValueError, match="H, W, 3"):
+        c.predict(np.zeros((4, 4)))
+    assert not PoseClient("http://127.0.0.1:1").healthy()
+
+
+def test_pose_client_fit():
+    from tpu_pose.client import PoseClient
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+    with PoseHTTPServer(est, max_batch=4, max_wait_ms=5.0,
+                        fn="fit_smpl") as s:
+        c = PoseClient(f"http://{s.host}:{s.port}")
+        j = np.random.RandomState(0).rand(14, 2).astype(np.float32) * 64
+        out = c.fit(j, np.ones(14, np.float32))
+        assert out["theta"].shape == (72,)
+        outs = c.fit(np.stack([j, j]), np.ones((2, 14), np.float32))
+        assert outs["theta"].shape == (2, 72)

@@ -1,0 +1,149 @@
+"""Client for a :mod:`tpu_pose.serving_http` endpoint — stdlib-only,
+importable WITHOUT jax (a camera host or web backend talks to the pose
+service with nothing but numpy installed; this module deliberately
+imports only stdlib + numpy).
+
+    from tpu_pose.client import PoseClient
+    client = PoseClient("http://pose-host:8080")
+    out = client.predict(frame)               # (H, W, 3) any resolution
+    out["joints2d"], out["theta"]             # numpy arrays
+    outs = client.predict_batch(stack)        # (N, H, W, 3) → leading N
+    fit = client.fit(joints2d, conf)          # fn=fit_smpl servers
+    client.healthy(); client.stats()
+
+Frames ship as raw ``.npy`` (the zero-copy path) and responses are
+requested as ``.npz`` — both ends stay binary; JSON never touches
+array data.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from http.client import HTTPConnection
+from typing import Optional, Sequence
+from urllib.parse import urlparse
+
+import numpy as np
+
+__all__ = ["PoseClient", "ServingError"]
+
+
+class ServingError(RuntimeError):
+    """Non-200 response from the serving endpoint."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+class PoseClient:
+    """Thin wire-format client for :class:`serving_http.PoseHTTPServer`.
+
+    Args:
+      url: endpoint base, e.g. ``"http://pose-host:8080"``.
+      fields: default result-field selection for every request (None =
+        whatever the server serves).
+      timeout_s: socket timeout per request (first request may include
+        the server's compile).
+    """
+
+    def __init__(self, url: str, fields: Optional[Sequence[str]] = None,
+                 timeout_s: float = 300.0):
+        u = urlparse(url if "//" in url else f"http://{url}")
+        if u.scheme != "http":
+            raise ValueError(f"PoseClient speaks plain http (put TLS in "
+                             f"the ingress), got {u.scheme!r}")
+        self.host = u.hostname
+        self.port = u.port or 80
+        self.fields = tuple(fields) if fields else None
+        self.timeout_s = timeout_s
+
+    # -- wire helpers ------------------------------------------------------
+
+    def _request(self, method: str, path: str, body: bytes = b"",
+                 ctype: str = "application/x-npy") -> tuple:
+        conn = HTTPConnection(self.host, self.port,
+                              timeout=self.timeout_s)
+        try:
+            headers = {"Accept": "application/x-npz"}
+            if body:
+                headers["Content-Type"] = ctype
+            conn.request(method, path, body=body or None,
+                         headers=headers)
+            r = conn.getresponse()
+            data = r.read()
+            return r.status, r.getheader("Content-Type") or "", data
+        finally:
+            conn.close()
+
+    def _result(self, status: int, ctype: str, data: bytes) -> dict:
+        if status != 200:
+            try:
+                msg = json.loads(data).get("error", data[:200])
+            except Exception:
+                msg = repr(data[:200])
+            raise ServingError(status, str(msg))
+        if "application/x-npz" in ctype:
+            with np.load(io.BytesIO(data)) as z:
+                return {k: z[k] for k in z.files}
+        return {k: np.asarray(v) for k, v in json.loads(data).items()}
+
+    def _path(self, route: str) -> str:
+        if self.fields:
+            return f"{route}?fields={','.join(self.fields)}"
+        return route
+
+    @staticmethod
+    def _npy(arr: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.ascontiguousarray(arr))
+        return buf.getvalue()
+
+    # -- API ---------------------------------------------------------------
+
+    def predict(self, frame: np.ndarray) -> dict:
+        """One (H, W, 3) frame of any resolution → dict of numpy arrays
+        (``joints2d`` in THIS frame's source pixels)."""
+        frame = np.asarray(frame)
+        if frame.ndim != 3 or frame.shape[-1] != 3:
+            raise ValueError(f"frame must be (H, W, 3), got "
+                             f"{frame.shape}")
+        if frame.dtype != np.uint8:
+            frame = np.clip(frame, 0, 255).astype(np.uint8)
+        return self._result(*self._request(
+            "POST", self._path("/predict"), self._npy(frame)))
+
+    def predict_batch(self, frames: np.ndarray) -> dict:
+        """(N, H, W, 3) stack → dict with a leading N axis per field."""
+        frames = np.asarray(frames)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(f"frames must be (N, H, W, 3), got "
+                             f"{frames.shape}")
+        if frames.dtype != np.uint8:
+            frames = np.clip(frames, 0, 255).astype(np.uint8)
+        return self._result(*self._request(
+            "POST", self._path("/predict_batch"), self._npy(frames)))
+
+    def fit(self, joints2d: np.ndarray, conf: np.ndarray) -> dict:
+        """(P, 2)/(N, P, 2) network-frame joints + conf → fit result
+        (``fn=fit_smpl`` servers)."""
+        buf = io.BytesIO()
+        np.savez(buf, joints2d=np.asarray(joints2d, np.float32),
+                 conf=np.asarray(conf, np.float32))
+        return self._result(*self._request(
+            "POST", self._path("/fit"), buf.getvalue(),
+            ctype="application/x-npz"))
+
+    def healthy(self) -> bool:
+        try:
+            status, _, data = self._request("GET", "/healthz")
+        except OSError:
+            return False
+        return status == 200 and json.loads(data).get("ok") is True
+
+    def stats(self) -> dict:
+        status, _, data = self._request("GET", "/stats")
+        if status != 200:
+            raise ServingError(status, repr(data[:200]))
+        return json.loads(data)
