@@ -460,3 +460,22 @@ def test_mpii_single_rect_single_point_squeeze(tmp_path):
     assert r["conf"].sum() == 1
     np.testing.assert_allclose(r["headsize"],
                                0.6 * np.hypot(10, 10), rtol=1e-6)
+
+
+def test_coco_skips_unmappable_only_annotation(tmp_path):
+    """Review finding: a bbox-less annotation whose only labeled
+    keypoints have no CPM mapping (eyes/ears) must be skipped, not crash
+    the conversion."""
+    import json
+    kp = np.zeros((17, 3), np.float32)
+    kp[1] = (10, 10, 2)   # l_eye
+    kp[4] = (12, 10, 2)   # r_ear
+    ann = {"id": 1, "image_id": 1, "category_id": 1,
+           "num_keypoints": 2,
+           "keypoints": [float(v) for v in kp.ravel()]}
+    data = {"images": [{"id": 1, "file_name": "a.jpg"}],
+            "annotations": [ann]}
+    path = str(tmp_path / "eyes_only.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    assert datasets.load_coco(path) == []

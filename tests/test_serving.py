@@ -302,3 +302,19 @@ def test_server_fit_smpl_from_artifact(est, tmp_path):
         outs = [f.result(timeout=300) for f in futs]
     assert np.asarray(outs[0]["vertices"]).shape == (6890, 3)
     assert np.asarray(outs[0]["theta"]).shape == (72,)
+
+
+def test_submit_fit_wrong_joint_count_fails_alone(est):
+    """Review finding: a malformed fit request must fail at SUBMIT time
+    (its own future), never poison co-batched requests from other
+    clients in the dispatch thread."""
+    rng = np.random.RandomState(0)
+    with serving.BatchingServer(est, max_batch=4, max_wait_ms=50.0,
+                                fn="fit_smpl") as srv:
+        with pytest.raises(ValueError, match="fits 14 joints"):
+            srv.submit_fit(rng.rand(13, 2).astype(np.float32),
+                           np.ones(13, np.float32))
+        # Good requests still serve fine afterwards.
+        fut = srv.submit_fit(rng.rand(14, 2).astype(np.float32) * 64,
+                             np.ones(14, np.float32))
+        assert np.asarray(fut.result(timeout=300).theta).shape == (72,)

@@ -276,3 +276,32 @@ def test_pose_client_fit():
         assert out["theta"].shape == (72,)
         outs = c.fit(np.stack([j, j]), np.ones((2, 14), np.float32))
         assert outs["theta"].shape == (2, 72)
+
+
+def test_empty_batch_rejected(srv):
+    """Review finding: N=0 stacks must 400, not crash the handler into
+    a 500."""
+    status, _, data = _post(srv, _npy_bytes(
+        np.zeros((0, 64, 64, 3), np.uint8)), "application/x-npy",
+        path="/predict_batch")
+    assert status == 400 and "N >= 1" in json.loads(data)["error"]
+
+
+def test_client_predict_batch_chunks_large_stacks():
+    """Review finding: bulk stacks larger than the request cap split
+    into multiple requests and re-concatenate."""
+    from tpu_pose.client import PoseClient
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT)
+    with PoseHTTPServer(est, max_batch=4, max_wait_ms=5.0,
+                        fields=("theta",)) as s:
+        c = PoseClient(f"http://{s.host}:{s.port}", fields=("theta",))
+        stack = np.random.RandomState(1).randint(
+            0, 255, (5, 64, 64, 3)).astype(np.uint8)
+        # Cap sized to one frame → 5 separate requests, one result.
+        out = c.predict_batch(stack,
+                              max_request_bytes=stack[0].nbytes)
+        assert out["theta"].shape == (5, 72)
+        whole = c.predict_batch(stack)
+        np.testing.assert_allclose(out["theta"], whole["theta"],
+                                   atol=1e-5)

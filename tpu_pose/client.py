@@ -114,16 +114,28 @@ class PoseClient:
         return self._result(*self._request(
             "POST", self._path("/predict"), self._npy(frame)))
 
-    def predict_batch(self, frames: np.ndarray) -> dict:
-        """(N, H, W, 3) stack → dict with a leading N axis per field."""
+    def predict_batch(self, frames: np.ndarray,
+                      max_request_bytes: int = 48 * 1024 * 1024) -> dict:
+        """(N, H, W, 3) stack → dict with a leading N axis per field.
+        Stacks larger than ``max_request_bytes`` split into multiple
+        requests transparently (results re-concatenate) so bulk clients
+        never trip the endpoint's body cap."""
         frames = np.asarray(frames)
-        if frames.ndim != 4 or frames.shape[-1] != 3:
-            raise ValueError(f"frames must be (N, H, W, 3), got "
-                             f"{frames.shape}")
+        if frames.ndim != 4 or frames.shape[-1] != 3 or not len(frames):
+            raise ValueError(f"frames must be (N, H, W, 3) with N >= 1, "
+                             f"got {frames.shape}")
         if frames.dtype != np.uint8:
             frames = np.clip(frames, 0, 255).astype(np.uint8)
-        return self._result(*self._request(
-            "POST", self._path("/predict_batch"), self._npy(frames)))
+        per = max(int(frames[0].nbytes), 1)
+        chunk = max(max_request_bytes // per, 1)
+        outs = []
+        for start in range(0, len(frames), chunk):
+            outs.append(self._result(*self._request(
+                "POST", self._path("/predict_batch"),
+                self._npy(frames[start:start + chunk]))))
+        if len(outs) == 1:
+            return outs[0]
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     def fit(self, joints2d: np.ndarray, conf: np.ndarray) -> dict:
         """(P, 2)/(N, P, 2) network-frame joints + conf → fit result

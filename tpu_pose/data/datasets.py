@@ -270,6 +270,11 @@ def load_coco(json_path: str, person_category: int = 1) -> List[dict]:
             joints[0] = kp[0, :2]
             conf[0] = 1.0
             visible[0] = float(kp[0, 2] == 2)
+        if not conf.any():
+            # Only unmappable keypoints labeled (eyes/ears): nothing a
+            # CPM-frame consumer can use — skip rather than crash on the
+            # empty bbox reduction below.
+            continue
         if "bbox" in ann:
             x0, y0, w, h = ann["bbox"]
         else:
@@ -306,21 +311,8 @@ def coco_to_shards(json_path: str, images_dir: str, out_dir: str,
         records = records[:limit]
     if not records:
         raise ValueError(f"no usable annotated people in {json_path}")
-    images, out_j, out_c, out_hs = [], [], [], []
-    for r in records:
-        img = _load_image(os.path.join(images_dir, r["image"]))
-        side = float(r["scale"]) * 200.0 * margin
-        crop, origin, zoom = crop_person(img, r["center"], side, out_size)
-        images.append(crop)
-        out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
-        out_c.append(r["conf"])
-        out_hs.append(np.float32(r["headsize"] * zoom))
-    return pipeline.write_npz_shards(out_dir, {
-        "images": np.stack(images),
-        "gt_joints2d": np.stack(out_j),
-        "conf": np.stack(out_c),
-        "headsize": np.asarray(out_hs, np.float32),
-    }, shard_size=shard_size)
+    return _records_to_shards(records, images_dir, out_dir, out_size,
+                              margin, shard_size)
 
 
 # -- Human3.6M -------------------------------------------------------------
@@ -434,6 +426,29 @@ def lsp_to_shards(mat_path: str, images_dir: str, out_dir: str,
     }, shard_size=shard_size)
 
 
+def _records_to_shards(records: List[dict], images_dir: str,
+                       out_dir: str, out_size: int, margin: float,
+                       shard_size: int) -> List[str]:
+    """Shared person-record → crop → shard loop for the MPII/COCO-style
+    records (center + scale in MPII's height/200 unit): ONE copy of the
+    crop/affine/headsize math so the converters cannot drift."""
+    images, out_j, out_c, out_hs = [], [], [], []
+    for r in records:
+        img = _load_image(os.path.join(images_dir, r["image"]))
+        side = float(r["scale"]) * 200.0 * margin
+        crop, origin, zoom = crop_person(img, r["center"], side, out_size)
+        images.append(crop)
+        out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
+        out_c.append(r["conf"])
+        out_hs.append(np.float32(r["headsize"] * zoom))
+    return pipeline.write_npz_shards(out_dir, {
+        "images": np.stack(images),
+        "gt_joints2d": np.stack(out_j),
+        "conf": np.stack(out_c),
+        "headsize": np.asarray(out_hs, np.float32),
+    }, shard_size=shard_size)
+
+
 def mpii_to_shards(mat_path: str, images_dir: str, out_dir: str,
                    out_size: int = 368, margin: float = 1.25,
                    shard_size: int = 256,
@@ -450,21 +465,8 @@ def mpii_to_shards(mat_path: str, images_dir: str, out_dir: str,
         records = records[:limit]
     if not records:
         raise ValueError(f"no usable annotated people in {mat_path}")
-    images, out_j, out_c, out_hs = [], [], [], []
-    for r in records:
-        img = _load_image(os.path.join(images_dir, r["image"]))
-        side = float(r["scale"]) * 200.0 * margin
-        crop, origin, zoom = crop_person(img, r["center"], side, out_size)
-        images.append(crop)
-        out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
-        out_c.append(r["conf"])
-        out_hs.append(np.float32(r["headsize"] * zoom))
-    return pipeline.write_npz_shards(out_dir, {
-        "images": np.stack(images),
-        "gt_joints2d": np.stack(out_j),
-        "conf": np.stack(out_c),
-        "headsize": np.asarray(out_hs, np.float32),
-    }, shard_size=shard_size)
+    return _records_to_shards(records, images_dir, out_dir, out_size,
+                              margin, shard_size)
 
 
 def sequences_to_shards(images: np.ndarray, gt_joints3d: np.ndarray,

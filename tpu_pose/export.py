@@ -766,6 +766,10 @@ class ServableProgram:
         self.fn = prog.fn     # BatchingServer(fn=...) must match this
         self.result_fields = tuple(prog.meta["outputs"])
         shape = prog.meta["input"]["shape"]
+        if prog.fn == "fit_smpl":
+            # joints2d spec (b, P, 2): the server validates submit_fit
+            # requests against this before co-batching them.
+            self.num_joints = int(shape[1])
         self.symbolic_batch = shape[0] == "b"
         self.static_batch = None if self.symbolic_batch else shape[0]
         if shape[1] == shape[2]:

@@ -267,21 +267,23 @@ def evaluate_pckh(
     def accumulate(res, batch, n_real, batch_index):
         # Both paths return (heatmaps, joints2d, conf): Estimate2DResult
         # is a NamedTuple; the sharded fn returns the raw tuple.
-        pred = np.asarray(res[1])[:n_real]
-        gt = np.asarray(batch["gt_joints2d"])[:n_real]
+        pred = np.asarray(res[1], np.float64)[:n_real]
+        gt = np.asarray(batch["gt_joints2d"], np.float64)[:n_real]
         headsize = (np.asarray(batch["headsize"])[:n_real]
                     if "headsize" in batch else None)
         mask = (np.asarray(batch["conf"])[:n_real] > 0
                 if "conf" in batch else np.ones(gt.shape[:2], bool))
         state.n += n_real
-        state.sum_pckh += float(metrics_lib.pckh_np(
-            pred, gt, threshold=threshold, headsize=headsize,
-            mask=mask).sum())
-        hs = (headsize if headsize is not None else np.linalg.norm(
-            gt[:, 0] - gt[:, 1], axis=-1))
+        # One hit/mask computation feeds BOTH accumulators — the overall
+        # PCKh is exactly the masked per-example mean of these hits
+        # (numerically identical to metrics_lib.pckh_np; tested).
+        hs = (np.asarray(headsize, np.float64) if headsize is not None
+              else np.linalg.norm(gt[:, 0] - gt[:, 1], axis=-1))
         hit = (np.linalg.norm(pred - gt, axis=-1)
-               <= threshold * hs[:, None])
+               <= threshold * hs[:, None]).astype(np.float64)
         m = mask.astype(np.float64)
+        state.sum_pckh += float(
+            ((hit * m).sum(-1) / np.maximum(m.sum(-1), 1.0)).sum())
         for j in range(gt.shape[1]):
             state.joint_hits[j] += float((hit[:, j] * m[:, j]).sum())
             state.joint_counts[j] += float(m[:, j].sum())

@@ -192,6 +192,10 @@ class BatchingServer:
         # contract.
         cpm_cfg = getattr(estimator, "cpm_cfg", None)
         self._net_size = getattr(cpm_cfg, "input_size", None)
+        # Joint count for submit_fit validation (None = unknown: accept
+        # anything; the per-batch uniformity check still holds).
+        self._num_joints = (getattr(estimator, "num_joints", None)
+                            or getattr(cpm_cfg, "num_joints", None))
         self.buckets = tuple(sorted(set(
             buckets if buckets is not None else default_buckets(max_batch))))
         if self.buckets[-1] != max_batch:
@@ -257,6 +261,14 @@ class BatchingServer:
             raise ValueError(
                 f"submit_fit takes joints2d (P, 2) + conf (P,), got "
                 f"{joints2d.shape}, {conf.shape}")
+        # Validate P HERE, not in the dispatch thread: a malformed
+        # request must fail alone, never the whole co-batched launch
+        # (innocent clients share the batch).
+        if (self._num_joints is not None
+                and joints2d.shape[0] != self._num_joints):
+            raise ValueError(
+                f"this server fits {self._num_joints} joints, got "
+                f"{joints2d.shape[0]}")
         fut: Future = Future()
         with self._submit_lock:
             if self._closed:

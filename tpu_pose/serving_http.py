@@ -60,7 +60,8 @@ import numpy as np
 
 from tpu_pose import serving as serving_lib
 
-_MAX_BODY = 64 * 1024 * 1024  # one frame; 64 MB covers 8K RGB
+_MAX_BODY = 64 * 1024 * 1024        # one frame; 64 MB covers 8K RGB
+_MAX_BODY_BATCH = 1024 * 1024 * 1024  # /predict_batch stacks
 
 
 def _decode_body(body: bytes, ctype: str) -> np.ndarray:
@@ -155,13 +156,15 @@ class _Handler(BaseHTTPRequestHandler):
         if path not in ("/predict", "/predict_batch", "/fit"):
             self._error(404, f"no route {path!r}")
             return
+        max_body = (_MAX_BODY_BATCH if path == "/predict_batch"
+                    else _MAX_BODY)
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             length = 0
-        if not 0 < length <= _MAX_BODY:
-            self._error(413 if length > _MAX_BODY else 400,
-                        f"Content-Length must be in (0, {_MAX_BODY}]")
+        if not 0 < length <= max_body:
+            self._error(413 if length > max_body else 400,
+                        f"Content-Length must be in (0, {max_body}]")
             return
         body = self.rfile.read(length)
         fields = None
@@ -187,6 +190,8 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError(
                         f"joints2d must be ([N,] P, 2) with matching "
                         f"conf, got shapes {joints.shape}, {conf.shape}")
+                if joints.shape[0] == 0:
+                    raise ValueError("empty request: N must be >= 1")
             elif path == "/predict_batch":
                 ctype = (self.headers.get("Content-Type") or "").split(
                     ";")[0].strip().lower()
@@ -198,9 +203,10 @@ class _Handler(BaseHTTPRequestHandler):
                     stack = np.load(io.BytesIO(body), allow_pickle=False)
                 except Exception as e:
                     raise ValueError(f"bad .npy body: {e}")
-                if stack.ndim != 4 or stack.shape[-1] != 3:
+                if (stack.ndim != 4 or stack.shape[-1] != 3
+                        or stack.shape[0] == 0):
                     raise ValueError(
-                        f"stack must be (N, H, W, 3), got "
+                        f"stack must be (N, H, W, 3) with N >= 1, got "
                         f"{tuple(stack.shape)}")
                 if stack.dtype != np.uint8:
                     stack = np.clip(stack, 0, 255).astype(np.uint8)
