@@ -479,3 +479,44 @@ def test_coco_skips_unmappable_only_annotation(tmp_path):
     with open(path, "w") as f:
         json.dump(data, f)
     assert datasets.load_coco(path) == []
+
+
+def test_evaluate_pck_torso_norm(tmp_path):
+    """LSP protocol: norm='torso' normalizes by the l_shoulder-r_hip
+    diameter; a checkpoint written under one protocol does not resume
+    under the other."""
+    from tpu_pose.parallel import eval as eval_lib
+
+    class FakeEst:
+        def estimate_2d(self, images):
+            b = images.shape[0]
+            pred = np.tile(gt_row[None], (b, 1, 1)).astype(np.float32)
+            pred[:, 3, 0] += 12.0      # one joint off by 12 px
+            return None, pred, np.ones((b, 14), np.float32)
+
+    gt_row = np.zeros((14, 2), np.float32)
+    gt_row[0] = (0, 0)                 # head
+    gt_row[1] = (0, 10)                # neck → head segment 10 px
+    gt_row[5] = (0, 30)                # l_shoulder
+    gt_row[8] = (40, 60)               # r_hip → torso 50 px
+    batch = {"images": np.zeros((2, 8, 8, 3), np.uint8),
+             "gt_joints2d": np.tile(gt_row[None], (2, 1, 1))}
+    # head norm @0.5: thresh 5 px < 12 → miss (13/14); torso norm
+    # @0.5: thresh 25 px > 12 → all hit.
+    out_h = eval_lib.evaluate_pckh(FakeEst(), iter([batch]),
+                                   threshold=0.5, norm="head")
+    out_t = eval_lib.evaluate_pckh(FakeEst(), iter([batch]),
+                                   threshold=0.5, norm="torso")
+    np.testing.assert_allclose(out_h["pckh"], 13.0 / 14.0)
+    np.testing.assert_allclose(out_t["pckh"], 1.0)
+    with pytest.raises(ValueError, match="norm"):
+        eval_lib.evaluate_pckh(FakeEst(), iter([batch]), norm="nope")
+    # Protocol-change resume guard: a head-norm checkpoint restarts
+    # fresh under torso (not mixed).
+    ckpt = str(tmp_path / "c.json")
+    eval_lib.evaluate_pckh(FakeEst(), iter([batch]), norm="head",
+                           checkpoint_path=ckpt)
+    out = eval_lib.evaluate_pckh(FakeEst(), iter([batch]), norm="torso",
+                                 checkpoint_path=ckpt)
+    assert out["num_frames"] == 2          # re-accumulated, not skipped
+    np.testing.assert_allclose(out["pckh"], 1.0)

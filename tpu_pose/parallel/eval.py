@@ -213,10 +213,13 @@ def sharded_2d_fn(estimator, mesh):
 
 @dataclasses.dataclass
 class Eval2DState:
-    """Resumable accumulator for the 2D-detector eval (PCKh protocol)."""
+    """Resumable accumulator for the 2D-detector eval (PCK protocols).
+    ``norm`` is recorded so a resume under a different normalizer starts
+    fresh instead of mixing protocols."""
     cursor: int = 0
     n: int = 0
     sum_pckh: float = 0.0
+    norm: str = "head"
     joint_hits: list = dataclasses.field(
         default_factory=lambda: [0.0] * 14)
     joint_counts: list = dataclasses.field(
@@ -243,23 +246,37 @@ def evaluate_pckh(
     batches: Iterator,          # dicts: images, gt_joints2d[, conf, headsize]
     mesh=None,
     threshold: float = 0.5,
+    norm: str = "head",
     checkpoint_path: Optional[str] = None,
     save_every: int = 10,
 ):
-    """Streaming 2D-detector evaluation: PCKh@``threshold`` over shards
-    from :mod:`tpu_pose.data.datasets` (MPII/LSP protocol — SURVEY.md §6
-    CPM quality rows).
+    """Streaming 2D-detector evaluation: PCK@``threshold`` over shards
+    from :mod:`tpu_pose.data.datasets` (MPII/LSP protocols — SURVEY.md
+    §6 CPM quality rows).
+
+    ``norm`` selects the protocol's normalizer:
+
+    - ``"head"`` (PCKh, the MPII protocol): the batch's ``headsize``
+      (B,) when present (official 0.6·head-rect size), else the
+      head–neck GT segment proxy.
+    - ``"torso"`` (PCK, the LSP protocol — e.g. PCK@0.2): the GT torso
+      diameter, left-shoulder↔right-hip distance (CPM slots 5/8), per
+      the classic Yang&Ramanan definition the CPM paper's LSP numbers
+      use. ``headsize`` is ignored.
 
     Batches carry ``images`` (B, S, S, 3) and ``gt_joints2d`` (B, 14, 2)
-    in the same pixel frame; ``headsize`` (B,) switches normalization
-    from the head-segment proxy to the official MPII head-rect size, and
-    ``conf`` (B, 14) masks unannotated joints (official protocol).
-    Same 1-deep pipeline + cursor-resume as the 3D evaluator. Returns
-    overall PCKh plus the official-style per-joint breakdown.
+    in the same pixel frame; ``conf`` (B, 14) masks unannotated joints
+    (official protocol). Same 1-deep pipeline + cursor-resume as the 3D
+    evaluator. Returns the overall fraction plus the official-style
+    per-joint breakdown.
     """
+    if norm not in ("head", "torso"):
+        raise ValueError(f"norm must be 'head' or 'torso', got {norm!r}")
     import numpy as np
     state = (Eval2DState.load(checkpoint_path) if checkpoint_path
              else Eval2DState())
+    if state.norm != norm:
+        state = Eval2DState(norm=norm)   # protocol change: start fresh
     run = (sharded_2d_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_2d(im)))
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -277,8 +294,13 @@ def evaluate_pckh(
         # One hit/mask computation feeds BOTH accumulators — the overall
         # PCKh is exactly the masked per-example mean of these hits
         # (numerically identical to metrics_lib.pckh_np; tested).
-        hs = (np.asarray(headsize, np.float64) if headsize is not None
-              else np.linalg.norm(gt[:, 0] - gt[:, 1], axis=-1))
+        if norm == "torso":
+            # LSP PCK: l_shoulder (CPM 5) ↔ r_hip (CPM 8) diameter.
+            hs = np.linalg.norm(gt[:, 5] - gt[:, 8], axis=-1)
+        elif headsize is not None:
+            hs = np.asarray(headsize, np.float64)
+        else:
+            hs = np.linalg.norm(gt[:, 0] - gt[:, 1], axis=-1)
         hit = (np.linalg.norm(pred - gt, axis=-1)
                <= threshold * hs[:, None]).astype(np.float64)
         m = mask.astype(np.float64)

@@ -24,7 +24,9 @@ flags.DEFINE_string("cpm_npz", "", "converted CPM weights (synthetic "
 flags.DEFINE_string("smpl_pkl", "", "SMPL pickle — optional: the 2D "
                     "eval never runs the fit, so a synthetic stand-in "
                     "model is used when empty")
-flags.DEFINE_float("threshold", 0.5, "PCKh threshold")
+flags.DEFINE_float("threshold", 0.5, "PCK threshold (0.5 for MPII PCKh@0.5,\n                   0.2 for LSP PCK@0.2)")
+flags.DEFINE_enum("norm", "head", ["head", "torso"],
+                  "protocol normalizer: head = MPII PCKh (headsize or\n                  head-neck proxy), torso = LSP PCK (l_shoulder-r_hip\n                  diameter)")
 flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
 flags.DEFINE_boolean("refine_center", True, "in-graph person "
                      "localization")
@@ -71,9 +73,10 @@ def main(argv):
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
     out = eval_lib.evaluate_pckh(
         est, batches, mesh=mesh, threshold=FLAGS.threshold,
-        checkpoint_path=FLAGS.resume or None)
+        norm=FLAGS.norm, checkpoint_path=FLAGS.resume or None)
+    name = "PCKh" if FLAGS.norm == "head" else "PCK(torso)"
     print(f"frames={out['num_frames']}  "
-          f"PCKh@{FLAGS.threshold}={out['pckh'] * 100:.1f}%")
+          f"{name}@{FLAGS.threshold}={out['pckh'] * 100:.1f}%")
     for name, v in out["per_joint"].items():
         print(f"  {name:12s} {v * 100:5.1f}%")
 
