@@ -314,3 +314,25 @@ def test_painted_batches_from_adapter_shards(tmp_path):
     _, _, loss = step(params, opt_state,
                       jax.tree.map(jnp.asarray, b))
     assert np.isfinite(float(loss))
+
+
+def test_rot_scale_augmentation_content_mapping():
+    """_rot_scale: a painted marker must land where the forward joint
+    affine says (image inverse-resample and joint transform agree), and
+    rot_deg=scale_jit=0 is the identity."""
+    from tpu_pose.tools.train_cpm import _rot_scale
+
+    rng_fixed = np.random.RandomState(3)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[40:44, 10:14] = 255                 # marker centered ~(12, 42)
+    joints = np.array([[12.0, 42.0]], np.float32)
+
+    out, j = _rot_scale(img, joints, rng_fixed, rot_deg=25.0,
+                        scale_jit=0.2)
+    ys, xs = np.nonzero(out[..., 0] > 127)
+    centroid = np.array([xs.mean(), ys.mean()])
+    np.testing.assert_allclose(centroid, j[0], atol=1.5)
+
+    out0, j0 = _rot_scale(img, joints, rng_fixed, rot_deg=0.0,
+                          scale_jit=0.0)
+    assert out0 is img and j0 is joints     # exact identity, no resample

@@ -15,6 +15,12 @@ import sys  # noqa: F401
 from absl import app, flags  # noqa: E402
 
 FLAGS = flags.FLAGS
+flags.DEFINE_float("rot_aug", 0.0, "rotation augmentation: uniform "
+                   "±N degrees about the crop center for painted-target "
+                   "shards (the standard MPII recipe uses ~30)")
+flags.DEFINE_float("scale_aug", 0.0, "scale-jitter augmentation: "
+                   "uniform 1±N zoom about the crop center for "
+                   "painted-target shards (standard ~0.25)")
 flags.DEFINE_float("flip_aug", 0.5, "horizontal-flip augmentation "
                    "probability for painted-target shards (removes "
                    "chirality bias so flip TTA helps; CPM_FLIP_PERM "
@@ -35,15 +41,44 @@ flags.DEFINE_integer("input_size", 368, "CPM input resolution")
 flags.DEFINE_integer("log_every", 20, "loss log interval")
 
 
+def _rot_scale(img, joints, rng, rot_deg, scale_jit):
+    """Random rotation/zoom about the crop center (the standard MPII
+    augmentation recipe): image via one PIL inverse-affine resample,
+    joints via the forward affine p' = s·R·(p−c) + c."""
+    import numpy as np
+    from PIL import Image
+
+    size = img.shape[0]
+    ang = np.deg2rad(rng.uniform(-rot_deg, rot_deg)) if rot_deg else 0.0
+    s = 1.0 + (rng.uniform(-scale_jit, scale_jit) if scale_jit else 0.0)
+    if ang == 0.0 and s == 1.0:
+        return img, joints
+    c = (size - 1) / 2.0
+    cos, sin = np.cos(ang), np.sin(ang)
+    fwd = np.array([[cos, -sin], [sin, cos]]) * s
+    inv = np.linalg.inv(fwd)
+    # PIL transform maps OUTPUT → INPUT: x_in = a·x' + b·y' + off.
+    off = np.array([c, c]) - inv @ np.array([c, c])
+    coeffs = (inv[0, 0], inv[0, 1], off[0], inv[1, 0], inv[1, 1], off[1])
+    out = np.asarray(Image.fromarray(img).transform(
+        (size, size), Image.AFFINE, coeffs, resample=Image.BILINEAR,
+        fillcolor=(128, 128, 128)))
+    j = (joints - c) @ fwd.T + c
+    return out, j.astype(np.float32)
+
+
 def _painted_batches(data_dir, batch, cfg, flip_prob=0.5, sigma=3.0,
-                     seed=0):
+                     rot_deg=0.0, scale_jit=0.0, seed=0):
     """Dataset-adapter shards (images/gt_joints2d/conf — the
     convert_dataset.py schema) → CPM train batches: paints the stride-
     resolution Gaussian targets + the standard center map, supervises
     only annotated joints (joint_mask; MPII people are partially
-    labeled), and flip-augments with CPM_FLIP_PERM relabeling (the
+    labeled), flip-augments with CPM_FLIP_PERM relabeling (the
     hard-training recipe — a chirally-biased net degrades under flip
-    TTA, docs/DESIGN.md §9)."""
+    TTA, docs/DESIGN.md §9), and optionally rotation/scale-jitters
+    about the crop center (``rot_deg``/``scale_jit``; joints pushed
+    off-frame keep their Gaussian targets, which decay to ~zero maps —
+    the standard treatment)."""
     import numpy as np
 
     from tpu_pose.data import pipeline, synthetic
@@ -67,6 +102,9 @@ def _painted_batches(data_dir, batch, cfg, flip_prob=0.5, sigma=3.0,
                 joints[i] = joints[i][joints_lib.CPM_FLIP_PERM]
                 joints[i, :, 0] = size - 1.0 - joints[i, :, 0]
                 conf[i] = conf[i][joints_lib.CPM_FLIP_PERM]
+            if rot_deg or scale_jit:
+                imgs[i], joints[i] = _rot_scale(
+                    imgs[i], joints[i], rng, rot_deg, scale_jit)
         hms = np.stack([
             synthetic.gaussian_heatmaps(joints[i], size, cfg.stride,
                                         sigma=sigma) for i in range(n)])
@@ -131,7 +169,8 @@ def main(argv):
                   f"(flip_aug={FLAGS.flip_aug})")
             batches = _painted_batches(
                 FLAGS.data_dir, FLAGS.batch, cfg,
-                flip_prob=FLAGS.flip_aug, sigma=FLAGS.heatmap_sigma)
+                flip_prob=FLAGS.flip_aug, sigma=FLAGS.heatmap_sigma,
+                rot_deg=FLAGS.rot_aug, scale_jit=FLAGS.scale_aug)
     else:
         raise app.UsageError("provide --data_dir or --synthetic")
 
