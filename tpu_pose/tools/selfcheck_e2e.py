@@ -402,6 +402,52 @@ def main(argv):
     log(f"artifact round-trip: Δjoints2d {d_j2d:.3g} px, "
         f"Δθ {d_th:.3g} → {'OK' if results['export_artifact']['ok'] else 'MISMATCH'}")
 
+    # ---- 9. dataset-adapter chain (convert → shards → PCK eval) ---------
+    # Fabricate an LSP-format dataset (joints.mat in the original
+    # (3, 14, N) occluded-flag layout + JPEG images) from labeled
+    # synthetic frames, run the REAL conversion path
+    # (data/datasets.lsp_to_shards) and the streaming 2D protocol
+    # evaluator over the shards with the trained weights — the
+    # convert_dataset.py → eval_2d.py chain, end-to-end on device.
+    log("dataset-adapter chain (LSP fabrication → convert → PCKh)...")
+    import scipy.io
+    from PIL import Image
+
+    from tpu_pose.data import datasets as ds_lib
+    from tpu_pose.data import pipeline as pipe_lib
+    from tpu_pose.parallel import eval as eval_lib
+
+    ds_n = 16
+    ex_ds = synthetic.make_examples(model, ds_n, cfg, seed=777)
+    inv = np.argsort(ds_lib.LSP_TO_CPM)      # CPM order → LSP order
+    lsp_xy = ex_ds["joints2d"][:, inv]        # (N, 14, 2)
+    lsp = np.transpose(
+        np.concatenate([lsp_xy, np.zeros((ds_n, 14, 1))], -1),
+        (2, 1, 0))                            # (3, 14, N), flag 0=visible
+    fab = os.path.join(FLAGS.out, "lsp_fab")
+    img_dir = os.path.join(fab, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    scipy.io.savemat(os.path.join(fab, "joints.mat"), {"joints": lsp})
+    for i in range(ds_n):
+        Image.fromarray(ex_ds["images"][i]).save(
+            os.path.join(img_dir, f"im{i + 1:04d}.jpg"), quality=92)
+    shard_dir = os.path.join(fab, "shards")
+    ds_lib.lsp_to_shards(os.path.join(fab, "joints.mat"), img_dir,
+                         shard_dir, out_size=cfg.input_size)
+    est_ds = PoseEstimator(params, model, cpm_cfg=cfg,
+                           refine_center=True, refine_scale=True)
+    out_ds = eval_lib.evaluate_pckh(
+        est_ds, pipe_lib.batches(
+            shard_dir, 8, keys=("images", "gt_joints2d", "conf",
+                                "headsize"), shard_by_process=False))
+    results["dataset_adapter_chain"] = {
+        "num_frames": out_ds["num_frames"],
+        "pckh_05": round(out_ds["pckh"], 4)}
+    log(f"adapter chain: {out_ds['num_frames']} frames through "
+        f"convert→shards→eval, PCKh@0.5 {out_ds['pckh'] * 100:.1f}% "
+        f"(rc+rs trained weights; crop re-scales the person, JPEG "
+        f"noise included)")
+
     with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     log(f"done → {FLAGS.out}/results.json")
