@@ -279,3 +279,31 @@ def test_hard_multi_video_generator_schema():
     d = np.linalg.norm(
         v["joints2d"].mean(2) - v["centers"], axis=-1)
     assert d.max() < 12.0
+
+
+def test_video_multi_three_slots_end_to_end():
+    """k=3 hypothesis slots through the FULL tracked-video pipeline
+    (3! = 6 assignment candidates per frame): shapes, per-frame perm
+    validity, and presence semantics — the k>2 path had no end-to-end
+    execution before this."""
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
+
+    cpm = CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                    refine_width=8, num_stages=2)
+    fit = FitConfig(stages=(StageConfig(iters=6, lr=0.05),), img_size=64)
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=cpm,
+                                         fit_cfg=fit)
+    frames = np.random.RandomState(0).randint(
+        0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    r = est.estimate_and_fit_video_multi(jnp.asarray(frames),
+                                         max_people=3)
+    assert r.joints2d.shape == (4, 3, 14, 2)
+    assert r.theta.shape == (3, 4, 72)
+    assert r.vertices.shape[:2] == (3, 4)
+    perm = np.asarray(r.perm)
+    for t in range(4):
+        assert sorted(perm[t].tolist()) == [0, 1, 2]
+    # Presence calls stay boolean and at least one track is real.
+    assert np.asarray(r.track_mask).dtype == bool
+    assert np.asarray(r.track_mask).any()
