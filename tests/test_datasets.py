@@ -520,3 +520,94 @@ def test_evaluate_pck_torso_norm(tmp_path):
                                  checkpoint_path=ckpt)
     assert out["num_frames"] == 2          # re-accumulated, not skipped
     np.testing.assert_allclose(out["pckh"], 1.0)
+
+
+def test_coco_area_through_crop_affine(tmp_path):
+    """The COCO annotation's OKS area rides into the shards scaled by
+    the crop Jacobian (zoom²); without an 'area' field the bbox stand-in
+    0.53·w·h is used. LSP/MPII shards carry NO area key."""
+    from PIL import Image
+    path, _ = _coco_json(tmp_path)
+    recs = datasets.load_coco(path)
+    # Fixture annotation has no segmentation area → 0.53·50·170 bbox
+    # stand-in (documented fallback).
+    np.testing.assert_allclose(recs[0]["area"], 0.53 * 50 * 170,
+                               rtol=1e-6)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(np.zeros((200, 120, 3), np.uint8)).save(
+        d / "000000000003.jpg")
+    out = str(tmp_path / "shards_area")
+    datasets.coco_to_shards(path, str(d), out, out_size=64)
+    rec = pipeline.NpzShardSource(out)[0]
+    zoom = 64 / 212.0
+    np.testing.assert_allclose(rec["area"],
+                               0.53 * 50 * 170 * zoom * zoom, rtol=1e-4)
+
+    # Explicit segmentation area wins over the bbox stand-in.
+    import json
+    with open(path) as f:
+        data = json.load(f)
+    data["annotations"][0]["area"] = 1234.5
+    path2 = str(tmp_path / "with_area.json")
+    with open(path2, "w") as f:
+        json.dump(data, f)
+    np.testing.assert_allclose(datasets.load_coco(path2)[0]["area"],
+                               1234.5)
+
+
+def test_evaluate_oks_streaming(tmp_path):
+    """OKS protocol end-to-end over shards: finite mean OKS, the AP
+    ladder is monotone (ap50 ≥ ap ≥ ap95), cursor resume is a no-op on
+    a finished eval, and the 8-fake-device mesh matches single-device."""
+    from tpu_pose.api import PoseEstimator
+    from tpu_pose.parallel import eval as eval_lib
+    from tpu_pose.utils.config import CPMConfig
+
+    mat, xy, _ = _lsp_mat(tmp_path, "lsp_oks", n=4)
+    images_dir = _write_lsp_images(tmp_path, xy)
+    out = str(tmp_path / "shards_oks")
+    datasets.lsp_to_shards(mat, images_dir, out, out_size=64,
+                           shard_size=4)
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=CPMConfig(input_size=64, features=8,
+                                  stage1_head_width=16, refine_width=8,
+                                  num_stages=2))
+
+    def batches():
+        src = pipeline.NpzShardSource(out)
+        for start in (0, 2):
+            idx = range(start, start + 2)
+            yield {k: np.stack([src[i][k] for i in idx])
+                   for k in ("images", "gt_joints2d", "conf")}
+
+    ckpt = str(tmp_path / "oks_cursor.json")
+    res = eval_lib.evaluate_oks(est, batches(), checkpoint_path=ckpt,
+                                save_every=1)
+    assert res["num_frames"] == 4
+    assert 0.0 <= res["mean_oks"] <= 1.0
+    assert res["ap50"] >= res["ap"] >= res["per_threshold"][0.95]
+    assert set(res["per_threshold"]) == set(eval_lib.OKS_THRESHOLDS)
+    res2 = eval_lib.evaluate_oks(est, batches(), checkpoint_path=ckpt)
+    assert res2["num_frames"] == 4
+    np.testing.assert_allclose(res2["mean_oks"], res["mean_oks"])
+
+    from tpu_pose.parallel import mesh as mesh_lib
+    res_mesh = eval_lib.evaluate_oks(est, batches(),
+                                     mesh=mesh_lib.make_mesh())
+    assert res_mesh["num_frames"] == 4
+    np.testing.assert_allclose(res_mesh["mean_oks"], res["mean_oks"],
+                               atol=1e-5)
+
+    # A perfect decode scores OKS 1 / AP 1: feed the GT joints straight
+    # through a stub estimator.
+    class _Perfect:
+        def estimate_2d(self, images):
+            b = batches_list[_Perfect.i]
+            _Perfect.i += 1
+            return (None, b["gt_joints2d"], np.ones(
+                b["gt_joints2d"].shape[:2], np.float32))
+        i = 0
+    batches_list = list(batches())
+    res_p = eval_lib.evaluate_oks(_Perfect(), iter(batches_list))
+    assert res_p["mean_oks"] == 1.0 and res_p["ap"] == 1.0

@@ -106,3 +106,60 @@ def test_host_metric_twins_match_jnp():
         metrics.pckh_np(p2, g2, 0.5),
         np.asarray(metrics.pckh(jnp.asarray(p2), jnp.asarray(g2), 0.5)),
         rtol=1e-6)
+
+
+def test_oks_identity_known_value_and_mask():
+    """OKS = 1 at pred==gt; a single displaced joint contributes its
+    hand-computed exp term; unlabeled joints are excluded by the mask;
+    an all-unlabeled sample scores 0 (COCO δ(v>0) gate)."""
+    from tpu_pose.models import joints as joints_lib
+    rng = np.random.RandomState(3)
+    gt = rng.rand(2, 14, 2) * 100
+    area = np.array([80.0 * 180.0, 60.0 * 120.0])
+    np.testing.assert_allclose(metrics.oks_np(gt, gt, area), 1.0)
+
+    pred = gt.copy()
+    d = 7.0
+    pred[0, 4, 0] += d                      # displace r_wrist, sample 0
+    kappa = 2.0 * joints_lib.CPM_OKS_SIGMA[4]
+    expect = (13.0 + np.exp(-d * d / (2 * area[0] * kappa ** 2))) / 14.0
+    got = metrics.oks_np(pred, gt, area)
+    np.testing.assert_allclose(got[0], expect, rtol=1e-6)
+    np.testing.assert_allclose(got[1], 1.0)
+
+    # Masking the displaced joint out restores OKS 1; masking everything
+    # scores 0, not NaN.
+    mask = np.ones((2, 14))
+    mask[0, 4] = 0.0
+    np.testing.assert_allclose(metrics.oks_np(pred, gt, area, mask=mask),
+                               1.0)
+    assert metrics.oks_np(pred, gt, area,
+                          mask=np.zeros((2, 14)))[0] == 0.0
+
+
+def test_oks_larger_person_more_tolerant():
+    """The same pixel error scores higher OKS on a larger person — the
+    area normalization that distinguishes OKS from plain PCK."""
+    gt = np.tile(np.linspace(0, 100, 28).reshape(14, 2), (2, 1, 1))
+    pred = gt + 5.0
+    area = np.array([1000.0, 16000.0])
+    oks = metrics.oks_np(pred, gt, area)
+    assert oks[1] > oks[0]
+
+
+def test_keypoint_bbox_area_fallback():
+    """Fallback area = 0.53 × labeled-keypoint bbox; unlabeled joints do
+    not inflate the box."""
+    gt = np.zeros((1, 14, 2))
+    gt[0, :, 0] = np.linspace(10, 60, 14)    # width 50
+    gt[0, :, 1] = np.linspace(20, 120, 14)   # height 100
+    area = metrics.keypoint_bbox_area_np(gt)
+    np.testing.assert_allclose(area, 0.53 * 50 * 100, rtol=1e-6)
+    # Outlier joint masked out → box shrinks.
+    gt2 = gt.copy()
+    gt2[0, 13] = (1000.0, 1000.0)
+    mask = np.ones((1, 14))
+    mask[0, 13] = 0
+    np.testing.assert_allclose(
+        metrics.keypoint_bbox_area_np(gt2, mask),
+        0.53 * np.ptp(gt[0, :13, 0]) * np.ptp(gt[0, :13, 1]), rtol=1e-6)

@@ -286,6 +286,10 @@ def load_coco(json_path: str, person_category: int = 1) -> List[dict]:
         # person bbox height.
         headsize = (float(np.linalg.norm(joints[0] - joints[1]))
                     if conf[0] and conf[1] else 0.13 * float(h))
+        # OKS object scale s² — the annotation's segmentation area when
+        # present (what the official eval uses), else the conventional
+        # bbox stand-in 0.53·w·h (utils/metrics.keypoint_bbox_area_np).
+        area = float(ann.get("area", 0.53 * w * h))
         records.append({
             "image": name_of.get(ann["image_id"], str(ann["image_id"])),
             "center": np.array([x0 + w / 2.0, y0 + h / 2.0], np.float32),
@@ -294,6 +298,7 @@ def load_coco(json_path: str, person_category: int = 1) -> List[dict]:
             "conf": conf,
             "visible": visible,
             "headsize": headsize,
+            "area": area,
         })
     return records
 
@@ -432,7 +437,7 @@ def _records_to_shards(records: List[dict], images_dir: str,
     """Shared person-record → crop → shard loop for the MPII/COCO-style
     records (center + scale in MPII's height/200 unit): ONE copy of the
     crop/affine/headsize math so the converters cannot drift."""
-    images, out_j, out_c, out_hs = [], [], [], []
+    images, out_j, out_c, out_hs, out_area = [], [], [], [], []
     for r in records:
         img = _load_image(os.path.join(images_dir, r["image"]))
         side = float(r["scale"]) * 200.0 * margin
@@ -441,12 +446,19 @@ def _records_to_shards(records: List[dict], images_dir: str,
         out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
         out_c.append(r["conf"])
         out_hs.append(np.float32(r["headsize"] * zoom))
-    return pipeline.write_npz_shards(out_dir, {
+        if r.get("area") is not None:
+            # Areas transform by the crop affine's Jacobian (zoom²).
+            out_area.append(np.float32(r["area"] * zoom * zoom))
+    arrays = {
         "images": np.stack(images),
         "gt_joints2d": np.stack(out_j),
         "conf": np.stack(out_c),
         "headsize": np.asarray(out_hs, np.float32),
-    }, shard_size=shard_size)
+    }
+    if len(out_area) == len(records):   # COCO records carry OKS area
+        arrays["area"] = np.asarray(out_area, np.float32)
+    return pipeline.write_npz_shards(out_dir, arrays,
+                                     shard_size=shard_size)
 
 
 def mpii_to_shards(mat_path: str, images_dir: str, out_dir: str,

@@ -50,6 +50,19 @@ CPM_TO_SMPL = np.array(
 CPM_FLIP_PERM = np.array(
     [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10], dtype=np.int32)
 
+# COCO OKS per-keypoint falloff constants (σ_i), mapped into the CPM-14
+# convention. The COCO evaluation defines
+#   OKS = Σ_i δ(v_i>0)·exp(−d_i² / (2 s² κ_i²)) / Σ_i δ(v_i>0),
+# κ_i = 2σ_i, s² = object area. Source values are the official COCO
+# keypoint sigmas (nose .026, shoulders .079, elbows .072, wrists .062,
+# hips .107, knees .087, ankles .089); the two CPM joints COCO lacks use
+# the σ of the COCO keypoints they are synthesized from in the adapter
+# (data/datasets.py): head ≈ nose → .026, neck = shoulder midpoint →
+# .079. Used by utils/metrics.oks_np and parallel/eval.evaluate_oks.
+CPM_OKS_SIGMA = np.array(
+    [0.026, 0.079, 0.079, 0.072, 0.062, 0.079, 0.072, 0.062,
+     0.107, 0.087, 0.089, 0.107, 0.087, 0.089], dtype=np.float32)
+
 
 def select_smpl_joints(joints3d_smpl24: jnp.ndarray) -> jnp.ndarray:
     """(..., 24, 3) SMPL joints → (..., 14, 3) in CPM order, for the

@@ -338,3 +338,113 @@ def evaluate_pckh(
         c = state.joint_counts[j]
         out["per_joint"][name] = state.joint_hits[j] / c if c else 0.0
     return out
+
+
+# OKS AP thresholds: the COCO ladder 0.50:0.05:0.95.
+OKS_THRESHOLDS = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+
+
+@dataclasses.dataclass
+class EvalOKSState:
+    """Resumable accumulator for the OKS protocol (COCO keypoints)."""
+    cursor: int = 0
+    n: int = 0
+    sum_oks: float = 0.0
+    hits: list = dataclasses.field(
+        default_factory=lambda: [0.0] * len(OKS_THRESHOLDS))
+
+    def save(self, path: str):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "EvalOKSState":
+        if os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            if (set(d) == {f.name for f in dataclasses.fields(cls)}
+                    and len(d["hits"]) == len(OKS_THRESHOLDS)):
+                return cls(**d)
+        return cls()
+
+
+def evaluate_oks(
+    estimator,
+    batches: Iterator,          # dicts: images, gt_joints2d[, conf, area]
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    save_every: int = 10,
+):
+    """Streaming 2D-detector evaluation under the COCO OKS protocol.
+
+    Per sample, OKS (utils/metrics.oks_np — official per-keypoint
+    sigmas mapped to CPM-14, models/joints.CPM_OKS_SIGMA) between the
+    decoded joints and ``gt_joints2d``, gated by ``conf`` > 0 (the COCO
+    δ(v_i>0) term). The object scale s² is the batch's ``area`` (crop
+    pixels — ``data.datasets.coco_to_shards`` carries the annotation's
+    segmentation area through the crop affine) or, when absent, the
+    labeled-keypoint-bbox stand-in (metrics.keypoint_bbox_area_np).
+
+    Reports ``mean_oks`` plus the COCO threshold ladder: ``ap`` is the
+    mean over t ∈ 0.50:0.05:0.95 of the fraction of people with
+    OKS ≥ t, with ``ap50``/``ap75`` the usual named points. This is the
+    top-down simplification of COCO's detection AP: one hypothesis per
+    ground-truth person (the evaluator scores person-centric crops), so
+    matching is the identity and precision == recall — the convention
+    top-down pose papers use when boxes are given.
+
+    Same 1-deep pipeline + cursor-resume as :func:`evaluate_pckh`.
+    """
+    import numpy as np
+    state = (EvalOKSState.load(checkpoint_path) if checkpoint_path
+             else EvalOKSState())
+    run = (sharded_2d_fn(estimator, mesh) if mesh is not None
+           else (lambda im: estimator.estimate_2d(im)))
+    n_dev = mesh.devices.size if mesh is not None else 1
+
+    def accumulate(res, batch, n_real, batch_index):
+        pred = np.asarray(res[1], np.float64)[:n_real]
+        gt = np.asarray(batch["gt_joints2d"], np.float64)[:n_real]
+        mask = (np.asarray(batch["conf"])[:n_real] > 0
+                if "conf" in batch else np.ones(gt.shape[:2], bool))
+        area = (np.asarray(batch["area"], np.float64)[:n_real]
+                if "area" in batch
+                else metrics_lib.keypoint_bbox_area_np(gt, mask))
+        oks = metrics_lib.oks_np(pred, gt, area, mask=mask)
+        state.n += n_real
+        state.sum_oks += float(oks.sum())
+        for k, t in enumerate(OKS_THRESHOLDS):
+            state.hits[k] += float((oks >= t).sum())
+        state.cursor = batch_index + 1
+        if checkpoint_path and (batch_index + 1) % save_every == 0:
+            state.save(checkpoint_path)
+
+    pending = None
+    for i, batch in enumerate(batches):
+        if i < state.cursor:
+            continue
+        images = batch["images"]
+        n_real = int(images.shape[0])
+        if mesh is not None and n_real % n_dev != 0:
+            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
+        res = run(images)
+        if pending is not None:
+            accumulate(*pending)
+        pending = (res, batch, n_real, i)
+    if pending is not None:
+        accumulate(*pending)
+    if checkpoint_path:
+        state.save(checkpoint_path)
+
+    n = max(state.n, 1)
+    per_t = {t: state.hits[k] / n for k, t in enumerate(OKS_THRESHOLDS)}
+    return {
+        "mean_oks": state.sum_oks / n,
+        "ap": float(np.mean(list(per_t.values()))),
+        "ap50": per_t[0.5],
+        "ap75": per_t[0.75],
+        "per_threshold": per_t,
+        "num_frames": state.n,
+    }

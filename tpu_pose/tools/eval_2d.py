@@ -27,6 +27,10 @@ flags.DEFINE_string("smpl_pkl", "", "SMPL pickle — optional: the 2D "
 flags.DEFINE_float("threshold", 0.5, "PCK threshold (0.5 for MPII PCKh@0.5,\n                   0.2 for LSP PCK@0.2)")
 flags.DEFINE_enum("norm", "head", ["head", "torso"],
                   "protocol normalizer: head = MPII PCKh (headsize or\n                  head-neck proxy), torso = LSP PCK (l_shoulder-r_hip\n                  diameter)")
+flags.DEFINE_enum("protocol", "pck", ["pck", "oks"],
+                  "pck = threshold metric under --norm (MPII/LSP); "
+                  "oks = COCO OKS with AP@[.50:.05:.95] (uses the "
+                  "shards' area key when present)")
 flags.DEFINE_string("resume", "", "cursor-checkpoint path (json)")
 flags.DEFINE_boolean("refine_center", True, "in-graph person "
                      "localization")
@@ -64,13 +68,36 @@ def main(argv):
             est.smpl_model, FLAGS.batch, FLAGS.synthetic_batches,
             est.cpm_cfg)
     elif FLAGS.data_dir:
-        batches = pipeline.batches(
-            FLAGS.data_dir, FLAGS.batch,
-            keys=("images", "gt_joints2d", "conf", "headsize"))
+        keys = ["images", "gt_joints2d", "conf"]
+        if FLAGS.protocol == "oks":
+            # area is optional (COCO shards carry it; LSP/MPII don't —
+            # the evaluator falls back to the keypoint-bbox stand-in).
+            import glob
+
+            import numpy as np
+            first = sorted(glob.glob(os.path.join(FLAGS.data_dir,
+                                                  "*.npz")))
+            if first:
+                with np.load(first[0]) as z:
+                    if "area" in z.files:
+                        keys.append("area")
+        else:
+            keys.append("headsize")
+        batches = pipeline.batches(FLAGS.data_dir, FLAGS.batch,
+                                   keys=tuple(keys))
     else:
         raise app.UsageError("provide --data_dir or --synthetic_batches")
 
     mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    if FLAGS.protocol == "oks":
+        out = eval_lib.evaluate_oks(
+            est, batches, mesh=mesh,
+            checkpoint_path=FLAGS.resume or None)
+        print(f"frames={out['num_frames']}  "
+              f"meanOKS={out['mean_oks']:.3f}  "
+              f"AP={out['ap'] * 100:.1f}  AP50={out['ap50'] * 100:.1f}  "
+              f"AP75={out['ap75'] * 100:.1f}")
+        return
     out = eval_lib.evaluate_pckh(
         est, batches, mesh=mesh, threshold=FLAGS.threshold,
         norm=FLAGS.norm, checkpoint_path=FLAGS.resume or None)

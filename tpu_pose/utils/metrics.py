@@ -168,6 +168,57 @@ def scaled_mpjpe_np(pred, gt) -> "np.ndarray":
         pred_c * s[..., None, None] - gt_c, axis=-1).mean(-1)
 
 
+def oks_np(pred2d, gt2d, area, mask=None, sigmas=None) -> "np.ndarray":
+    """Object Keypoint Similarity (the COCO keypoint metric), host numpy.
+
+    ``OKS = Σ_i m_i·exp(−d_i² / (2·area·κ_i²)) / Σ_i m_i`` with
+    ``κ_i = 2σ_i`` and ``area`` the object's pixel area (s² in the COCO
+    formula). Sigmas default to the CPM-14 mapping of the official COCO
+    constants (models/joints.CPM_OKS_SIGMA).
+
+    pred2d/gt2d: (B, P, 2); area: (B,) pixel area; mask: (B, P) truthy =
+    labeled joint (the COCO δ(v_i>0) gate). Returns (B,) OKS in [0, 1];
+    a sample with no labeled joints scores 0.
+    """
+    import numpy as np
+    from tpu_pose.models import joints as joints_lib
+    pred2d = np.asarray(pred2d, np.float64)
+    gt2d = np.asarray(gt2d, np.float64)
+    area = np.asarray(area, np.float64)
+    if sigmas is None:
+        sigmas = joints_lib.CPM_OKS_SIGMA
+    kappa = 2.0 * np.asarray(sigmas, np.float64)
+    d2 = ((pred2d - gt2d) ** 2).sum(-1)                   # (B, P)
+    e = d2 / (2.0 * np.maximum(area[:, None], 1e-9) * kappa[None, :] ** 2)
+    ks = np.exp(-e)
+    if mask is None:
+        mask = np.ones(gt2d.shape[:2], np.float64)
+    m = np.asarray(mask, np.float64)
+    m = (m > 0).astype(np.float64)
+    return (ks * m).sum(-1) / np.maximum(m.sum(-1), 1.0)
+
+
+def keypoint_bbox_area_np(gt2d, mask=None,
+                          bbox_to_area: float = 0.53) -> "np.ndarray":
+    """Fallback OKS area when the annotation's segmentation area is
+    unavailable: axis-aligned bbox of the labeled GT keypoints ×
+    ``bbox_to_area`` (0.53 ≈ the mean person-segmentation/bbox area
+    ratio, the conventional bbox-only stand-in). gt2d: (B, P, 2) →
+    (B,) pixel area."""
+    import numpy as np
+    gt2d = np.asarray(gt2d, np.float64)
+    if mask is None:
+        m = np.ones(gt2d.shape[:2], bool)
+    else:
+        m = np.asarray(mask) > 0
+    out = np.zeros(gt2d.shape[0], np.float64)
+    for i in range(gt2d.shape[0]):
+        pts = gt2d[i][m[i]] if m[i].any() else gt2d[i]
+        lo, hi = pts.min(0), pts.max(0)
+        out[i] = float((hi[0] - lo[0]) * (hi[1] - lo[1])) * bbox_to_area
+    return np.maximum(out, 1e-9)
+
+
 def pckh_np(pred2d, gt2d, threshold: float = 0.5,
             head_a: int = 0, head_b: int = 1,
             headsize=None, mask=None) -> "np.ndarray":
