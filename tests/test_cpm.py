@@ -203,8 +203,10 @@ def test_estimate_person_geometry_recovers_center_and_extent():
 
 
 def test_crop_zoom_affine_semantics():
-    """_crop_zoom must implement crop_px = net_px·s + t: a bright square
-    at net p lands at p·s + t in the crop (traced affine, vmapped)."""
+    """_crop_zoom's TRUE index mapping is crop_idx = net_idx·s +
+    crop_index_translation(s, t) (scale_and_translate's half-integer
+    pixel-center convention): a bright square at net p lands there, and
+    joints_from_crop_frame inverts exactly that mapping."""
     size = 64
     img = np.zeros((2, size, size, 1), np.float32)
     p = np.array([[40.0, 24.0], [12.0, 50.0]])
@@ -212,14 +214,16 @@ def test_crop_zoom_affine_semantics():
         img[i, int(py) - 1:int(py) + 2, int(px) - 1:int(px) + 2] = 1.0
     s = jnp.asarray([1.5, 0.75])
     t = jnp.asarray([[-20.0, 5.0], [10.0, -6.0]])
+    t_idx = np.asarray(cpm.crop_index_translation(s, t))
     out = jax.jit(cpm._crop_zoom)(jnp.asarray(img), s, t)
     for i in range(2):
         o = np.asarray(out[i, ..., 0])
         iy, ix = np.unravel_index(np.argmax(o), o.shape)
-        want = p[i] * float(s[i]) + np.asarray(t[i])
+        want = p[i] * float(s[i]) + t_idx[i]
         np.testing.assert_allclose([ix, iy], want, atol=2.5)
-    # Inverse mapping round-trips.
-    j_crop = jnp.asarray(p)[:, None, :] * s[:, None, None] + t[:, None, :]
+    # Inverse mapping round-trips through the SAME index affine.
+    j_crop = (jnp.asarray(p)[:, None, :] * s[:, None, None]
+              + jnp.asarray(t_idx)[:, None, :])
     back = cpm.joints_from_crop_frame(j_crop, s, t)
     np.testing.assert_allclose(np.asarray(back)[:, 0], p, atol=1e-4)
 
@@ -234,10 +238,12 @@ def test_crop_affine_clamps_zoom():
     # tuned on the hard benchmark, see crop_affine_from_geometry).
     np.testing.assert_allclose(np.asarray(s), [3.0, 0.6 * 32 / 25.0],
                                rtol=1e-5)
-    # Center maps to frame center under the affine.
+    # Center maps to the frame center (S−1)/2 under the TRUE index
+    # affine (crop_index_translation).
+    t_idx = cpm.crop_index_translation(s, t)
     np.testing.assert_allclose(
-        np.asarray(centers * s[:, None] + t), [[32, 32], [32, 32]],
-        rtol=1e-5)
+        np.asarray(centers * s[:, None] + t_idx),
+        [[31.5, 31.5], [31.5, 31.5]], rtol=1e-5)
 
 
 def test_refine_scale_end_to_end_shapes(small_params):
@@ -304,3 +310,83 @@ def test_flip_tta_composes_with_refine_scale(small_params):
         refine_scale=True))(small_params, imgs)
     assert j.shape == (2, 14, 2) and c.shape == (2, 14)
     assert np.isfinite(np.asarray(j)).all()
+
+
+def test_scale_tta_noop_at_unit_scale(small_params):
+    """scale_tta entries of 1.0 are skipped — (1.0,) is byte-identical
+    to no TTA (the base pass already covers unit scale)."""
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    base = functools.partial(cpm.estimate_2d_from_images, cfg=SMALL)
+    hm0, j0, c0 = jax.jit(base)(small_params, imgs)
+    hm1, j1, c1 = jax.jit(functools.partial(base, scale_tta=(1.0,)))(
+        small_params, imgs)
+    np.testing.assert_array_equal(np.asarray(hm0), np.asarray(hm1))
+    np.testing.assert_array_equal(np.asarray(j0), np.asarray(j1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_scale_tta_shapes_heatmaps_and_effect(small_params):
+    """Multi-scale TTA jits, keeps the base pass's heatmaps, returns
+    finite merged joints that differ from the single pass (random
+    weights are not scale-equivariant)."""
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    base = functools.partial(cpm.estimate_2d_from_images, cfg=SMALL)
+    hm0, j0, _ = jax.jit(base)(small_params, imgs)
+    hm1, j1, c1 = jax.jit(functools.partial(
+        base, scale_tta=(0.75, 1.25)))(small_params, imgs)
+    np.testing.assert_array_equal(np.asarray(hm0), np.asarray(hm1))
+    assert j1.shape == (2, 14, 2) and c1.shape == (2, 14)
+    assert np.isfinite(np.asarray(j1)).all()
+    assert not np.allclose(np.asarray(j0), np.asarray(j1), atol=1e-3)
+
+
+def test_scale_tta_flip_cross_product_mirror_consistency(small_params):
+    """flip⊗scale TTA stays EXACTLY mirror-equivariant: the zoom is
+    centered at (S−1)/2 (the mirror fixed point in index space), so
+    centered zoom and horizontal flip commute and
+    TTA(flip(img)) == mirror(TTA(img)) for the full 4-pass merge."""
+    from tpu_pose.models.joints import CPM_FLIP_PERM
+    cfg = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
+    rng = np.random.RandomState(8)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+    fn = jax.jit(functools.partial(
+        cpm.estimate_2d_from_images, cfg=cfg, flip_tta=True,
+        scale_tta=(0.8,)))
+    _, j, c = fn(small_params, imgs)
+    _, jf, cf = fn(small_params, imgs[:, :, ::-1, :])
+    want = np.asarray(j).copy()
+    want[..., 0] = cfg.input_size - 1.0 - want[..., 0]
+    want = want[:, CPM_FLIP_PERM, :]
+    np.testing.assert_allclose(np.asarray(jf), want, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(cf),
+                               np.asarray(c)[:, CPM_FLIP_PERM], atol=1e-4)
+
+
+def test_scale_tta_microbatched_and_api(small_params):
+    """scale_tta flows through estimate_2d_microbatched chunking and the
+    PoseEstimator constructor/override plumbing."""
+    from tpu_pose.api import PoseEstimator
+    # f32 compute: bf16 conv rounding differs by batch shape, and random
+    # weights' near-flat heatmaps amplify it through soft-argmax.
+    cfg = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
+    rng = np.random.RandomState(9)
+    imgs = jnp.asarray(rng.randint(0, 255, (4, 64, 64, 3)), jnp.uint8)
+    whole = cpm.estimate_2d_microbatched(
+        small_params, imgs, cfg=cfg, chunk=0, scale_tta=(0.8,))
+    chunked = cpm.estimate_2d_microbatched(
+        small_params, imgs, cfg=cfg, chunk=2, scale_tta=(0.8,))
+    np.testing.assert_allclose(np.asarray(whole[1]),
+                               np.asarray(chunked[1]), atol=1e-3)
+
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=cfg,
+                                         scale_tta=(0.8,))
+    r = est.estimate_2d(imgs)
+    np.testing.assert_allclose(np.asarray(r.joints2d),
+                               np.asarray(whole[1]), atol=1e-3)
+    # Per-call override back to no TTA matches the plain path.
+    r0 = est.estimate_2d(imgs, scale_tta=())
+    plain = cpm.estimate_2d_microbatched(small_params, imgs, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(r0.joints2d),
+                               np.asarray(plain[1]), atol=1e-3)

@@ -124,6 +124,7 @@ class PoseEstimator:
                  refine_scale: bool = False,
                  scale_from_refined: bool = False,
                  flip_tta: bool = False,
+                 scale_tta: tuple = (),
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
                  cpm_microbatch: int = 0,
@@ -195,6 +196,14 @@ class PoseEstimator:
         # (models/cpm.py estimate_2d_from_images flip_tta). 2× CPM
         # FLOPs; accuracy mode.
         self.flip_tta = flip_tta
+        # Multi-scale TTA (the other half of the CPM eval protocol):
+        # tuple of centered-zoom factors, e.g. (0.8, 1.2); each runs the
+        # full pipeline and merges by confidence-weighted averaging
+        # (models/cpm.py estimate_2d_from_images scale_tta). Composes
+        # with flip_tta (full cross product). Single-person paths only —
+        # the multi-person path normalizes scale per hypothesis via its
+        # refine_scale crop instead.
+        self.scale_tta = tuple(float(s) for s in scale_tta)
         # True: aspect-preserving resize+pad preprocessing (the reference's
         # "resize → pad" contract); decoded joints come back in SOURCE
         # image pixels. Default False = square resize, network-frame px.
@@ -267,23 +276,26 @@ class PoseEstimator:
 
     def _estimate_2d_fn(self, refine_center: bool, letterbox: bool,
                         refine_scale: bool = False,
-                        flip_tta: Optional[bool] = None):
+                        flip_tta: Optional[bool] = None,
+                        scale_tta: Optional[tuple] = None):
         ft = self.flip_tta if flip_tta is None else flip_tta
-        key = (refine_center, letterbox, refine_scale, ft)
+        st = self.scale_tta if scale_tta is None else tuple(scale_tta)
+        key = (refine_center, letterbox, refine_scale, ft, st)
         if key not in self._estimate_2d_cache:
             self._estimate_2d_cache[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
                 chunk=self.cpm_microbatch,
                 refine_center=refine_center, refine_scale=refine_scale,
                 scale_from_refined=self.scale_from_refined,
-                flip_tta=ft, letterbox=letterbox))
+                flip_tta=ft, scale_tta=st, letterbox=letterbox))
         return self._estimate_2d_cache[key]
 
     def estimate_2d(self, images: jnp.ndarray,
                     refine_center: Optional[bool] = None,
                     refine_scale: Optional[bool] = None,
                     letterbox: Optional[bool] = None,
-                    flip_tta: Optional[bool] = None) -> Estimate2DResult:
+                    flip_tta: Optional[bool] = None,
+                    scale_tta: Optional[tuple] = None) -> Estimate2DResult:
         """Images (B, H, W, 3) uint8/float → heatmaps, 2D joints, conf.
 
         ``refine_center=True`` localizes the person from stage-1 beliefs
@@ -295,12 +307,14 @@ class PoseEstimator:
         via resize+pad and returns joints in SOURCE image pixels.
         ``flip_tta`` (default: the constructor setting) averages the
         original and mirrored passes — the CPM evaluation protocol
-        (2× CPM FLOPs)."""
+        (2× CPM FLOPs). ``scale_tta`` (default: the constructor setting)
+        additionally averages centered-zoom passes at the given factors
+        (the protocol's multi-scale half; composes with flip)."""
         _check_frames(images)
         lb = self.letterbox if letterbox is None else letterbox
         rs = self.refine_scale if refine_scale is None else refine_scale
         rc = self.refine_center if refine_center is None else refine_center
-        fn = self._estimate_2d_fn(rc, lb, rs, flip_tta)
+        fn = self._estimate_2d_fn(rc, lb, rs, flip_tta, scale_tta)
         hm, joints, conf = fn(self._params_for_batch(images.shape[0]),
                               images)
         return Estimate2DResult(hm, joints, conf)
@@ -360,7 +374,7 @@ class PoseEstimator:
             refine_center=self.refine_center,
             refine_scale=self.refine_scale,
             scale_from_refined=self.scale_from_refined,
-            flip_tta=self.flip_tta,
+            flip_tta=self.flip_tta, scale_tta=self.scale_tta,
             letterbox=self.letterbox, source_frame=False)
         if self.fit_restarts > 1:
             res = jax.vmap(lambda j, c: fit_lib.fit_smpl_multistart(
@@ -400,7 +414,7 @@ class PoseEstimator:
             chunk=self.cpm_microbatch, refine_center=self.refine_center,
             refine_scale=self.refine_scale,
             scale_from_refined=self.scale_from_refined,
-            flip_tta=self.flip_tta,
+            flip_tta=self.flip_tta, scale_tta=self.scale_tta,
             letterbox=self.letterbox, source_frame=False)
         from tpu_pose.fitting import temporal
         if mode == "smooth":
@@ -468,7 +482,7 @@ class PoseEstimator:
         # OOM'd before the chunked fit started).
         chunk2d = self.cpm_microbatch if self.cpm_microbatch > 0 else chunk
         key = ("stream2d", self.refine_center, self.refine_scale,
-               self.flip_tta, self.letterbox, chunk2d)
+               self.flip_tta, self.scale_tta, self.letterbox, chunk2d)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
@@ -476,7 +490,7 @@ class PoseEstimator:
                 refine_center=self.refine_center,
                 refine_scale=self.refine_scale,
                 scale_from_refined=self.scale_from_refined,
-                flip_tta=self.flip_tta,
+                flip_tta=self.flip_tta, scale_tta=self.scale_tta,
                 letterbox=self.letterbox, source_frame=False))
         _, joints_net, conf = self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), frames)
@@ -761,7 +775,7 @@ class PoseEstimator:
             chunk=self.cpm_microbatch, refine_center=self.refine_center,
             refine_scale=self.refine_scale,
             scale_from_refined=self.scale_from_refined,
-            flip_tta=self.flip_tta,
+            flip_tta=self.flip_tta, scale_tta=self.scale_tta,
             letterbox=self.letterbox, source_frame=False)
         conf = conf * pad_mask[:, None]
         res = temporal.fit_video_smooth(

@@ -99,7 +99,9 @@ def _build_fn(est, fn_name: str, params, **fn_kwargs):
                 refine_center=est.refine_center,
                 refine_scale=est.refine_scale,
                 scale_from_refined=est.scale_from_refined,
-                flip_tta=est.flip_tta, letterbox=est.letterbox)
+                flip_tta=est.flip_tta,
+                scale_tta=getattr(est, "scale_tta", ()),
+                letterbox=est.letterbox)
             return {"heatmaps": hm, "joints2d": joints, "conf": conf}
         return fn
     if fn_name == "estimate_and_fit":
@@ -279,6 +281,8 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
             "refine_center": bool(est.refine_center),
             "refine_scale": bool(est.refine_scale),
             "flip_tta": bool(est.flip_tta),
+            "scale_tta": [float(s) for s in
+                          getattr(est, "scale_tta", ())],
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
             "quantized_params": _params_quantized(params),
@@ -506,6 +510,8 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         "estimator": {
             "refine_scale": bool(est.refine_scale),
             "flip_tta": bool(est.flip_tta),
+            "scale_tta": [float(s) for s in
+                          getattr(est, "scale_tta", ())],
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
             "quantized_params": _params_quantized(params),
@@ -601,6 +607,8 @@ def export_video_stream(est, path: str, chunk: int = 64,
             "refine_center": bool(est.refine_center),
             "refine_scale": bool(est.refine_scale),
             "flip_tta": bool(est.flip_tta),
+            "scale_tta": [float(s) for s in
+                          getattr(est, "scale_tta", ())],
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
             "quantized_params": _params_quantized(params),

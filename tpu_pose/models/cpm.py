@@ -399,7 +399,8 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                             max_zoom: float = 3.0,
                             scale_from_refined: bool = False,
                             scale_iters: int = 1,
-                            flip_tta: bool = False):
+                            flip_tta: bool = False,
+                            scale_tta: tuple = ()):
     """Raw (possibly uint8) images → heatmaps + decoded joints, one traced
     program (SURVEY.md §3.1 rebuilt without the host boundary).
 
@@ -442,6 +443,19 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
     cell-corner convention; naively flipping heatmap columns before one
     decode would misalign the grid by stride−1 px. 2× CPM FLOPs;
     heatmaps returned are the unflipped pass's.
+
+    ``scale_tta``: multi-scale test-time augmentation — the other half
+    of the CPM-era evaluation protocol (the paper's benchmark numbers
+    average several image scales). Each entry s runs the FULL pipeline
+    on a centered zoom of the net frame (``_crop_zoom`` at scale s;
+    s < 1 shrinks the person, s > 1 enlarges) and its joints map back
+    through the inverse affine; all passes (base + scales, × mirrored
+    when ``flip_tta``) merge by the same confidence-weighted joint
+    averaging. s == 1.0 entries are skipped (the base pass covers
+    them). Cost: (1 + len(scales)) × (2 if flip_tta) × CPM FLOPs.
+    Heatmaps returned are the base pass's. Single-person paths only —
+    the multi-person path normalizes scale per hypothesis via its
+    refine_scale crop instead (estimate_2d_multi).
     """
     x = jax.vmap(lambda im: pre.preprocess(
         im, cfg.input_size, letterbox=letterbox))(images)
@@ -486,8 +500,11 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
                     centers, extent = person_geometry_from_joints(j1, c1)
                 else:
                     centers, extent = estimate_person_geometry(b1, cfg)
-                # Crop-frame geometry → net frame → new TOTAL affine.
-                centers_net = (centers - crop_t) / crop_s[..., None]
+                # Crop-frame geometry → net frame → new TOTAL affine
+                # (inverse of the TRUE index mapping, like
+                # joints_from_crop_frame).
+                centers_net = (centers - crop_index_translation(
+                    crop_s, crop_t)) / crop_s[..., None]
                 extent_net = extent / crop_s
                 crop_s, crop_t = crop_affine_from_geometry(
                     centers_net, extent_net, cfg,
@@ -528,18 +545,45 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         return heatmaps, joints, conf
 
     heatmaps, joints, conf = run_net(x)
-    if flip_tta:
+    scales = [float(s) for s in scale_tta if float(s) != 1.0]
+    if flip_tta or scales:
         from tpu_pose.models.joints import CPM_FLIP_PERM
-        _, j_f, c_f = run_net(x[:, :, ::-1, :])
-        # Mirror back: continuous pixel p ↔ (S−1)−p under jnp.flip
-        # (pixel centers at integers), then swap left/right channels.
-        j_f = j_f.at[..., 0].set(cfg.input_size - 1.0 - j_f[..., 0])
-        j_f = j_f[:, CPM_FLIP_PERM, :]
-        c_f = c_f[:, CPM_FLIP_PERM]
-        w = conf + c_f + 1e-8
-        joints = (joints * conf[..., None] + j_f * c_f[..., None]) / (
-            w[..., None])
-        conf = 0.5 * (conf + c_f)
+
+        def mirror_back(j, c):
+            # Continuous pixel p ↔ (S−1)−p under jnp.flip (pixel centers
+            # at integers), then swap left/right channels.
+            j = j.at[..., 0].set(cfg.input_size - 1.0 - j[..., 0])
+            return j[:, CPM_FLIP_PERM, :], c[:, CPM_FLIP_PERM]
+
+        b = x.shape[0]
+        # t = (S/2)(1−s) puts the zoom's TRUE index-space fixed point at
+        # (S−1)/2 — the mirror fixed point — so centered zoom and
+        # horizontal flip commute EXACTLY (verified empirically on
+        # scale_and_translate) and flip⊗scale TTA stays
+        # mirror-equivariant by construction (tested).
+        half = cfg.input_size / 2.0
+        # (input, affine) per TTA view; affine None = identity.
+        views = [(x, None, None)]
+        for s in scales:
+            sv = jnp.full((b,), s, jnp.float32)
+            tv = jnp.full((b, 2), half * (1.0 - s), jnp.float32)
+            views.append((_crop_zoom(x, sv, tv), sv, tv))
+        passes = [(joints, conf)]
+        for i, (xv, sv, tv) in enumerate(views):
+            if i > 0:
+                _, j_s, c_s = run_net(xv)
+                passes.append((joints_from_crop_frame(j_s, sv, tv), c_s))
+            if flip_tta:
+                _, j_f, c_f = run_net(xv[:, :, ::-1, :])
+                j_f, c_f = mirror_back(j_f, c_f)
+                if sv is not None:
+                    j_f = joints_from_crop_frame(j_f, sv, tv)
+                passes.append((j_f, c_f))
+        js = jnp.stack([j for j, _ in passes])        # (N, B, P, 2)
+        cs = jnp.stack([c for _, c in passes])        # (N, B, P)
+        joints = (jnp.sum(js * cs[..., None], 0)
+                  / (jnp.sum(cs, 0) + 1e-8)[..., None])
+        conf = jnp.mean(cs, 0)
     if letterbox and source_frame:
         affine = pre.letterbox_affine(
             images.shape[1], images.shape[2], cfg.input_size)
@@ -589,17 +633,30 @@ def person_geometry_from_joints(joints: jnp.ndarray, conf: jnp.ndarray):
     return centers, extent
 
 
+def crop_index_translation(s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """``jax.image.scale_and_translate``'s ``translation`` parameter is
+    defined in the half-integer pixel-CENTER convention, so the TRUE
+    index-space content mapping of :func:`_crop_zoom` is
+    ``crop_idx = net_idx · s + (t + 0.5·(s − 1))`` (verified empirically:
+    a delta at index i lands at exactly that coordinate, and mirror
+    commutation holds only under it). Every joint↔crop conversion must
+    use THIS translation; using the raw ``t`` biases mapped-back joints
+    by 0.5·(s−1) px (≈1 px at max_zoom 3)."""
+    return t + 0.5 * (s[..., None] - 1.0)
+
+
 def crop_affine_from_geometry(centers: jnp.ndarray, extent_px: jnp.ndarray,
                               cfg: CPMConfig = CPMConfig(),
                               target_frac: float = 0.6,
                               max_zoom: float = 3.0,
                               min_zoom: float = 0.5):
-    """(centers, extent) → per-image crop affine (s, t) with
-    ``crop_px = net_px · s + t``: zoom chosen so the person's extent maps
-    to ``target_frac`` of the half-frame and the center maps to the
-    frame center. Zoom is clamped to [min_zoom, max_zoom] — a
-    missing/degenerate detection must not explode the resample.
-    Returns (s (B,), t (B, 2)).
+    """(centers, extent) → per-image crop affine (s, t) for
+    :func:`_crop_zoom` (index mapping ``crop_idx = net_idx · s +
+    crop_index_translation(s, t)``): zoom chosen so the person's extent
+    maps to ``target_frac`` of the half-frame and the center maps to the
+    frame center (S−1)/2 in index space. Zoom is clamped to
+    [min_zoom, max_zoom] — a missing/degenerate detection must not
+    explode the resample. Returns (s (B,), t (B, 2)).
 
     The 0.6 default deliberately UNDERSHOOTS the 0.8 training scale:
     geometry noise that underestimates the extent then still leaves the
@@ -610,7 +667,9 @@ def crop_affine_from_geometry(centers: jnp.ndarray, extent_px: jnp.ndarray,
     half = cfg.input_size / 2.0
     s = target_frac * half / jnp.maximum(extent_px, 1e-3)
     s = jnp.clip(s, min_zoom, max_zoom)
-    t = half - centers * s[..., None]
+    # center ↦ (S−1)/2 under the TRUE index mapping:
+    # c·s + t + 0.5(s−1) = (S−1)/2  ⇒  t = S/2 − (c + 0.5)·s.
+    t = half - (centers + 0.5) * s[..., None]
     return s, t
 
 
@@ -643,8 +702,10 @@ def _crop_zoom(images_net: jnp.ndarray, s: jnp.ndarray, t: jnp.ndarray,
 def joints_from_crop_frame(joints_crop: jnp.ndarray, s: jnp.ndarray,
                            t: jnp.ndarray) -> jnp.ndarray:
     """Map (B, P, 2) crop-frame joints back to the network frame through
-    the inverse crop affine."""
-    return (joints_crop - t[..., None, :]) / s[..., None, None]
+    the inverse of :func:`_crop_zoom`'s TRUE index affine
+    (:func:`crop_index_translation` — NOT the raw ``t``)."""
+    t_idx = crop_index_translation(s, t)
+    return (joints_crop - t_idx[..., None, :]) / s[..., None, None]
 
 
 def person_evidence(stage1_beliefs: jnp.ndarray,

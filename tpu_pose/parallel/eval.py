@@ -199,6 +199,7 @@ def sharded_2d_fn(estimator, mesh):
             refine_scale=estimator.refine_scale,
             scale_from_refined=estimator.scale_from_refined,
             flip_tta=estimator.flip_tta,
+            scale_tta=getattr(estimator, "scale_tta", ()),
             letterbox=estimator.letterbox),
         in_shardings=(repl, batch_s), out_shardings=batch_s)
     # The f32/bf16 param set, matching sharded_fused_fn (eval favors

@@ -38,6 +38,8 @@ flags.DEFINE_boolean("refine_scale", False, "crop/zoom scale "
                      "normalization second pass")
 flags.DEFINE_boolean("flip_tta", False, "horizontal-flip test-time "
                      "augmentation")
+flags.DEFINE_list("scale_tta", [], "multi-scale TTA zoom factors, e.g. "
+                  "0.8,1.2 (composes with --flip_tta)")
 
 
 def main(argv):
@@ -50,7 +52,8 @@ def main(argv):
     from tpu_pose.parallel import mesh as mesh_lib
 
     kw = dict(refine_center=FLAGS.refine_center,
-              refine_scale=FLAGS.refine_scale, flip_tta=FLAGS.flip_tta)
+              refine_scale=FLAGS.refine_scale, flip_tta=FLAGS.flip_tta,
+              scale_tta=tuple(float(s) for s in FLAGS.scale_tta))
     if FLAGS.cpm_npz and FLAGS.smpl_pkl:
         est = PoseEstimator.from_files(FLAGS.cpm_npz, FLAGS.smpl_pkl,
                                        **kw)

@@ -293,6 +293,11 @@ def main(argv):
         hard_eval("hard_refine_center", (0.45, 0.95), refine_center=True)
         hard_eval("hard_rc_flip_tta", (0.45, 0.95), refine_center=True,
                   flip_tta=True)
+        # Multi-scale TTA (the CPM eval protocol's other half) on top of
+        # the best single-pass configuration: 6 passes (3 scales × flip).
+        hard_eval("hard_rc_flip_scale_tta", (0.45, 0.95),
+                  refine_center=True, flip_tta=True,
+                  scale_tta=(0.8, 1.25))
         # (b) scale robustness: full 0.3–1.0 sweep, fixed-scale baseline,
         # and the crop/zoom second pass (done-criterion: refine_scale
         # within ~1.2× of the fixed-scale baseline).
