@@ -277,6 +277,20 @@ def main():
             f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
             f"(mean batch {snap['mean_batch']:.1f})")
 
+        # Config 7: ACCURACY-mode fused throughput — the configuration
+        # the hard-benchmark accuracy table recommends (refine_center +
+        # flip TTA + 2-scale TTA ≈ 6 CPM passes/frame). Quantifies what
+        # the accuracy levers cost in frames/s next to the headline.
+        est_acc = PoseEstimator(
+            est.cpm_params, est.smpl_model, est.prior, est.cpm_cfg,
+            est.fit_cfg, refine_center=True, flip_tta=True,
+            scale_tta=(0.8, 1.25))
+        b_acc = 32 if args.quick else 64
+        dt = timeit(est_acc.estimate_and_fit, images(b_acc),
+                    iters=max(1, titers - 2), warmup=1)
+        log(f"config7 accuracy-mode fused b={b_acc} (rc+flip+2-scale "
+            f"TTA): {dt*1e3:.0f} ms -> {b_acc/dt:.1f} frames/s")
+
         # share_trunk training-from-scratch layout (non-reference arch;
         # informational — the headline stays on the reference layout).
         from tpu_pose.utils.config import CPMConfig

@@ -298,6 +298,15 @@ def main(argv):
         hard_eval("hard_rc_flip_scale_tta", (0.45, 0.95),
                   refine_center=True, flip_tta=True,
                   scale_tta=(0.8, 1.25))
+        # int8 serving precision on the hard set: the serving-accuracy
+        # honesty check (easy-set decode drift was 0.90 px; this is the
+        # same question on realistic frames). Calibrated static scales,
+        # int8 forced for every batch size.
+        cal = sh.make_hard_examples(model, 16, cfg, seed=777,
+                                    scale_range=(0.45, 0.95))["images"]
+        hard_eval("hard_rc_int8_calibrated", (0.45, 0.95),
+                  refine_center=True, quantize=True,
+                  calibration_images=jnp.asarray(cal), int8_min_batch=0)
         # (b) scale robustness: full 0.3–1.0 sweep, fixed-scale baseline,
         # and the crop/zoom second pass (done-criterion: refine_scale
         # within ~1.2× of the fixed-scale baseline).
