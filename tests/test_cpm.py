@@ -351,17 +351,20 @@ def test_scale_tta_flip_cross_product_mirror_consistency(small_params):
     cfg = CPMConfig(**{**SMALL.__dict__, "compute_dtype": "float32"})
     rng = np.random.RandomState(8)
     imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
-    fn = jax.jit(functools.partial(
-        cpm.estimate_2d_from_images, cfg=cfg, flip_tta=True,
-        scale_tta=(0.8,)))
-    _, j, c = fn(small_params, imgs)
-    _, jf, cf = fn(small_params, imgs[:, :, ::-1, :])
-    want = np.asarray(j).copy()
-    want[..., 0] = cfg.input_size - 1.0 - want[..., 0]
-    want = want[:, CPM_FLIP_PERM, :]
-    np.testing.assert_allclose(np.asarray(jf), want, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(cf),
-                               np.asarray(c)[:, CPM_FLIP_PERM], atol=1e-4)
+    for extra in ({}, {"refine_scale": True}):
+        fn = jax.jit(functools.partial(
+            cpm.estimate_2d_from_images, cfg=cfg, flip_tta=True,
+            scale_tta=(0.8,), **extra))
+        _, j, c = fn(small_params, imgs)
+        _, jf, cf = fn(small_params, imgs[:, :, ::-1, :])
+        want = np.asarray(j).copy()
+        want[..., 0] = cfg.input_size - 1.0 - want[..., 0]
+        want = want[:, CPM_FLIP_PERM, :]
+        np.testing.assert_allclose(np.asarray(jf), want, atol=1e-2,
+                                   err_msg=str(extra))
+        np.testing.assert_allclose(np.asarray(cf),
+                                   np.asarray(c)[:, CPM_FLIP_PERM],
+                                   atol=1e-4, err_msg=str(extra))
 
 
 def test_scale_tta_microbatched_and_api(small_params):

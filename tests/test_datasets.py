@@ -611,3 +611,37 @@ def test_evaluate_oks_streaming(tmp_path):
     batches_list = list(batches())
     res_p = eval_lib.evaluate_oks(_Perfect(), iter(batches_list))
     assert res_p["mean_oks"] == 1.0 and res_p["ap"] == 1.0
+
+
+def test_evaluate_pck_torso_norm_requires_endpoint_joints(tmp_path):
+    """Samples whose torso-normalizer endpoints (l_shoulder CPM 5 /
+    r_hip CPM 8) are unannotated are EXCLUDED under norm='torso' — an
+    unlabeled endpoint sits at the loader's (0, 0) sentinel and would
+    produce a garbage diameter. Head norm still scores them."""
+    from tpu_pose.parallel import eval as eval_lib
+
+    gt_row = np.zeros((14, 2), np.float32)
+    gt_row[0] = (0, 0)
+    gt_row[1] = (0, 10)
+    gt_row[5] = (0, 30)
+    gt_row[8] = (40, 60)
+    gt = np.tile(gt_row[None], (3, 1, 1))
+    conf = np.ones((3, 14), np.float32)
+    conf[1, 8] = 0.0                    # sample 1: r_hip unlabeled
+    conf[2, 5] = 0.0                    # sample 2: l_shoulder unlabeled
+
+    class FakeEst:
+        def estimate_2d(self, images):
+            pred = gt.copy()
+            pred[:, 3, 0] += 12.0       # inside torso thresh, outside head
+            return None, pred, np.ones((3, 14), np.float32)
+
+    batch = {"images": np.zeros((3, 8, 8, 3), np.uint8),
+             "gt_joints2d": gt, "conf": conf}
+    out_t = eval_lib.evaluate_pckh(FakeEst(), iter([batch]),
+                                   threshold=0.5, norm="torso")
+    assert out_t["num_frames"] == 1      # only the fully-normalizable one
+    np.testing.assert_allclose(out_t["pckh"], 1.0)
+    out_h = eval_lib.evaluate_pckh(FakeEst(), iter([batch]),
+                                   threshold=0.5, norm="head")
+    assert out_h["num_frames"] == 3      # head norm keeps all samples

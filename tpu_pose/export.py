@@ -281,8 +281,14 @@ def export_estimator(est, path: str, fn: str = "estimate_and_fit",
             "refine_center": bool(est.refine_center),
             "refine_scale": bool(est.refine_scale),
             "flip_tta": bool(est.flip_tta),
-            "scale_tta": [float(s) for s in
-                          getattr(est, "scale_tta", ())],
+            # Manifest records what the PROGRAM does: scale TTA runs
+            # only on the single-person image front ends (the multi
+            # path normalizes scale per hypothesis; fit_smpl has no
+            # CPM at all).
+            "scale_tta": ([float(s) for s in
+                           getattr(est, "scale_tta", ())]
+                          if fn in ("estimate_2d", "estimate_and_fit",
+                                    "estimate_and_fit_video") else []),
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
             "quantized_params": _params_quantized(params),
@@ -510,8 +516,9 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         "estimator": {
             "refine_scale": bool(est.refine_scale),
             "flip_tta": bool(est.flip_tta),
-            "scale_tta": [float(s) for s in
-                          getattr(est, "scale_tta", ())],
+            # The multi-person program never applies scale TTA
+            # (per-hypothesis refine_scale covers it).
+            "scale_tta": [],
             "letterbox": bool(est.letterbox),
             "fit_restarts": int(est.fit_restarts),
             "quantized_params": _params_quantized(params),

@@ -465,9 +465,19 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
         cm = pre.gaussian_center_map(cfg.input_size, cfg.center_sigma)
         return jnp.broadcast_to(cm, (n, *cm.shape))
 
-    def run_net(xn):
+    def run_net(xn, base=None, view_affine=None):
         """Stage 1 → (refine_scale crop) → refinement stages → decode,
-        on one preprocessed net-frame batch. Joints in net-frame px."""
+        on one preprocessed net-frame batch.
+
+        ``base``/``view_affine``: when ``xn`` is a TTA view (a centered
+        zoom of ``base`` under ``view_affine = (s, t)``), refine_scale
+        COMPOSES the view affine into its crop instead of cropping the
+        already-resampled view — resampling happens once from ``base``
+        and the max_zoom clamp bounds the TOTAL zoom (a TTA view must
+        not multiply past it). With a view affine + refine_scale the
+        returned joints are in the BASE net frame (the total affine is
+        inverted here); otherwise they are in ``xn``'s frame.
+        """
         trunk1, b1 = _stage1_forward(conv, xn)
         rc = refine_center
         crop_s = crop_t = None
@@ -480,10 +490,13 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
             # Round 2+ sees a person already near training scale, so its
             # geometry estimate is much sharper — this is what rescues
             # the smallest people.
-            x0 = xn
+            x0 = xn if base is None else base
             b = xn.shape[0]
-            crop_s = jnp.ones((b,), jnp.float32)
-            crop_t = jnp.zeros((b, 2), jnp.float32)
+            if view_affine is None:
+                crop_s = jnp.ones((b,), jnp.float32)
+                crop_t = jnp.zeros((b, 2), jnp.float32)
+            else:
+                crop_s, crop_t = view_affine
             for it in range(max(1, scale_iters)):
                 if it == 0 and scale_from_refined and cfg.num_stages > 1:
                     # Geometry from the FULL refined decode of pass 1
@@ -568,15 +581,27 @@ def estimate_2d_from_images(params: Params, images: jnp.ndarray,
             sv = jnp.full((b,), s, jnp.float32)
             tv = jnp.full((b, 2), half * (1.0 - s), jnp.float32)
             views.append((_crop_zoom(x, sv, tv), sv, tv))
+        xm = x[:, :, ::-1, :] if flip_tta else None
         passes = [(joints, conf)]
         for i, (xv, sv, tv) in enumerate(views):
+            aff = None if sv is None else (sv, tv)
+            # With refine_scale, run_net composes the view affine into
+            # its crop and returns BASE-frame joints itself; otherwise
+            # joints come back in the view frame and map here.
+            unscale = (aff is not None) and not refine_scale
             if i > 0:
-                _, j_s, c_s = run_net(xv)
-                passes.append((joints_from_crop_frame(j_s, sv, tv), c_s))
+                _, j_s, c_s = run_net(xv, base=x, view_affine=aff)
+                if unscale:
+                    j_s = joints_from_crop_frame(j_s, sv, tv)
+                passes.append((j_s, c_s))
             if flip_tta:
-                _, j_f, c_f = run_net(xv[:, :, ::-1, :])
+                # mirror(zoom(x)) == zoom(mirror(x)) exactly (centered
+                # zoom commutes with the mirror), so the mirrored view's
+                # base is mirror(x) under the SAME view affine.
+                _, j_f, c_f = run_net(xv[:, :, ::-1, :], base=xm,
+                                      view_affine=aff)
                 j_f, c_f = mirror_back(j_f, c_f)
-                if sv is not None:
+                if unscale:
                     j_f = joints_from_crop_frame(j_f, sv, tv)
                 passes.append((j_f, c_f))
         js = jnp.stack([j for j, _ in passes])        # (N, B, P, 2)

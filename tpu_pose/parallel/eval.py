@@ -73,6 +73,39 @@ class EvalState:
         return cls()
 
 
+
+def _stream_eval(run, batches, state, accumulate, mesh,
+                 checkpoint_path: Optional[str]) -> None:
+    """Shared streaming driver for every evaluator: 1-deep software
+    pipeline (dispatch batch i+1's device program BEFORE accumulating
+    batch i's host metrics, so host work and the i+1 input transfer
+    overlap device compute — JAX dispatch is async; accumulate()'s
+    device_get is the synchronization point), cursor resume, and
+    device-count padding for the sharded path. Measured on v5e via axon
+    (3×128 synthetic frames): 125 → 172 frames/s vs the round-1
+    serialized loop. ONE copy so the pipeline/resume/padding semantics
+    cannot drift between the 3D, PCK, and OKS evaluators."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    pending = None
+    for i, batch in enumerate(batches):
+        if i < state.cursor:
+            continue  # resume: skip already-accumulated batches
+        images = batch["images"]
+        n_real = int(images.shape[0])
+        if mesh is not None and n_real % n_dev != 0:
+            # Uneven final batch: edge-pad up to the device count so the
+            # sharded program's static shape holds, slice results back.
+            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
+        res = run(images)
+        if pending is not None:
+            accumulate(*pending)
+        pending = (res, batch, n_real, i)
+    if pending is not None:
+        accumulate(*pending)
+    if checkpoint_path:
+        state.save(checkpoint_path)
+
+
 def evaluate_h36m_style(
     estimator,
     batches: Iterator,          # yields dicts: images (B,H,W,3), gt_joints3d
@@ -110,8 +143,6 @@ def evaluate_h36m_style(
     run = (sharded_fused_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_and_fit(im)))
 
-    n_dev = mesh.devices.size if mesh is not None else 1
-
     import numpy as np
 
     def accumulate(res, batch, n_real, batch_index):
@@ -139,35 +170,11 @@ def evaluate_h36m_style(
         if checkpoint_path and (batch_index + 1) % save_every == 0:
             state.save(checkpoint_path)
 
-    # One-deep software pipeline: dispatch batch i+1's device program
-    # BEFORE accumulating batch i's metrics, so host metric work (and the
-    # input transfer of i+1) overlaps device compute — JAX dispatch is
-    # async; accumulate()'s transfer is the synchronization point.
-    # Measured on v5e via axon (3×128 synthetic frames): 125 → 172
-    # frames/s vs the round-1 serialized loop. Steady state here is
-    # BOUND BY THE HOST→DEVICE IMAGE TRANSFER: the axon tunnel moves
-    # ~41 MB/s (measured), so a 52 MB uint8 batch costs ~0.6 s against
-    # 0.18 s of compute; on a real PCIe host link the same loop is
-    # compute-bound (~690 frames/s).
-    pending = None
-    for i, batch in enumerate(batches):
-        if i < state.cursor:
-            continue  # resume: skip already-accumulated batches
-        images = batch["images"]
-        n_real = int(images.shape[0])
-        if mesh is not None and n_real % n_dev != 0:
-            # Uneven final batch: edge-pad up to the device count so the
-            # sharded program's static shape holds, slice results back.
-            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
-        res = run(images)
-        if pending is not None:
-            accumulate(*pending)
-        pending = (res, batch, n_real, i)
-    if pending is not None:
-        accumulate(*pending)
-
-    if checkpoint_path:
-        state.save(checkpoint_path)
+    # Steady state HERE is bound by the host→device image transfer (the
+    # axon tunnel moves ~41 MB/s measured: a 52 MB uint8 batch costs
+    # ~0.6 s against 0.18 s of compute); on a real PCIe host link the
+    # same loop is compute-bound (~690 frames/s).
+    _stream_eval(run, batches, state, accumulate, mesh, checkpoint_path)
     n = max(state.n, 1)
     out = {
         "mpjpe_p1": state.sum_mpjpe_p1 / n,
@@ -280,7 +287,6 @@ def evaluate_pckh(
         state = Eval2DState(norm=norm)   # protocol change: start fresh
     run = (sharded_2d_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_2d(im)))
-    n_dev = mesh.devices.size if mesh is not None else 1
 
     def accumulate(res, batch, n_real, batch_index):
         # Both paths return (heatmaps, joints2d, conf): Estimate2DResult
@@ -291,7 +297,16 @@ def evaluate_pckh(
                     if "headsize" in batch else None)
         mask = (np.asarray(batch["conf"])[:n_real] > 0
                 if "conf" in batch else np.ones(gt.shape[:2], bool))
-        state.n += n_real
+        if norm == "torso":
+            # The torso normalizer needs BOTH endpoint joints annotated:
+            # an unlabeled l_shoulder/r_hip sits at the loader's (0, 0)
+            # sentinel and would yield a garbage diameter — exclude the
+            # sample (the protocol's treatment), don't score it.
+            valid = mask[:, 5] & mask[:, 8]
+            pred, gt, mask = pred[valid], gt[valid], mask[valid]
+            if headsize is not None:
+                headsize = headsize[valid]
+        state.n += int(gt.shape[0])
         # One hit/mask computation feeds BOTH accumulators — the overall
         # PCKh is exactly the masked per-example mean of these hits
         # (numerically identical to metrics_lib.pckh_np; tested).
@@ -314,22 +329,7 @@ def evaluate_pckh(
         if checkpoint_path and (batch_index + 1) % save_every == 0:
             state.save(checkpoint_path)
 
-    pending = None
-    for i, batch in enumerate(batches):
-        if i < state.cursor:
-            continue
-        images = batch["images"]
-        n_real = int(images.shape[0])
-        if mesh is not None and n_real % n_dev != 0:
-            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
-        res = run(images)
-        if pending is not None:
-            accumulate(*pending)
-        pending = (res, batch, n_real, i)
-    if pending is not None:
-        accumulate(*pending)
-    if checkpoint_path:
-        state.save(checkpoint_path)
+    _stream_eval(run, batches, state, accumulate, mesh, checkpoint_path)
 
     out = {"pckh": state.sum_pckh / max(state.n, 1),
            "num_frames": state.n,
@@ -403,7 +403,6 @@ def evaluate_oks(
              else EvalOKSState())
     run = (sharded_2d_fn(estimator, mesh) if mesh is not None
            else (lambda im: estimator.estimate_2d(im)))
-    n_dev = mesh.devices.size if mesh is not None else 1
 
     def accumulate(res, batch, n_real, batch_index):
         pred = np.asarray(res[1], np.float64)[:n_real]
@@ -422,22 +421,7 @@ def evaluate_oks(
         if checkpoint_path and (batch_index + 1) % save_every == 0:
             state.save(checkpoint_path)
 
-    pending = None
-    for i, batch in enumerate(batches):
-        if i < state.cursor:
-            continue
-        images = batch["images"]
-        n_real = int(images.shape[0])
-        if mesh is not None and n_real % n_dev != 0:
-            images, _ = mesh_lib.pad_to_multiple(images, n_dev)
-        res = run(images)
-        if pending is not None:
-            accumulate(*pending)
-        pending = (res, batch, n_real, i)
-    if pending is not None:
-        accumulate(*pending)
-    if checkpoint_path:
-        state.save(checkpoint_path)
+    _stream_eval(run, batches, state, accumulate, mesh, checkpoint_path)
 
     n = max(state.n, 1)
     per_t = {t: state.hits[k] / n for k, t in enumerate(OKS_THRESHOLDS)}

@@ -75,15 +75,10 @@ def main(argv):
         if FLAGS.protocol == "oks":
             # area is optional (COCO shards carry it; LSP/MPII don't —
             # the evaluator falls back to the keypoint-bbox stand-in).
-            import glob
-
-            import numpy as np
-            first = sorted(glob.glob(os.path.join(FLAGS.data_dir,
-                                                  "*.npz")))
-            if first:
-                with np.load(first[0]) as z:
-                    if "area" in z.files:
-                        keys.append("area")
+            # Shard-layout knowledge stays in the pipeline's source.
+            src = pipeline.NpzShardSource(FLAGS.data_dir)
+            if len(src) and "area" in src[0]:
+                keys.append("area")
         else:
             keys.append("headsize")
         batches = pipeline.batches(FLAGS.data_dir, FLAGS.batch,

@@ -58,7 +58,15 @@ def _rot_scale(img, joints, rng, rot_deg, scale_jit):
     fwd = np.array([[cos, -sin], [sin, cos]]) * s
     inv = np.linalg.inv(fwd)
     # PIL transform maps OUTPUT → INPUT: x_in = a·x' + b·y' + off.
-    off = np.array([c, c]) - inv @ np.array([c, c])
+    # PIL's coordinates are in the half-integer CORNER convention
+    # (pixel i spans [i, i+1), sampled at i+0.5), so the rotation
+    # center there is c + 0.5 = size/2 — while the joints below rotate
+    # about c = (size−1)/2 in the integer pixel-center convention.
+    # Using c for both misaligned image vs joints by (fwd−I)·(½,½) px
+    # (~0.37 px at 30°): the same half-pixel convention class as
+    # cpm.crop_index_translation, verified the same delta-marker way.
+    cp = np.array([c + 0.5, c + 0.5])
+    off = cp - inv @ cp
     coeffs = (inv[0, 0], inv[0, 1], off[0], inv[1, 0], inv[1, 1], off[1])
     out = np.asarray(Image.fromarray(img).transform(
         (size, size), Image.AFFINE, coeffs, resample=Image.BILINEAR,
