@@ -466,3 +466,60 @@ def test_cross_lowering_tpu_from_cpu_host(est, tmp_path):
     # Loading parses the artifact even off-TPU (execution would need one).
     prog = pexport.load(path)
     assert prog.platforms == ("tpu",)
+
+
+def test_inspect_artifact(est, tmp_path):
+    """inspect_artifact summarizes without deserializing: ok=True on an
+    intact artifact, per-program sizes + sha status; corruption and a
+    missing blob flip ok to False; works on streaming artifacts' two
+    programs too."""
+    path = str(tmp_path / "insp")
+    pexport.export_estimator(est, path, fn="estimate_2d", batch=2)
+    info = pexport.inspect_artifact(path)
+    assert info["ok"] and info["fn"] == "estimate_2d"
+    assert info["programs"]["program.bin"]["bytes"] > 0
+    assert info["programs"]["program.bin"]["sha256_ok"]
+    assert info["estimator"]["scale_tta"] == []
+    assert "joints2d" in info["outputs"]
+
+    # Corrupt one byte → sha mismatch surfaces as ok=False (no raise:
+    # inspection is a preflight, not a load).
+    import os
+    p = os.path.join(path, "program.bin")
+    blob = bytearray(open(p, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    info2 = pexport.inspect_artifact(path)
+    assert not info2["ok"]
+    assert not info2["programs"]["program.bin"]["sha256_ok"]
+
+    os.remove(p)
+    info3 = pexport.inspect_artifact(path)
+    assert not info3["ok"]
+    assert info3["programs"]["program.bin"]["bytes"] is None
+
+    with pytest.raises(FileNotFoundError):
+        pexport.inspect_artifact(str(tmp_path / "nope"))
+
+
+def test_inspect_artifact_streaming_layout(tmp_path):
+    """Streaming artifacts record a {blob: sha} dict over their two
+    window programs; inspection is pure file I/O, so a fabricated
+    layout exercises it without paying a stream export compile."""
+    import hashlib
+    import json as json_lib
+    sp = tmp_path / "stream_like"
+    sp.mkdir()
+    blobs = {"program_first.bin": b"first-program",
+             "program_anchored.bin": b"anchored-program"}
+    for k, v in blobs.items():
+        (sp / k).write_bytes(v)
+    meta = {"format_version": pexport.FORMAT_VERSION,
+            "fn": "video_stream",
+            "program_sha256": {k: hashlib.sha256(v).hexdigest()
+                               for k, v in blobs.items()},
+            "outputs": {}}
+    (sp / "meta.json").write_text(json_lib.dumps(meta))
+    info = pexport.inspect_artifact(str(sp))
+    assert info["ok"] and set(info["programs"]) == set(blobs)
+    assert all(p["sha256_ok"] for p in info["programs"].values())

@@ -826,6 +826,53 @@ def load(path: str) -> LoadedProgram:
     return LoadedProgram(jax_export.deserialize(blob), meta)
 
 
+def inspect_artifact(path: str) -> dict:
+    """Summarize an artifact directory WITHOUT deserializing or running
+    it: manifest essentials, per-program blob sizes, and sha256
+    verification status. Ops-side counterpart of :func:`load` — cheap
+    enough for a registry scan or a deploy-time preflight
+    (``tpu-pose-export --inspect <dir>``)."""
+    meta_path = os.path.join(path, _META_NAME)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"{path} is not an export artifact "
+                                f"(no {_META_NAME})")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    recorded = meta.get("program_sha256")
+    # Single artifacts: program.bin + one sha string; streaming-session
+    # artifacts: {blob name: sha} over their two window programs.
+    names = (sorted(recorded) if isinstance(recorded, dict)
+             else [_PROGRAM_NAME])
+    programs, ok = {}, True
+    for name in names:
+        p = os.path.join(path, name)
+        if not os.path.exists(p):
+            programs[name] = {"bytes": None, "sha256_ok": False}
+            ok = False
+            continue
+        with open(p, "rb") as f:
+            blob = f.read()
+        want = recorded[name] if isinstance(recorded, dict) else recorded
+        good = (want is None
+                or hashlib.sha256(blob).hexdigest() == want)
+        programs[name] = {"bytes": len(blob), "sha256_ok": bool(good)}
+        ok = ok and good
+    return {
+        "path": path,
+        "ok": bool(ok and meta.get("format_version") == FORMAT_VERSION),
+        "format_version": meta.get("format_version"),
+        "fn": meta.get("fn"),
+        "platforms": meta.get("platforms"),
+        "sharding": meta.get("sharding"),
+        "inputs": meta.get("inputs", [meta.get("input")]),
+        "outputs": sorted(meta.get("outputs", {})),
+        "estimator": meta.get("estimator"),
+        "chunk": meta.get("chunk"),
+        "tpu_pose_version": meta.get("tpu_pose_version"),
+        "programs": programs,
+    }
+
+
 def _read_verified(prog_path: str, expect_sha: Optional[str]) -> bytes:
     with open(prog_path, "rb") as f:
         blob = f.read()

@@ -49,10 +49,21 @@ flags.DEFINE_boolean("quantize", False, "bake int8 CPM weights")
 flags.DEFINE_integer("max_people", 2, "slots for estimate_and_fit_multi")
 flags.DEFINE_boolean("smoke", True, "reload the artifact and run a "
                      "synthetic batch through it")
+flags.DEFINE_string("inspect", "", "inspect an EXISTING artifact dir "
+                    "(manifest summary + sha256 verification, one JSON "
+                    "line) instead of building one")
 
 
 def main(argv):
     del argv
+    if FLAGS.inspect:
+        # Pure file I/O: no estimator, no device, no deserialize.
+        from tpu_pose import export as pexport
+        info = pexport.inspect_artifact(FLAGS.inspect)
+        print(json.dumps(info))
+        if not info["ok"]:
+            sys.exit(1)
+        return
     if set(p for p in FLAGS.platforms.split(",") if p) == {"cpu"}:
         # CPU-only target (CI / build hosts): force the CPU backend
         # BEFORE jax initializes — under the axon plugin the env var
