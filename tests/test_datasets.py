@@ -645,3 +645,63 @@ def test_evaluate_pck_torso_norm_requires_endpoint_joints(tmp_path):
     out_h = eval_lib.evaluate_pckh(FakeEst(), iter([batch]),
                                    threshold=0.5, norm="head")
     assert out_h["num_frames"] == 3      # head norm keeps all samples
+
+
+def test_coco_to_cpm_detector_conversion():
+    """joints.coco_to_cpm: direct slots map per the shared
+    correspondence table, neck = shoulder midpoint with min-conf,
+    head = nose; numpy and jnp agree; batched shapes pass through."""
+    import jax.numpy as jnp
+
+    from tpu_pose.models import joints as joints_lib
+
+    rng = np.random.RandomState(11)
+    j17 = rng.rand(2, 3, 17, 2).astype(np.float32) * 100
+    c17 = rng.rand(2, 3, 17).astype(np.float32)
+    j, c = joints_lib.coco_to_cpm(j17, c17)
+    assert j.shape == (2, 3, 14, 2) and c.shape == (2, 3, 14)
+    for cpm_i, coco_i in joints_lib.COCO_TO_CPM_DIRECT.items():
+        np.testing.assert_allclose(j[..., cpm_i, :], j17[..., coco_i, :])
+        np.testing.assert_allclose(c[..., cpm_i], c17[..., coco_i])
+    np.testing.assert_allclose(
+        j[..., 1, :], (j17[..., 5, :] + j17[..., 6, :]) / 2.0)
+    np.testing.assert_allclose(
+        c[..., 1], np.minimum(c17[..., 5], c17[..., 6]))
+    np.testing.assert_allclose(j[..., 0, :], j17[..., 0, :])  # head=nose
+
+    jj, jc = joints_lib.coco_to_cpm(jnp.asarray(j17), jnp.asarray(c17))
+    np.testing.assert_allclose(np.asarray(jj), j, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jc), c, atol=1e-6)
+
+    with pytest.raises(ValueError, match="17"):
+        joints_lib.coco_to_cpm(j17[..., :16, :], c17[..., :16])
+
+    # The annotation adapter and the detector converter share the same
+    # correspondence: fully-visible fixture keypoints agree on every
+    # direct slot.
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = np.arange(17) * 3.0
+    kp[:, 1] = np.arange(17) * 5.0
+    kp[:, 2] = 2.0
+    jd, _ = joints_lib.coco_to_cpm(kp[None, :, :2], kp[None, :, 2])
+    # load_coco path on the same keypoints
+    rec_j = np.zeros((14, 2), np.float32)
+    for cpm_i, coco_i in joints_lib.COCO_TO_CPM_DIRECT.items():
+        rec_j[cpm_i] = kp[coco_i, :2]
+    np.testing.assert_allclose(jd[0, 2:], rec_j[2:])
+
+
+def test_client_coco_twin_matches_joints_module():
+    """PoseClient.coco_to_cpm (numpy, jax-free client hosts) stays
+    equivalent to models.joints.coco_to_cpm — the drift guard for the
+    duplicated correspondence."""
+    from tpu_pose.client import PoseClient
+    from tpu_pose.models import joints as joints_lib
+
+    rng = np.random.RandomState(12)
+    j17 = rng.rand(4, 17, 2).astype(np.float32) * 64
+    c17 = rng.rand(4, 17).astype(np.float32)
+    j_a, c_a = joints_lib.coco_to_cpm(j17, c17)
+    j_b, c_b = PoseClient.coco_to_cpm(j17, c17)
+    np.testing.assert_allclose(j_a, j_b)
+    np.testing.assert_allclose(c_a, c_b)

@@ -137,9 +137,33 @@ class PoseClient:
             return outs[0]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
+    @staticmethod
+    def coco_to_cpm(joints17: np.ndarray, conf17: np.ndarray):
+        """COCO-17 detector output → the CPM-14 convention ``fit``
+        sends: direct slots per the standard correspondence, neck =
+        shoulder midpoint (conf = min of the shoulders), head ≈ nose.
+        Client-side numpy twin of ``models.joints.coco_to_cpm`` (that
+        module needs jax; client hosts don't have it) — kept equivalent
+        by tests/test_datasets.py."""
+        joints17 = np.asarray(joints17)
+        conf17 = np.asarray(conf17)
+        if (joints17.shape[-2:] != (17, 2)
+                or conf17.shape != joints17.shape[:-1]):
+            raise ValueError(
+                f"coco_to_cpm takes (..., 17, 2) joints with matching "
+                f"(..., 17) conf; got {joints17.shape}, {conf17.shape}")
+        # CPM slot → COCO id (slots 0/1 synthesized below).
+        idx = np.array([0, 0, 6, 8, 10, 5, 7, 9, 12, 14, 16, 11, 13, 15])
+        j = joints17[..., idx, :].copy()
+        c = conf17[..., idx].copy()
+        j[..., 1, :] = (joints17[..., 5, :] + joints17[..., 6, :]) / 2.0
+        c[..., 1] = np.minimum(conf17[..., 5], conf17[..., 6])
+        return j, c
+
     def fit(self, joints2d: np.ndarray, conf: np.ndarray) -> dict:
         """(P, 2)/(N, P, 2) network-frame joints + conf → fit result
-        (``fn=fit_smpl`` servers)."""
+        (``fn=fit_smpl`` servers). External COCO-17 detector output
+        converts first via :meth:`coco_to_cpm`."""
         buf = io.BytesIO()
         np.savez(buf, joints2d=np.asarray(joints2d, np.float32),
                  conf=np.asarray(conf, np.float32))

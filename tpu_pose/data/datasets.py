@@ -216,9 +216,10 @@ def load_mpii(mat_path: str, train_only: bool = True,
 # 15/16 l/r ankle. Direct CPM correspondences (CPM slot → COCO id); the
 # two CPM joints COCO lacks are synthesized: neck = shoulder midpoint
 # (the standard COCO→MPII-style conversion) and head = nose (the closest
-# available proxy, ~half a head low — documented approximation).
-_COCO_DIRECT = {2: 6, 3: 8, 4: 10, 5: 5, 6: 7, 7: 9,
-                8: 12, 9: 14, 10: 16, 11: 11, 12: 13, 13: 15}
+# available proxy, ~half a head low — documented approximation). ONE
+# copy of the correspondence, shared with the detector-output converter
+# joints.coco_to_cpm.
+from tpu_pose.models.joints import COCO_TO_CPM_DIRECT as _COCO_DIRECT  # noqa: E402,E501
 
 
 def load_coco(json_path: str, person_category: int = 1) -> List[dict]:

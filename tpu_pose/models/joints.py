@@ -70,6 +70,60 @@ def select_smpl_joints(joints3d_smpl24: jnp.ndarray) -> jnp.ndarray:
     return joints3d_smpl24[..., CPM_TO_SMPL, :]
 
 
+# COCO 17-keypoint convention (0 nose, 1/2 l/r eye, 3/4 l/r ear,
+# 5/6 l/r shoulder, 7/8 l/r elbow, 9/10 l/r wrist, 11/12 l/r hip,
+# 13/14 l/r knee, 15/16 l/r ankle) — what most modern external
+# detectors emit. Direct CPM slot → COCO id correspondences; CPM's
+# head/neck are synthesized (see :func:`coco_to_cpm`).
+COCO_KEYPOINT_NAMES = [
+    "nose", "l_eye", "r_eye", "l_ear", "r_ear", "l_shoulder",
+    "r_shoulder", "l_elbow", "r_elbow", "l_wrist", "r_wrist", "l_hip",
+    "r_hip", "l_knee", "r_knee", "l_ankle", "r_ankle",
+]
+COCO_TO_CPM_DIRECT = {2: 6, 3: 8, 4: 10, 5: 5, 6: 7, 7: 9,
+                      8: 12, 9: 14, 10: 16, 11: 11, 12: 13, 13: 15}
+
+
+def coco_to_cpm(joints17, conf17):
+    """COCO-17 detector output → the CPM-14 convention ``fit_smpl`` and
+    the ``/fit`` serving route consume.
+
+    The two CPM joints COCO lacks are synthesized the standard way
+    (same rules as the annotation adapter, ``data.datasets.load_coco``):
+    neck = shoulder midpoint with conf = min(shoulders); head ≈ nose
+    (about half a head low — documented approximation). Eyes/ears are
+    dropped. Works on numpy or jnp arrays, any leading batch shape:
+    (..., 17, 2), (..., 17) → ((..., 14, 2), (..., 14)).
+    """
+    xp = jnp if isinstance(joints17, jnp.ndarray) else np
+    joints17 = xp.asarray(joints17)
+    conf17 = xp.asarray(conf17)
+    if joints17.shape[-2:] != (17, 2) or conf17.shape != joints17.shape[:-1]:
+        raise ValueError(
+            f"coco_to_cpm takes (..., 17, 2) joints with matching "
+            f"(..., 17) conf; got {joints17.shape}, {conf17.shape}")
+    idx = np.zeros(14, np.int32)
+    for cpm_i, coco_i in COCO_TO_CPM_DIRECT.items():
+        idx[cpm_i] = coco_i
+    j = joints17[..., idx, :]
+    c = conf17[..., idx]
+    neck = (joints17[..., 5, :] + joints17[..., 6, :]) / 2.0
+    neck_c = xp.minimum(conf17[..., 5], conf17[..., 6])
+    if xp is jnp:
+        j = j.at[..., 0, :].set(joints17[..., 0, :])   # head ≈ nose
+        j = j.at[..., 1, :].set(neck)
+        c = c.at[..., 0].set(conf17[..., 0])
+        c = c.at[..., 1].set(neck_c)
+    else:
+        j = j.copy()
+        c = c.copy()
+        j[..., 0, :] = joints17[..., 0, :]
+        j[..., 1, :] = neck
+        c[..., 0] = conf17[..., 0]
+        c[..., 1] = neck_c
+    return j, c
+
+
 # Human3.6M 17-joint convention for evaluation (SURVEY.md §2 row 12).
 H36M_JOINT_NAMES = [
     "pelvis", "r_hip", "r_knee", "r_ankle", "l_hip", "l_knee", "l_ankle",
