@@ -454,11 +454,23 @@ def main(argv):
         est_ds, pipe_lib.batches(
             shard_dir, 8, keys=("images", "gt_joints2d", "conf",
                                 "headsize"), shard_by_process=False))
+    # Same shards under the OKS protocol (keypoint-bbox area stand-in —
+    # LSP shards carry no segmentation area): the third 2D protocol
+    # measured on device.
+    out_oks = eval_lib.evaluate_oks(
+        est_ds, pipe_lib.batches(
+            shard_dir, 8, keys=("images", "gt_joints2d", "conf"),
+            shard_by_process=False))
     results["dataset_adapter_chain"] = {
         "num_frames": out_ds["num_frames"],
-        "pckh_05": round(out_ds["pckh"], 4)}
+        "pckh_05": round(out_ds["pckh"], 4),
+        "mean_oks": round(out_oks["mean_oks"], 4),
+        "oks_ap": round(out_oks["ap"], 4),
+        "oks_ap50": round(out_oks["ap50"], 4)}
     log(f"adapter chain: {out_ds['num_frames']} frames through "
         f"convert→shards→eval, PCKh@0.5 {out_ds['pckh'] * 100:.1f}% "
+        f"| mean OKS {out_oks['mean_oks']:.3f}, AP "
+        f"{out_oks['ap'] * 100:.1f}, AP50 {out_oks['ap50'] * 100:.1f} "
         f"(rc+rs trained weights; crop re-scales the person, JPEG "
         f"noise included)")
 
