@@ -373,3 +373,54 @@ def test_rot_scale_augmentation_subpixel_alignment():
         cy = (yy * w).sum() / w.sum()
         cx = (xx * w).sum() / w.sum()
         np.testing.assert_allclose([cx, cy], j[0], atol=0.1)
+
+
+def test_fake_quant_params_matches_serving_rounding_and_trains():
+    """QAT invariants: (a) the fake-quant forward weights are EXACTLY
+    the dequantized int8 serving weights (same per-out-channel scheme
+    as cpm.quantize_params); (b) gradients flow through the STE
+    unchanged in shape and finite; (c) a few fake-quant steps reduce
+    the supervision loss."""
+    import jax
+
+    from tpu_pose.models import cpm as cpm_lib
+    from tpu_pose.models import cpm_train
+    from tpu_pose.utils.config import CPMConfig
+
+    cfg = CPMConfig(input_size=32, features=8, stage1_head_width=16,
+                    refine_width=8, num_stages=2,
+                    compute_dtype="float32")
+    params = cpm_lib.init_cpm_params(jax.random.PRNGKey(0), cfg)
+
+    fq = cpm_train.fake_quant_params(params)
+    q = cpm_lib.quantize_params(params)
+    for name in params:
+        want = (np.asarray(q[name]["w_int8"], np.float32)
+                * np.asarray(q[name]["w_scale"]))
+        np.testing.assert_allclose(np.asarray(fq[name]["w"]), want,
+                                   atol=1e-6, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(fq[name]["b"]),
+                                      np.asarray(params[name]["b"]))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": rng.randint(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        "center_maps": np.ones((4, 32, 32, 1), np.float32),
+        "heatmaps": rng.rand(4, 4, 4, 15).astype(np.float32) * 0.1,
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+    params0, opt_state, opt = cpm_train.init_train_state(
+        jax.random.PRNGKey(1), cfg, lr=1e-3)
+    step = cpm_train.make_train_step(cfg, opt, fake_quant=True)
+    p, s = params0, opt_state
+    losses = []
+    for _ in range(8):
+        p, s, loss = step(p, s, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # STE: the latent params moved (gradients reached the f32 weights
+    # through the rounding).
+    moved = np.abs(np.asarray(p["conv1_stage1"]["w"])
+                   - np.asarray(params0["conv1_stage1"]["w"])).max()
+    assert moved > 0

@@ -59,16 +59,47 @@ def stage_supervision_loss(params, images, center_maps, target_heatmaps,
     return loss / len(beliefs)
 
 
+def fake_quant_params(params):
+    """Straight-through fake-quantized view of f32 conv params for
+    quantization-aware training: each kernel is replaced by
+    ``w + stop_grad(dq(q(w)) − w)``, so the forward sees EXACTLY the
+    int8 serving weights (the per-out-channel symmetric scheme of
+    ``cpm.quantize_params`` — scale = max|w| over (kh, kw, ci) / 127)
+    while gradients flow to the latent f32 weights (the standard STE).
+    Weight-only: the serving path's activation quantization (per-tensor,
+    dynamic or calibrated) is not emulated — weights carry most of the
+    PTQ drift, and activation ranges shift during training anyway.
+    Biases pass through (served in f32)."""
+
+    def fq(p):
+        w = p["w"]
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True) / 127.0,
+            1e-12)
+        wq = jnp.clip(jnp.round(w / scale), -127, 127) * scale
+        return dict(p, w=w + jax.lax.stop_gradient(wq - w))
+
+    return {name: fq(p) for name, p in params.items()}
+
+
 def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
-                    mesh=None):
+                    mesh=None, fake_quant: bool = False):
     """Returns ``step(params, opt_state, batch) → (params, opt_state, loss)``.
 
     Single-device if ``mesh`` is None; otherwise a ``shard_map`` over the
     ``data`` axis with replicated params and ``psum``-averaged grads (ICI
     collective — the only cross-chip traffic in the whole framework).
+
+    ``fake_quant``: quantization-aware training — the forward runs on
+    the :func:`fake_quant_params` view so the trained weights land where
+    int8 serving rounds them (``train_cpm --qat``; measure the int8
+    accuracy delta vs post-training quantization on the selfcheck hard
+    section).
     """
 
     def loss_fn(params, batch):
+        if fake_quant:
+            params = fake_quant_params(params)
         return stage_supervision_loss(
             params, batch["images"], batch["center_maps"],
             batch["heatmaps"], cfg,

@@ -39,6 +39,10 @@ flags.DEFINE_integer("ckpt_every", 200, "checkpoint interval (steps)")
 flags.DEFINE_string("export", "", "write final weights npz here")
 flags.DEFINE_integer("input_size", 368, "CPM input resolution")
 flags.DEFINE_integer("log_every", 20, "loss log interval")
+flags.DEFINE_boolean("qat", False, "quantization-aware training: run "
+                     "the forward on straight-through fake-quantized "
+                     "weights so the net trains where int8 serving "
+                     "rounds it (cpm_train.fake_quant_params)")
 
 
 def _rot_scale(img, joints, rng, rot_deg, scale_jit):
@@ -150,7 +154,8 @@ def main(argv):
             FLAGS.ckpt_dir, params, opt_state)
         print(f"resumed from step {start_step}")
 
-    step_fn = cpm_train.make_train_step(cfg, opt, mesh=mesh)
+    step_fn = cpm_train.make_train_step(cfg, opt, mesh=mesh,
+                                        fake_quant=FLAGS.qat)
     if mesh is not None:
         params = mesh_lib.replicate(params, mesh)
         opt_state = mesh_lib.replicate(opt_state, mesh)
