@@ -242,8 +242,9 @@ def test_coco_to_shards_roundtrip(tmp_path):
     rec = src[0]
     # crop side = 1.25·170 = 212.5 → 212 px at center (50, 95).
     zoom = 64 / 212.0
-    exp = (np.array([50.0, 20.0]) - (np.array([50, 95]) - 106)) * zoom
-    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.5)
+    exp = datasets.crop_point_map(
+        np.array([50.0, 20.0]), np.array([50, 95]) - 106, zoom)
+    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.25)
     np.testing.assert_allclose(rec["headsize"], 20.0 * zoom, rtol=1e-4)
 
 
@@ -279,15 +280,17 @@ def test_crop_person_content_mapping(tmp_path):
     4×4 marker at a known source pixel, crop, and assert the marker's
     centroid lands at the affine-mapped coordinate within a pixel."""
     img = np.zeros((120, 160, 3), np.uint8)
-    src = np.array([100.0, 70.0])
+    # marker occupies index rows 68..71 / cols 98..101 → its centroid in
+    # index space (pixel centers at integers) is (99.5, 69.5).
+    src_idx = np.array([99.5, 69.5])
     img[68:72, 98:102] = 255
     crop, origin, zoom = datasets.crop_person(img, (90, 60), 64.0, 128)
-    mapped = (src - origin) * zoom
+    mapped = datasets.crop_point_map(src_idx, origin, zoom)
     ys, xs = np.nonzero(crop[..., 0] > 127)
-    # marker centroid in the crop (cell-corner convention: +0.5 to the
-    # pixel indices gives the patch center, matching src = patch center)
-    centroid = np.array([xs.mean() + 0.5, ys.mean() + 0.5])
-    np.testing.assert_allclose(centroid, mapped, atol=1.0)
+    centroid = np.array([xs.mean(), ys.mean()])
+    # crop_point_map carries PIL's half-pixel resize term (0.5·zoom−0.5,
+    # here +0.5 at zoom 2): the raw (p−origin)·zoom map misses by it.
+    np.testing.assert_allclose(centroid, mapped, atol=0.6)
     assert crop.shape == (128, 128, 3)
 
 
@@ -349,8 +352,9 @@ def test_mpii_to_shards_roundtrip(tmp_path):
     # Person A: crop side = 1.25·scale·200 = 500 px at (80, 90); zoom =
     # 64/500. head_top source (90, 45) → crop frame:
     zoom = 64 / 500.0
-    exp = (np.array([90.0, 45.0]) - (np.array([80, 90]) - 250)) * zoom
-    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.5)
+    exp = datasets.crop_point_map(
+        np.array([90.0, 45.0]), np.array([80, 90]) - 250, zoom)
+    np.testing.assert_allclose(rec["gt_joints2d"][0], exp, atol=0.25)
     np.testing.assert_allclose(
         rec["headsize"], 0.6 * np.hypot(20, 24) * zoom, rtol=1e-4)
 

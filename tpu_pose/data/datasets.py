@@ -49,7 +49,7 @@ from tpu_pose.data import pipeline
 __all__ = [
     "LSP_TO_CPM", "MPII_TO_CPM", "H36M_32_TO_17", "MPII_SC_BIAS",
     "load_lsp", "load_mpii", "load_coco", "load_h36m_3d_npz",
-    "crop_person", "lsp_to_shards", "mpii_to_shards", "coco_to_shards",
+    "crop_person", "crop_point_map", "lsp_to_shards", "mpii_to_shards", "coco_to_shards",
     "sequences_to_shards",
 ]
 
@@ -352,12 +352,29 @@ def load_h36m_3d_npz(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 
 # -- cropping / shard conversion ------------------------------------------
 
+def crop_point_map(pts: np.ndarray, origin: np.ndarray,
+                   zoom: float) -> np.ndarray:
+    """Source-pixel points → crop pixels for :func:`crop_person`:
+
+        ``p_out = (p_src − origin) · zoom + 0.5·zoom − 0.5``.
+
+    The ``0.5·zoom − 0.5`` term is PIL's (and jax.image.resize's)
+    half-integer pixel-CENTER resize convention — the same convention
+    class as ``cpm.crop_index_translation`` and the letterbox affine's
+    ``+0.5·s − 0.5`` offsets. Dropping it biases mapped points by up to
+    ``0.5·(zoom−1)`` px (≈1.3 px on an MPII-style 100→368 upscale crop;
+    verified with sub-pixel blob centroids). ONE copy used by every
+    shard converter so GT joints and image content stay aligned."""
+    return (np.asarray(pts, np.float64) - np.asarray(origin)) * zoom \
+        + 0.5 * zoom - 0.5
+
+
 def crop_person(img: np.ndarray, center: Sequence[float], side: float,
                 out_size: int) -> Tuple[np.ndarray, np.ndarray, float]:
     """Square person crop → ``(out_size, out_size)`` uint8, zero-padded
-    outside the source. Returns ``(crop, origin (2,), zoom)`` with the
-    point map ``p_out = (p_src − origin) · zoom`` (cell-corner
-    convention, consistent with ops/preprocess.py's letterbox affine).
+    outside the source. Returns ``(crop, origin (2,), zoom)``; map
+    points with :func:`crop_point_map` (NOT the raw
+    ``(p − origin)·zoom`` — see its docstring for the half-pixel term).
     """
     from PIL import Image
     h, w = img.shape[:2]
@@ -420,7 +437,7 @@ def lsp_to_shards(mat_path: str, images_dir: str, out_dir: str,
         side = float(max(hi[0] - lo[0], hi[1] - lo[1], 8.0)) * margin
         crop, origin, zoom = crop_person(img, (lo + hi) / 2.0, side,
                                          out_size)
-        j = (joints[i] - origin) * zoom
+        j = crop_point_map(joints[i], origin, zoom)
         images.append(crop)
         out_j.append(j.astype(np.float32))
         out_hs.append(np.float32(np.linalg.norm(j[0] - j[1])))
@@ -444,7 +461,8 @@ def _records_to_shards(records: List[dict], images_dir: str,
         side = float(r["scale"]) * 200.0 * margin
         crop, origin, zoom = crop_person(img, r["center"], side, out_size)
         images.append(crop)
-        out_j.append(((r["joints2d"] - origin) * zoom).astype(np.float32))
+        out_j.append(crop_point_map(r["joints2d"], origin,
+                                    zoom).astype(np.float32))
         out_c.append(r["conf"])
         out_hs.append(np.float32(r["headsize"] * zoom))
         if r.get("area") is not None:
