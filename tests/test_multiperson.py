@@ -271,3 +271,19 @@ def test_multi_flip_tta_runs_and_slots_stay_aligned():
     res = est.estimate_and_fit_multi(imgs, max_people=2)
     assert res.theta.shape == (2, 2, 72)
     assert np.isfinite(np.asarray(res.vertices)).all()
+
+
+def test_multi_warns_once_when_scale_tta_ignored():
+    """scale_tta applies only to single-person front ends; the multi
+    path says so (once) instead of silently dropping the lever."""
+    import warnings
+
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=SMALL,
+                                         scale_tta=(0.8,))
+    imgs = np.zeros((1, 64, 64, 3), np.uint8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        est.estimate_and_fit_multi(imgs, max_people=2)
+        est.estimate_and_fit_multi(imgs, max_people=2)
+    msgs = [x for x in w if "scale_tta" in str(x.message)]
+    assert len(msgs) == 1

@@ -546,6 +546,19 @@ class PoseEstimator:
             cam=unflat(res.cam), vertices=unflat(out.vertices),
             joints3d=unflat(out.joints), energy=unflat(res.energy))
 
+    def _warn_multi_ignores_scale_tta(self):
+        """scale_tta applies to the SINGLE-person front ends only (the
+        multi path normalizes scale per hypothesis via its refine_scale
+        crop). Silently dropping a requested accuracy lever is a trap —
+        say so once."""
+        if self.scale_tta and not getattr(self, "_scale_tta_warned", False):
+            import warnings
+            warnings.warn(
+                "scale_tta is ignored by the multi-person paths (use "
+                "refine_scale for per-hypothesis scale normalization)",
+                stacklevel=3)
+            self._scale_tta_warned = True
+
     def estimate_and_fit_multi(self, images: jnp.ndarray,
                                max_people: int = 2,
                                min_person_score: float = 0.05,
@@ -560,6 +573,7 @@ class PoseEstimator:
         people (cpm.select_people: absolute + frame-relative score
         thresholds, top-1 always kept) and ``person_scores`` ranks them."""
         _check_frames(images)
+        self._warn_multi_ignores_scale_tta()
         key = ("multi", max_people, min_person_score, person_score_frac,
                dup_px)
         if key not in self._fit_multistart:
