@@ -393,3 +393,13 @@ def test_scale_tta_microbatched_and_api(small_params):
     plain = cpm.estimate_2d_microbatched(small_params, imgs, cfg=cfg)
     np.testing.assert_allclose(np.asarray(r0.joints2d),
                                np.asarray(plain[1]), atol=1e-3)
+
+
+def test_scale_tta_constructor_validation():
+    """Non-positive (or absurd) zoom factors fail at construction with
+    a clear error, not as a garbage resample deep in the traced graph."""
+    from tpu_pose.api import PoseEstimator
+    for bad in ((0.0,), (-1.0,), (32.0,)):
+        with pytest.raises(ValueError, match="scale_tta"):
+            PoseEstimator.create_synthetic(seed=0, cpm_cfg=SMALL,
+                                           scale_tta=bad)

@@ -204,6 +204,12 @@ class PoseEstimator:
         # the multi-person path normalizes scale per hypothesis via its
         # refine_scale crop instead.
         self.scale_tta = tuple(float(s) for s in scale_tta)
+        if not all(0.0 < s < 16.0 for s in self.scale_tta):
+            # A non-positive zoom produces a garbage resample deep in
+            # the traced graph; fail at construction with a clear error.
+            raise ValueError(
+                f"scale_tta factors must be in (0, 16), got "
+                f"{self.scale_tta}")
         # True: aspect-preserving resize+pad preprocessing (the reference's
         # "resize → pad" contract); decoded joints come back in SOURCE
         # image pixels. Default False = square resize, network-frame px.
