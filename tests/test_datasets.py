@@ -709,3 +709,34 @@ def test_client_coco_twin_matches_joints_module():
     j_b, c_b = PoseClient.coco_to_cpm(j17, c17)
     np.testing.assert_allclose(j_a, j_b)
     np.testing.assert_allclose(c_a, c_b)
+
+
+def test_evaluate_pckh_curve_and_auc(tmp_path):
+    """The PCK curve is monotone nondecreasing in the threshold, its
+    last point equals the headline @threshold figure exactly, and the
+    AUC is their mean."""
+    from tpu_pose.parallel import eval as eval_lib
+
+    gt_row = np.zeros((14, 2), np.float32)
+    gt_row[0] = (0, 0)
+    gt_row[1] = (0, 10)                 # head segment 10 px
+    gt = np.tile(gt_row[None], (2, 1, 1))
+
+    class FakeEst:
+        def estimate_2d(self, images):
+            pred = gt.copy()
+            pred[:, 3, 0] += 3.0        # inside @0.5 (5 px), outside @0.25
+            return None, pred, np.ones((2, 14), np.float32)
+
+    batch = {"images": np.zeros((2, 8, 8, 3), np.uint8),
+             "gt_joints2d": gt}
+    out = eval_lib.evaluate_pckh(FakeEst(), iter([batch]), threshold=0.5)
+    vals = [out["per_threshold"][k]
+            for k in sorted(out["per_threshold"])]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    np.testing.assert_allclose(vals[-1], out["pckh"])
+    np.testing.assert_allclose(out["auc"], np.mean(vals))
+    # 3 px displaced joint: hits at t·10 ≥ 3 → thresholds 0.3..0.5 score
+    # 14/14, below score 13/14.
+    np.testing.assert_allclose(out["per_threshold"][0.3], 1.0)
+    np.testing.assert_allclose(out["per_threshold"][0.25], 13.0 / 14.0)

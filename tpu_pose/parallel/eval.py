@@ -232,6 +232,11 @@ class Eval2DState:
         default_factory=lambda: [0.0] * 14)
     joint_counts: list = dataclasses.field(
         default_factory=lambda: [0.0] * 14)
+    # PCK curve accumulators at 10 evenly-spaced fractions of the
+    # headline threshold (t·k/10, k=1..10) — the MPII-style PCKh curve;
+    # auc = its mean (normalized area over [0, threshold]).
+    curve_hits: list = dataclasses.field(
+        default_factory=lambda: [0.0] * 10)
 
     def save(self, path: str):
         tmp = path + ".tmp"
@@ -317,11 +322,15 @@ def evaluate_pckh(
             hs = np.asarray(headsize, np.float64)
         else:
             hs = np.linalg.norm(gt[:, 0] - gt[:, 1], axis=-1)
-        hit = (np.linalg.norm(pred - gt, axis=-1)
-               <= threshold * hs[:, None]).astype(np.float64)
+        dist = np.linalg.norm(pred - gt, axis=-1)
+        hit = (dist <= threshold * hs[:, None]).astype(np.float64)
         m = mask.astype(np.float64)
-        state.sum_pckh += float(
-            ((hit * m).sum(-1) / np.maximum(m.sum(-1), 1.0)).sum())
+        denom = np.maximum(m.sum(-1), 1.0)
+        state.sum_pckh += float(((hit * m).sum(-1) / denom).sum())
+        for k in range(10):
+            t_k = threshold * (k + 1) / 10.0
+            h_k = (dist <= t_k * hs[:, None]).astype(np.float64)
+            state.curve_hits[k] += float(((h_k * m).sum(-1) / denom).sum())
         for j in range(gt.shape[1]):
             state.joint_hits[j] += float((hit[:, j] * m[:, j]).sum())
             state.joint_counts[j] += float(m[:, j].sum())
@@ -331,8 +340,15 @@ def evaluate_pckh(
 
     _stream_eval(run, batches, state, accumulate, mesh, checkpoint_path)
 
-    out = {"pckh": state.sum_pckh / max(state.n, 1),
+    n = max(state.n, 1)
+    curve = {round(threshold * (k + 1) / 10.0, 4):
+             state.curve_hits[k] / n for k in range(10)}
+    out = {"pckh": state.sum_pckh / n,
            "num_frames": state.n,
+           # MPII-style PCK curve + its normalized area (the standard
+           # companion figure to the @threshold point).
+           "per_threshold": curve,
+           "auc": float(np.mean(list(curve.values()))),
            "per_joint": {}}
     from tpu_pose.models import joints as joints_lib
     for j, name in enumerate(joints_lib.CPM_JOINT_NAMES):

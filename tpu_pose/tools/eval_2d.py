@@ -101,7 +101,8 @@ def main(argv):
         norm=FLAGS.norm, checkpoint_path=FLAGS.resume or None)
     name = "PCKh" if FLAGS.norm == "head" else "PCK(torso)"
     print(f"frames={out['num_frames']}  "
-          f"{name}@{FLAGS.threshold}={out['pckh'] * 100:.1f}%")
+          f"{name}@{FLAGS.threshold}={out['pckh'] * 100:.1f}%  "
+          f"AUC(0..{FLAGS.threshold})={out['auc'] * 100:.1f}%")
     for name, v in out["per_joint"].items():
         print(f"  {name:12s} {v * 100:5.1f}%")
 
