@@ -740,3 +740,125 @@ def test_evaluate_pckh_curve_and_auc(tmp_path):
     # 14/14, below score 13/14.
     np.testing.assert_allclose(out["per_threshold"][0.3], 1.0)
     np.testing.assert_allclose(out["per_threshold"][0.25], 13.0 / 14.0)
+
+
+# -- 3DPW ------------------------------------------------------------------
+
+def _fabricate_3dpw(tmp_path, t_total=4, n_actors=2, seed=3):
+    """Fabricate one sequenceFiles pkl with the official schema: world
+    SMPL poses/joints, (T,4,4) world->camera extrinsics, (3,3) K, and
+    the matching imageFiles/<seq>/image_%05d.jpg directory."""
+    import pickle
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+    rng = np.random.RandomState(seed)
+    k_mat = np.array([[500.0, 0, 80.0], [0, 500.0, 60.0], [0, 0, 1.0]])
+    cam_poses = np.zeros((t_total, 4, 4))
+    for t in range(t_total):
+        r = Rotation.from_rotvec(rng.randn(3) * 0.1).as_matrix()
+        cam_poses[t, :3, :3] = r
+        cam_poses[t, :3, 3] = [0.05 * t, -0.02 * t, 0.1]
+        cam_poses[t, 3, 3] = 1.0
+    seq = {
+        "sequence": "fab_seq", "cam_intrinsics": k_mat,
+        "cam_poses": cam_poses,
+        "img_frame_ids": np.arange(t_total),
+        "genders": ["m"] * n_actors,
+        "poses": [], "betas": [], "trans": [], "jointPositions": [],
+        "campose_valid": [],
+    }
+    for a in range(n_actors):
+        seq["poses"].append(rng.randn(t_total, 72) * 0.2)
+        seq["betas"].append(rng.randn(12))        # SMPL-1.1-style >10
+        seq["trans"].append(rng.randn(t_total, 3) * 0.1)
+        # World joints in front of every fabricated camera: z ~ 4 m.
+        jp = rng.randn(t_total, 24, 3) * 0.3
+        jp[..., 2] += 4.0
+        jp[..., 0] += a * 1.0
+        seq["jointPositions"].append(jp.reshape(t_total, 72))
+        valid = np.ones(t_total)
+        if a == 1:
+            valid[0] = 0                          # one invalid frame
+        seq["campose_valid"].append(valid)
+    pkl = tmp_path / "fab_seq.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(seq, f, protocol=2)           # py2-era protocol
+    img_dir = tmp_path / "imageFiles" / "fab_seq"
+    img_dir.mkdir(parents=True)
+    for t in range(t_total):
+        img = np.zeros((120, 160, 3), np.uint8)
+        img[:] = (t * 30 % 255, 40, 70)
+        Image.fromarray(img).save(img_dir / f"image_{t:05d}.jpg")
+    return str(pkl), str(img_dir), seq
+
+
+def test_3dpw_load_schema(tmp_path):
+    pkl, _, raw = _fabricate_3dpw(tmp_path)
+    seq = datasets.load_3dpw(pkl)
+    assert seq["sequence"] == "fab_seq"
+    assert seq["cam_poses"].shape == (4, 4, 4)
+    assert seq["cam_intrinsics"].shape == (3, 3)
+    assert len(seq["actors"]) == 2
+    a0 = seq["actors"][0]
+    assert a0["poses"].shape == (4, 72)
+    assert a0["betas"].shape == (10,)             # 12 trimmed to 10
+    assert a0["joint_positions"].shape == (4, 24, 3)
+    assert a0["valid"].all()
+    assert not seq["actors"][1]["valid"][0]
+    np.testing.assert_allclose(
+        a0["joint_positions"],
+        np.asarray(raw["jointPositions"][0]).reshape(4, 24, 3))
+
+
+def test_3dpw_load_rejects_bad_schema(tmp_path):
+    import pickle
+    bad = tmp_path / "bad.pkl"
+    with open(bad, "wb") as f:
+        pickle.dump({"poses": [], "betas": []}, f)
+    with pytest.raises(ValueError, match="3DPW"):
+        datasets.load_3dpw(str(bad))
+
+
+def test_3dpw_to_shards_camera_frame_and_theta(tmp_path):
+    """The shards carry camera-frame GT: joints3d = R·j_world + t, the
+    global orient composed with the camera rotation, 2D joints =
+    K-projection mapped through the crop affine, and the SMPL params
+    that switch on the evaluator's PVE protocol."""
+    from scipy.spatial.transform import Rotation
+    from tpu_pose.models.joints import CPM_TO_SMPL
+    pkl, img_dir, raw = _fabricate_3dpw(tmp_path)
+    out = str(tmp_path / "shards")
+    datasets.threedpw_to_shards(pkl, img_dir, out, out_size=64,
+                                shard_size=16)
+    src = pipeline.NpzShardSource(out)
+    assert len(src) == 4 + 3                      # actor1 frame0 invalid
+    rec = src[0]                                  # actor 0, frame 0
+    assert rec["images"].shape == (64, 64, 3)
+    assert rec["gt_theta"].shape == (72,)
+    assert rec["gt_beta"].shape == (10,)
+    rot = raw["cam_poses"][0, :3, :3]
+    tvec = raw["cam_poses"][0, :3, 3]
+    j_world = np.asarray(raw["jointPositions"][0]).reshape(4, 24, 3)[0]
+    j_cam = j_world @ rot.T + tvec
+    np.testing.assert_allclose(rec["gt_joints3d"], j_cam, atol=1e-5)
+    # Global orient: R(theta_out[:3]) == R_cam · R(theta_in[:3]); body
+    # joints pass through untouched.
+    th_in = np.asarray(raw["poses"][0])[0]
+    np.testing.assert_allclose(
+        Rotation.from_rotvec(rec["gt_theta"][:3]).as_matrix(),
+        rot @ Rotation.from_rotvec(th_in[:3]).as_matrix(), atol=1e-5)
+    np.testing.assert_allclose(rec["gt_theta"][3:], th_in[3:], atol=1e-6)
+    # 2D GT: K-projection of the 14 CPM-mapped joints through the crop
+    # affine (the shard loses origin/zoom, so recompute the crop).
+    uvw = j_cam @ raw["cam_intrinsics"].T
+    px14 = (uvw[:, :2] / uvw[:, 2:3])[np.asarray(CPM_TO_SMPL)]
+    lo, hi = px14.min(0), px14.max(0)
+    side = float(max(hi[0] - lo[0], hi[1] - lo[1], 8.0)) * 1.3
+    img = np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            os.path.join(img_dir, "image_00000.jpg")))
+    _, origin, zoom = datasets.crop_person(img, (lo + hi) / 2.0, side, 64)
+    np.testing.assert_allclose(
+        rec["gt_joints2d"],
+        datasets.crop_point_map(px14, origin, zoom), atol=1e-4)
+    assert rec["conf"].shape == (14,) and (rec["conf"] == 1).all()

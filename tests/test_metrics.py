@@ -163,3 +163,38 @@ def test_keypoint_bbox_area_fallback():
     np.testing.assert_allclose(
         metrics.keypoint_bbox_area_np(gt2, mask),
         0.53 * np.ptp(gt[0, :13, 0]) * np.ptp(gt[0, :13, 1]), rtol=1e-6)
+
+
+def test_pve_np_alignment_conventions():
+    import pytest
+    rng = np.random.RandomState(7)
+    gt = rng.rand(3, 50, 3)
+    # Pure translation: centroid alignment (default) removes it, raw
+    # distances keep it.
+    pred = gt + np.array([0.3, -0.1, 0.9])
+    np.testing.assert_allclose(metrics.pve_np(pred, gt), 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        metrics.pve_np(pred, gt, align="none"),
+        np.full(3, np.linalg.norm([0.3, -0.1, 0.9])), rtol=1e-12)
+    # Known per-vertex offset survives centroid alignment when it is
+    # zero-mean across vertices.
+    off = rng.randn(50, 3)
+    off -= off.mean(0)
+    pred2 = gt + off
+    np.testing.assert_allclose(
+        metrics.pve_np(pred2, gt),
+        np.full(3, np.linalg.norm(off, axis=-1).mean()), rtol=1e-12)
+    with pytest.raises(ValueError, match="align"):
+        metrics.pve_np(pred, gt, align="procrustes")
+
+
+def test_pa_pve_invariant_to_similarity_transform():
+    rng = np.random.RandomState(8)
+    gt = rng.rand(2, 100, 3)
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    q = q * np.linalg.det(q)
+    pred = 1.7 * gt @ q.T + np.array([1.0, 2.0, -0.5])
+    assert (metrics.pa_pve_np(pred, gt) < 1e-9).all()
+    # A real shape difference is NOT removed by the alignment.
+    noisy = gt + rng.randn(*gt.shape) * 0.05
+    assert (metrics.pa_pve_np(noisy, gt) > 0.01).all()

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import tpu_pose.api
 from tpu_pose.api import PoseEstimator
 from tpu_pose.models import cpm
 from tpu_pose.utils.config import CPMConfig, FitConfig, StageConfig
@@ -287,3 +288,12 @@ def test_multi_warns_once_when_scale_tta_ignored():
         est.estimate_and_fit_multi(imgs, max_people=2)
     msgs = [x for x in w if "scale_tta" in str(x.message)]
     assert len(msgs) == 1
+
+    # The video-multi entry points share the warn-once guard (session
+    # construction is lazy — no device work before push).
+    est2 = PoseEstimator.create_synthetic(seed=0, cpm_cfg=SMALL,
+                                          scale_tta=(0.8,))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        tpu_pose.api.MultiPersonVideoSession(est2, max_people=2, chunk=4)
+    assert len([x for x in w2 if "scale_tta" in str(x.message)]) == 1

@@ -424,3 +424,36 @@ def test_fake_quant_params_matches_serving_rounding_and_trains():
     moved = np.abs(np.asarray(p["conv1_stage1"]["w"])
                    - np.asarray(params0["conv1_stage1"]["w"])).max()
     assert moved > 0
+
+
+def test_eval_mesh_protocol_pve(est, tmp_path):
+    """Batches carrying SMPL GT produce the mesh-level PVE / PA-PVE
+    keys, and the gt_theta+gt_beta path equals passing the posed
+    gt_vertices directly (the evaluator poses GT through the SAME SMPL
+    model)."""
+    from tpu_pose.models import smpl as smpl_lib
+    rng = np.random.RandomState(11)
+    images = rng.randint(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    gt3d = rng.rand(4, 24, 3).astype(np.float32)
+    theta = (rng.randn(4, 72) * 0.1).astype(np.float32)
+    beta = (rng.randn(4, 10) * 0.5).astype(np.float32)
+    gt_verts = np.asarray(smpl_lib.smpl_forward_batch(
+        est.smpl_model, jnp.asarray(beta), jnp.asarray(theta)).vertices)
+
+    def batches(mesh_gt):
+        b = {"images": jnp.asarray(images), "gt_joints3d": gt3d}
+        yield dict(b, **mesh_gt)
+
+    out_params = eval_lib.evaluate_h36m_style(
+        est, batches({"gt_theta": theta, "gt_beta": beta}))
+    out_verts = eval_lib.evaluate_h36m_style(
+        est, batches({"gt_vertices": gt_verts}))
+    out_none = eval_lib.evaluate_h36m_style(est, batches({}))
+    assert out_params["num_frames_mesh"] == 4
+    for key in ("pve", "pa_pve"):
+        assert np.isfinite(out_params[key]) and out_params[key] > 0
+        np.testing.assert_allclose(out_params[key], out_verts[key],
+                                   rtol=1e-5)
+        assert key not in out_none
+    # Procrustes alignment can only reduce the centroid-aligned error.
+    assert out_params["pa_pve"] <= out_params["pve"] + 1e-9

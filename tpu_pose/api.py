@@ -711,6 +711,7 @@ class PoseEstimator:
         frame); for very long sequences run in windows and stitch on
         track features."""
         _check_frames(frames, "frames")
+        self._warn_multi_ignores_scale_tta()
         key = ("video_multi", max_people, min_person_score,
                person_score_frac, dup_px, self.fit_restarts)
         if key not in self._fit_multistart:
@@ -875,6 +876,7 @@ class MultiPersonVideoSession:
     def __init__(self, estimator: "PoseEstimator", max_people: int = 2,
                  chunk: int = 64, min_person_score: float = 0.05,
                  person_score_frac: float = 0.4, dup_px: float = 30.0):
+        estimator._warn_multi_ignores_scale_tta()
         self._est = estimator
         self.chunk = int(chunk)
         self._first_fn, self._anchored_fn = (

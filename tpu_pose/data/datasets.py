@@ -49,6 +49,7 @@ from tpu_pose.data import pipeline
 __all__ = [
     "LSP_TO_CPM", "MPII_TO_CPM", "H36M_32_TO_17", "MPII_SC_BIAS",
     "load_lsp", "load_mpii", "load_coco", "load_h36m_3d_npz",
+    "load_3dpw", "threedpw_to_shards",
     "crop_person", "crop_point_map", "lsp_to_shards", "mpii_to_shards", "coco_to_shards",
     "sequences_to_shards",
 ]
@@ -350,6 +351,151 @@ def load_h36m_3d_npz(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     return out
 
 
+def load_3dpw(pkl_path: str) -> dict:
+    """Parse one official 3DPW sequence file
+    (``sequenceFiles/<split>/<name>.pkl``, a py2-era pickle) — the
+    public in-the-wild dataset with SMPL ground truth, i.e. the one
+    public benchmark where the evaluator's mesh-level PVE / PA-PVE
+    protocol has real annotations. Schema (the dataset's own release;
+    exercised against fabricated files in tests/test_datasets.py):
+
+    - ``poses``/``betas``/``trans``: per-actor lists — (T, 72) SMPL pose
+      in WORLD coordinates, (≥10,) shape, (T, 3) translation.
+    - ``jointPositions``: per-actor (T, 72) = 24 SMPL joints, world
+      meters.
+    - ``cam_poses``: (T, 4, 4) world→camera extrinsics;
+      ``cam_intrinsics``: (3, 3) K; ``campose_valid``: per-actor (T,).
+    - ``img_frame_ids``: (T,) indices into
+      ``imageFiles/<sequence>/image_%05d.jpg``; ``genders``: per-actor.
+
+    Returns a dict: ``sequence``, ``cam_poses`` (T,4,4),
+    ``cam_intrinsics`` (3,3), ``img_frame_ids`` (T,), and ``actors`` —
+    a list of dicts with ``poses`` (T,72), ``betas`` (10,),
+    ``joint_positions`` (T,24,3), ``trans`` (T,3), ``valid`` (T,) bool,
+    ``gender``.
+    """
+    import pickle
+    with open(pkl_path, "rb") as f:
+        seq = pickle.load(f, encoding="latin1")
+    missing = [k for k in ("poses", "betas", "jointPositions",
+                           "cam_poses", "cam_intrinsics") if k not in seq]
+    if missing:
+        raise ValueError(
+            f"{pkl_path} is not a 3DPW sequence file (missing "
+            f"{missing}; keys: {sorted(seq)})")
+    cam_poses = np.asarray(seq["cam_poses"], np.float64)
+    if cam_poses.ndim != 3 or cam_poses.shape[1:] != (4, 4):
+        raise ValueError(f"cam_poses has shape {cam_poses.shape}, "
+                         f"want (T, 4, 4)")
+    t_total = cam_poses.shape[0]
+    k_mat = np.asarray(seq["cam_intrinsics"], np.float64).reshape(3, 3)
+    frame_ids = np.asarray(
+        seq.get("img_frame_ids", np.arange(t_total)), np.int64).reshape(-1)
+    n_actors = len(seq["poses"])
+    valid_all = seq.get("campose_valid",
+                        [np.ones(t_total)] * n_actors)
+    genders = seq.get("genders", ["?"] * n_actors)
+    trans_all = seq.get("trans",
+                        [np.zeros((t_total, 3))] * n_actors)
+    actors = []
+    for a in range(n_actors):
+        poses = np.asarray(seq["poses"][a], np.float64).reshape(
+            t_total, 72)
+        # SMPL-1.1-style files may carry >10 betas; the first 10 are the
+        # standard shape space every SMPL implementation consumes.
+        betas = np.asarray(seq["betas"][a], np.float64).reshape(-1)[:10]
+        jp = np.asarray(seq["jointPositions"][a], np.float64).reshape(
+            t_total, 24, 3)
+        actors.append({
+            "poses": poses,
+            "betas": betas,
+            "joint_positions": jp,
+            "trans": np.asarray(trans_all[a], np.float64).reshape(
+                t_total, 3),
+            "valid": np.asarray(valid_all[a]).reshape(t_total) > 0,
+            "gender": str(genders[a]),
+        })
+    name = seq.get("sequence") or os.path.splitext(
+        os.path.basename(pkl_path))[0]
+    return {"sequence": str(name), "cam_poses": cam_poses,
+            "cam_intrinsics": k_mat, "img_frame_ids": frame_ids,
+            "actors": actors}
+
+
+def _compose_global_orient(theta: np.ndarray, rot: np.ndarray
+                           ) -> np.ndarray:
+    """World-frame SMPL pose → camera frame: replace the global-orient
+    axis-angle ``theta[:3]`` with ``rot · R(theta[:3])`` (body joints
+    2..23 are parent-relative and unaffected). Host scipy — conversion
+    is one-time IO."""
+    from scipy.spatial.transform import Rotation
+    out = np.asarray(theta, np.float64).copy()
+    r_glob = Rotation.from_rotvec(out[:3]).as_matrix()
+    out[:3] = Rotation.from_matrix(rot @ r_glob).as_rotvec()
+    return out
+
+
+def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
+                       out_size: int = 368, margin: float = 1.3,
+                       shard_size: int = 256,
+                       limit: Optional[int] = None) -> List[str]:
+    """One 3DPW sequence file + its image directory
+    (``imageFiles/<sequence>/``) → evaluation shards for
+    ``parallel/eval.evaluate_h36m_style``: per valid (actor, frame) a
+    person crop (``images``), the 24 SMPL GT joints in CAMERA-frame
+    meters (``gt_joints3d`` — the evaluator's joint convention, pelvis
+    root), crop-pixel 14-joint 2D GT projected through the sequence
+    intrinsics (``gt_joints2d`` + all-ones ``conf``), and the SMPL
+    parameters with the global orient composed into the camera frame
+    (``gt_theta``, ``gt_beta``) — which switches on the evaluator's
+    mesh-level PVE / PA-PVE protocol. Betas pose through the loaded
+    (usually neutral) SMPL model; 3DPW's own annotations are gendered —
+    the standard neutral-model evaluation approximation, note it when
+    quoting numbers."""
+    from tpu_pose.models.joints import CPM_TO_SMPL
+    seq = load_3dpw(pkl_path)
+    k_mat = seq["cam_intrinsics"]
+    images, j2d, j3d, thetas, betas, confs = [], [], [], [], [], []
+    for actor in seq["actors"]:
+        for t, frame_id in enumerate(seq["img_frame_ids"]):
+            if limit is not None and len(images) >= limit:
+                break
+            if not actor["valid"][t]:
+                continue
+            rot = seq["cam_poses"][t, :3, :3]
+            tvec = seq["cam_poses"][t, :3, 3]
+            j_cam = actor["joint_positions"][t] @ rot.T + tvec
+            if (j_cam[:, 2] <= 0.05).any():
+                continue  # behind / grazing the camera
+            uvw = j_cam @ k_mat.T
+            px24 = uvw[:, :2] / uvw[:, 2:3]
+            px14 = px24[np.asarray(CPM_TO_SMPL)]
+            img = _load_image(os.path.join(
+                images_dir, f"image_{int(frame_id):05d}.jpg"))
+            lo, hi = px14.min(0), px14.max(0)
+            side = float(max(hi[0] - lo[0], hi[1] - lo[1], 8.0)) * margin
+            crop, origin, zoom = crop_person(img, (lo + hi) / 2.0, side,
+                                             out_size)
+            images.append(crop)
+            j2d.append(crop_point_map(px14, origin,
+                                      zoom).astype(np.float32))
+            j3d.append(j_cam.astype(np.float32))
+            thetas.append(_compose_global_orient(
+                actor["poses"][t], rot).astype(np.float32))
+            betas.append(actor["betas"].astype(np.float32))
+            confs.append(np.ones(14, np.float32))
+    if not images:
+        raise ValueError(f"no valid (actor, frame) samples in {pkl_path}")
+    return pipeline.write_npz_shards(out_dir, {
+        "images": np.stack(images),
+        "gt_joints2d": np.stack(j2d),
+        "conf": np.stack(confs),
+        "gt_joints3d": np.stack(j3d),
+        "gt_theta": np.stack(thetas),
+        "gt_beta": np.stack(betas),
+    }, shard_size=shard_size)
+
+
 # -- cropping / shard conversion ------------------------------------------
 
 def crop_point_map(pts: np.ndarray, origin: np.ndarray,
@@ -503,10 +649,15 @@ def mpii_to_shards(mat_path: str, images_dir: str, out_dir: str,
 def sequences_to_shards(images: np.ndarray, gt_joints3d: np.ndarray,
                         out_dir: str, shard_size: int = 256,
                         gt_joints2d: Optional[np.ndarray] = None,
+                        gt_theta: Optional[np.ndarray] = None,
+                        gt_beta: Optional[np.ndarray] = None,
                         ) -> List[str]:
     """Pack aligned frames + 3D GT (e.g. H3.6M frames with
     :func:`load_h36m_3d_npz` positions, joints already in the evaluation
-    convention) into the shards ``scripts/eval_h36m.py`` streams."""
+    convention) into the shards ``scripts/eval_h36m.py`` streams.
+    Optional SMPL GT (``gt_theta`` (T, 72) + ``gt_beta`` (T, 10), the
+    3DPW-style annotation) enables the evaluator's mesh-level PVE /
+    PA-PVE protocol."""
     if len(images) != len(gt_joints3d):
         raise ValueError(
             f"images ({len(images)}) and gt_joints3d "
@@ -515,5 +666,10 @@ def sequences_to_shards(images: np.ndarray, gt_joints3d: np.ndarray,
               "gt_joints3d": np.asarray(gt_joints3d, np.float32)}
     if gt_joints2d is not None:
         arrays["gt_joints2d"] = np.asarray(gt_joints2d, np.float32)
+    if (gt_theta is None) != (gt_beta is None):
+        raise ValueError("gt_theta and gt_beta come together")
+    if gt_theta is not None:
+        arrays["gt_theta"] = np.asarray(gt_theta, np.float32)
+        arrays["gt_beta"] = np.asarray(gt_beta, np.float32)
     return pipeline.write_npz_shards(out_dir, arrays,
                                      shard_size=shard_size)

@@ -49,6 +49,9 @@ class EvalState:
     sum_pa_mpjpe: float = 0.0      # Procrustes-aligned
     n2d: int = 0                   # frames with 2D ground truth
     sum_pckh: float = 0.0          # PCKh@0.5 accumulator
+    n_mesh: int = 0                # frames with SMPL mesh ground truth
+    sum_pve: float = 0.0           # centroid-aligned per-vertex error
+    sum_pa_pve: float = 0.0        # Procrustes-aligned per-vertex error
 
     def save(self, path: str):
         # Atomic write: a crash mid-save must not truncate the resume
@@ -131,6 +134,12 @@ def evaluate_h36m_style(
     - ``pckh``         — PCKh@``pckh_threshold`` of decoded 2D joints,
       accumulated for batches that carry ``gt_joints2d`` (same pixel frame
       as the estimator's decoded joints).
+    - ``pve`` / ``pa_pve`` — mesh-level Per-Vertex Error
+      (centroid-aligned / Procrustes-aligned), accumulated for batches
+      that carry SMPL ground truth: ``gt_vertices`` directly, or
+      ``gt_theta`` (B, 72) + ``gt_beta`` (B, 10) posed through the
+      estimator's SMPL model (the 3DPW-style protocol — both meshes use
+      the official model file, only parameters differ).
 
     ``gt_joints3d`` must be in the SMPL 24-joint frame, or provide
     ``select_joints`` mapping predicted (B,24,3) → GT convention (the root
@@ -144,6 +153,29 @@ def evaluate_h36m_style(
            else (lambda im: estimator.estimate_and_fit(im)))
 
     import numpy as np
+
+    # Mesh-level GT (3DPW-style shards): batches carrying gt_vertices,
+    # or gt_theta + gt_beta (GT meshes posed through the estimator's
+    # SMPL model — the standard protocol: both meshes use the official
+    # model file, only the parameters differ). One tiny jitted forward,
+    # compiled once; it runs in accumulate() so it overlaps the NEXT
+    # batch's fused program under the 1-deep pipeline.
+    gt_verts_fn_cache = []
+
+    def _gt_vertices(batch, n_real):
+        if "gt_vertices" in batch:
+            return np.asarray(batch["gt_vertices"], np.float64)[:n_real]
+        if "gt_theta" in batch and "gt_beta" in batch:
+            if not gt_verts_fn_cache:
+                from tpu_pose.models import smpl as smpl_lib
+                gt_verts_fn_cache.append(jax.jit(
+                    lambda b, t: smpl_lib.smpl_forward_batch(
+                        estimator.smpl_model, b, t).vertices))
+            v = gt_verts_fn_cache[0](
+                np.asarray(batch["gt_beta"], np.float32),
+                np.asarray(batch["gt_theta"], np.float32))
+            return np.asarray(v, np.float64)[:n_real]
+        return None
 
     def accumulate(res, batch, n_real, batch_index):
         """Host-side metrics for one COMPLETED batch. The np.asarray is
@@ -166,6 +198,14 @@ def evaluate_h36m_style(
             state.sum_pckh += float(metrics_lib.pckh_np(
                 np.asarray(res.joints2d)[:n_real], batch["gt_joints2d"],
                 threshold=pckh_threshold).sum())
+        gt_verts = _gt_vertices(batch, n_real)
+        if gt_verts is not None:
+            pred_v = np.asarray(res.vertices)[:n_real]
+            state.n_mesh += n_real
+            state.sum_pve += float(
+                metrics_lib.pve_np(pred_v, gt_verts).sum())
+            state.sum_pa_pve += float(
+                metrics_lib.pa_pve_np(pred_v, gt_verts).sum())
         state.cursor = batch_index + 1
         if checkpoint_path and (batch_index + 1) % save_every == 0:
             state.save(checkpoint_path)
@@ -188,6 +228,12 @@ def evaluate_h36m_style(
     if state.n2d:
         out["pckh"] = state.sum_pckh / state.n2d
         out["num_frames_2d"] = state.n2d
+    if state.n_mesh:
+        # Mesh-level protocol (PVE centroid-aligned / PA-PVE), for
+        # batches carrying SMPL GT — see _gt_vertices above.
+        out["pve"] = state.sum_pve / state.n_mesh
+        out["pa_pve"] = state.sum_pa_pve / state.n_mesh
+        out["num_frames_mesh"] = state.n_mesh
     return out
 
 

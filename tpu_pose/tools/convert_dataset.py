@@ -13,8 +13,16 @@ absent here, so this runs the moment a user supplies them).
       --annotations /data/mpii/mpii_human_pose_v1_u12_1.mat \
       --images /data/mpii/images --out /data/mpii_shards
 
+  # 3DPW (one sequence file; SMPL GT → the mesh-level PVE protocol):
+  python scripts/convert_dataset.py --dataset 3dpw \
+      --annotations /data/3dpw/sequenceFiles/test/downtown_arguing_00.pkl \
+      --images /data/3dpw/imageFiles/downtown_arguing_00 \
+      --out /data/3dpw_shards
+
 Then evaluate the 2D detector on the shards:
   python scripts/eval_2d.py --data_dir /data/mpii_shards --cpm_npz ...
+or the 3D fit (PVE/PA-PVE switch on automatically for 3dpw shards):
+  python scripts/eval_h36m.py --data_dir /data/3dpw_shards --cpm_npz ...
 """
 
 import os
@@ -23,10 +31,13 @@ import sys  # noqa: F401
 from absl import app, flags  # noqa: E402
 
 FLAGS = flags.FLAGS
-flags.DEFINE_enum("dataset", None, ["lsp", "mpii", "coco"],
-                  "source dataset format (lsp covers LSPET too; coco takes a\n                  person_keypoints json)")
-flags.DEFINE_string("annotations", None, "annotation file (.mat, or\n                    person_keypoints .json for coco)")
-flags.DEFINE_string("images", None, "image directory")
+flags.DEFINE_enum("dataset", None, ["lsp", "mpii", "coco", "3dpw"],
+                  "source dataset format (lsp covers LSPET too; coco takes a\n                  person_keypoints json; 3dpw takes one sequenceFiles pkl)")
+flags.DEFINE_string("annotations", None, "annotation file (.mat, "
+                    "person_keypoints .json for coco, or a "
+                    "sequenceFiles .pkl for 3dpw)")
+flags.DEFINE_string("images", None, "image directory (for 3dpw: the "
+                    "sequence's imageFiles/<name>/ directory)")
 flags.DEFINE_string("out", None, "output shard directory")
 flags.DEFINE_integer("size", 368, "output crop size (network input)")
 flags.DEFINE_float("margin", 0.0, "crop margin; 0 = dataset default "
@@ -50,6 +61,11 @@ def main(argv):
         paths = datasets.lsp_to_shards(
             FLAGS.annotations, FLAGS.images, FLAGS.out,
             out_size=FLAGS.size, margin=FLAGS.margin or 1.5,
+            shard_size=FLAGS.shard_size, limit=limit)
+    elif FLAGS.dataset == "3dpw":
+        paths = datasets.threedpw_to_shards(
+            FLAGS.annotations, FLAGS.images, FLAGS.out,
+            out_size=FLAGS.size, margin=FLAGS.margin or 1.3,
             shard_size=FLAGS.shard_size, limit=limit)
     elif FLAGS.dataset == "coco":
         paths = datasets.coco_to_shards(

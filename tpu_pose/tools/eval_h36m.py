@@ -89,8 +89,16 @@ def main(argv):
             est.smpl_model, FLAGS.batch, FLAGS.synthetic_batches,
             est.cpm_cfg)
     elif FLAGS.data_dir:
+        # Stream whatever GT the shards carry: 2D labels add the PCKh
+        # accumulator; SMPL params (3DPW-style shards, convert_dataset
+        # --dataset 3dpw) switch on the mesh-level PVE/PA-PVE protocol.
+        keys = ["images", "gt_joints3d"]
+        src = pipeline.NpzShardSource(FLAGS.data_dir)
+        if len(src):
+            keys += [k for k in ("gt_joints2d", "gt_theta", "gt_beta")
+                     if k in src[0]]
         batches = pipeline.batches(FLAGS.data_dir, FLAGS.batch,
-                                   keys=("images", "gt_joints3d"))
+                                   keys=tuple(keys))
     else:
         raise app.UsageError("provide --data_dir or --synthetic_batches")
 
@@ -120,6 +128,9 @@ def main(argv):
             f"PA-MPJPE={out['pa_mpjpe'] * 1000:.1f} mm")
     if "pckh" in out:
         line += f"  PCKh@0.5={out['pckh'] * 100:.1f}%"
+    if "pve" in out:
+        line += (f"  PVE={out['pve'] * 1000:.1f} mm  "
+                 f"PA-PVE={out['pa_pve'] * 1000:.1f} mm")
     print(line)
 
 

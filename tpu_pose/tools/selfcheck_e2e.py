@@ -474,6 +474,77 @@ def main(argv):
         f"(rc+rs trained weights; crop re-scales the person, JPEG "
         f"noise included)")
 
+    # ---- 10. 3DPW-style chain (SMPL-GT pkl → shards → PVE protocol) ------
+    # Fabricate one sequenceFiles pickle whose GT comes from the
+    # synthetic SMPL model: world joints at depth z0 behind a real
+    # pinhole K (f chosen so the person spans ~0.8 of the source frame,
+    # i.e. the training distribution after the adapter's crop), blob
+    # frames painted at the K-projected pixels, then the REAL conversion
+    # path (datasets.threedpw_to_shards: camera-frame composition, crop
+    # affine) and the streaming 3D evaluator — which switches on the
+    # mesh-level PVE / PA-PVE protocol from the shards' gt_theta/gt_beta.
+    log("3DPW-style chain (SMPL-GT fabrication → convert → PVE)...")
+    import pickle as pkl_lib
+
+    from tpu_pose.models.joints import CPM_TO_SMPL
+    n3 = 12
+    size = cfg.input_size
+    z0 = 200.0                        # deep enough that perspective ≈
+    #                                   the painter's orthographic view
+    # One β per actor is the 3DPW schema; GT joints regenerate with it.
+    ex3 = synthetic.make_examples(model, n3, cfg, seed=888)
+    theta3 = ex3["theta"]
+    beta3 = np.tile(ex3["beta"][0], (n3, 1))
+    j3d24 = synthetic._examples_from_params(
+        model, theta3, beta3, cfg)["gt_joints3d"]    # (n, 24, 3) meters
+    j14 = j3d24[:, np.asarray(CPM_TO_SMPL)]
+    world = j3d24 - j14.mean(1, keepdims=True)       # camera at origin
+    # f so the median person spans ~0.8 of the source frame — the
+    # training scale once the adapter's crop re-normalizes.
+    extent = np.abs(j14 - j14.mean(1, keepdims=True)).max(axis=(1, 2))
+    f_px = 0.8 / float(np.median(extent)) * (size / 2.0) * z0
+    k3 = np.array([[f_px, 0, size / 2.0],
+                   [0, f_px, size / 2.0], [0, 0, 1.0]])
+    fab3 = os.path.join(FLAGS.out, "threedpw_fab")
+    img3 = os.path.join(fab3, "img")
+    os.makedirs(img3, exist_ok=True)
+    for i in range(n3):
+        uvw = (world[i] + [0, 0, z0]) @ k3.T
+        px14 = (uvw[:, :2] / uvw[:, 2:3])[np.asarray(CPM_TO_SMPL)]
+        Image.fromarray(synthetic.render_blob_image(px14, size)).save(
+            os.path.join(img3, f"image_{i:05d}.jpg"), quality=92)
+    cam3 = np.zeros((n3, 4, 4))
+    cam3[:, :3, :3] = np.eye(3)
+    cam3[:, :3, 3] = [0, 0, z0]
+    cam3[:, 3, 3] = 1.0
+    seq3 = {"sequence": "fab", "cam_intrinsics": k3, "cam_poses": cam3,
+            "img_frame_ids": np.arange(n3), "genders": ["n"],
+            "poses": [theta3.astype(np.float64)],
+            "betas": [beta3[0].astype(np.float64)],
+            "trans": [np.zeros((n3, 3))],
+            "jointPositions": [world.reshape(n3, 72).astype(np.float64)],
+            "campose_valid": [np.ones(n3)]}
+    with open(os.path.join(fab3, "seq.pkl"), "wb") as f:
+        pkl_lib.dump(seq3, f, protocol=2)
+    shard3 = os.path.join(fab3, "shards")
+    ds_lib.threedpw_to_shards(os.path.join(fab3, "seq.pkl"), img3,
+                              shard3, out_size=size)
+    out3 = eval_lib.evaluate_h36m_style(
+        est_ds, pipe_lib.batches(
+            shard3, 4, keys=("images", "gt_joints3d", "gt_joints2d",
+                             "gt_theta", "gt_beta"),
+            shard_by_process=False))
+    results["threedpw_chain"] = {
+        "num_frames": out3["num_frames"],
+        "pa_mpjpe_mm": round(out3["pa_mpjpe"] * 1000, 1),
+        "pve_mm": round(out3["pve"] * 1000, 1),
+        "pa_pve_mm": round(out3["pa_pve"] * 1000, 1)}
+    log(f"3DPW chain: {out3['num_frames']} frames, PA-MPJPE "
+        f"{out3['pa_mpjpe'] * 1000:.1f} mm, PVE "
+        f"{out3['pve'] * 1000:.1f} mm, PA-PVE "
+        f"{out3['pa_pve'] * 1000:.1f} mm (mesh-level protocol from "
+        f"gt_theta/gt_beta; rc+rs trained weights)")
+
     with open(os.path.join(FLAGS.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     log(f"done → {FLAGS.out}/results.json")

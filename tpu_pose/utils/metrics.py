@@ -219,6 +219,41 @@ def keypoint_bbox_area_np(gt2d, mask=None,
     return np.maximum(out, 1e-9)
 
 
+def pve_np(pred_verts, gt_verts, align: str = "centroid") -> "np.ndarray":
+    """Per-Vertex Error (PVE / MPVPE): mean Euclidean distance between
+    predicted and ground-truth SMPL meshes — the mesh-level companion of
+    MPJPE for datasets that ship SMPL parameters (3DPW-style).
+
+    ``align`` — the translation convention:
+
+    - ``"centroid"`` (default): subtract each mesh's vertex centroid.
+      The monocular-eval convention when no common camera frame exists
+      (weak-perspective fits have a free translation/depth).
+    - ``"none"``: raw distances (both meshes already in one frame).
+
+    For the Procrustes-aligned variant (PA-PVE) use :func:`pa_pve_np`.
+    pred_verts/gt_verts: (B, V, 3) → (B,) in the input's length units.
+    """
+    import numpy as np
+    if align not in ("centroid", "none"):
+        raise ValueError(f"align must be 'centroid' or 'none', got "
+                         f"{align!r}")
+    pred = np.asarray(pred_verts, np.float64)
+    gt = np.asarray(gt_verts, np.float64)
+    if align == "centroid":
+        pred = pred - pred.mean(-2, keepdims=True)
+        gt = gt - gt.mean(-2, keepdims=True)
+    return np.linalg.norm(pred - gt, axis=-1).mean(-1)
+
+
+def pa_pve_np(pred_verts, gt_verts) -> "np.ndarray":
+    """Procrustes-aligned Per-Vertex Error: the Umeyama similarity
+    alignment of :func:`pa_mpjpe_np` applied to the 6890-vertex meshes
+    (the covariance is still 3×3 — the SVD cost does not grow with V).
+    (B, V, 3), (B, V, 3) → (B,)."""
+    return pa_mpjpe_np(pred_verts, gt_verts)
+
+
 def pckh_np(pred2d, gt2d, threshold: float = 0.5,
             head_a: int = 0, head_b: int = 1,
             headsize=None, mask=None) -> "np.ndarray":
