@@ -862,3 +862,20 @@ def test_3dpw_to_shards_camera_frame_and_theta(tmp_path):
         rec["gt_joints2d"],
         datasets.crop_point_map(px14, origin, zoom), atol=1e-4)
     assert rec["conf"].shape == (14,) and (rec["conf"] == 1).all()
+
+
+def test_3dpw_gender_codes_and_filter(tmp_path):
+    pkl, img_dir, _ = _fabricate_3dpw(tmp_path)
+    out_all = str(tmp_path / "all")
+    datasets.threedpw_to_shards(pkl, img_dir, out_all, out_size=64)
+    src = pipeline.NpzShardSource(out_all)
+    assert all(src[i]["gt_gender"] == 1 for i in range(len(src)))  # 'm'
+    # Filter: no 'f' actors in the fixture → empty conversion errors.
+    with pytest.raises(ValueError, match="no valid"):
+        datasets.threedpw_to_shards(pkl, img_dir,
+                                    str(tmp_path / "f"), out_size=64,
+                                    gender="f")
+    out_m = str(tmp_path / "m")
+    datasets.threedpw_to_shards(pkl, img_dir, out_m, out_size=64,
+                                gender="m")
+    assert len(pipeline.NpzShardSource(out_m)) == len(src)

@@ -457,3 +457,36 @@ def test_eval_mesh_protocol_pve(est, tmp_path):
         assert key not in out_none
     # Procrustes alignment can only reduce the centroid-aligned error.
     assert out_params["pa_pve"] <= out_params["pve"] + 1e-9
+
+
+def test_eval_mesh_protocol_gendered_gt_model(est):
+    """gt_smpl_model poses the GT mesh through a DIFFERENT model than
+    the predictor's (the official gendered 3DPW protocol)."""
+    from tpu_pose.models import smpl as smpl_lib
+    from tpu_pose.models import smpl_data
+    rng = np.random.RandomState(12)
+    images = rng.randint(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    gt3d = rng.rand(4, 24, 3).astype(np.float32)
+    theta = (rng.randn(4, 72) * 0.1).astype(np.float32)
+    beta = (rng.randn(4, 10) * 0.5).astype(np.float32)
+    gendered = smpl_data.synthetic_smpl(seed=99)   # ≠ est.smpl_model
+
+    def batches():
+        yield {"images": jnp.asarray(images), "gt_joints3d": gt3d,
+               "gt_theta": theta, "gt_beta": beta}
+
+    out_g = eval_lib.evaluate_h36m_style(est, batches(),
+                                         gt_smpl_model=gendered)
+    out_n = eval_lib.evaluate_h36m_style(est, batches())
+    # Equivalent to passing the gendered-model vertices directly...
+    verts_g = np.asarray(smpl_lib.smpl_forward_batch(
+        gendered, jnp.asarray(beta), jnp.asarray(theta)).vertices)
+
+    def batches_v():
+        yield {"images": jnp.asarray(images), "gt_joints3d": gt3d,
+               "gt_vertices": verts_g}
+
+    out_v = eval_lib.evaluate_h36m_style(est, batches_v())
+    np.testing.assert_allclose(out_g["pve"], out_v["pve"], rtol=1e-5)
+    # ...and measurably different from the neutral-model GT.
+    assert abs(out_g["pve"] - out_n["pve"]) > 1e-6

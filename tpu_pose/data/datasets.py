@@ -49,7 +49,7 @@ from tpu_pose.data import pipeline
 __all__ = [
     "LSP_TO_CPM", "MPII_TO_CPM", "H36M_32_TO_17", "MPII_SC_BIAS",
     "load_lsp", "load_mpii", "load_coco", "load_h36m_3d_npz",
-    "load_3dpw", "threedpw_to_shards",
+    "load_3dpw", "threedpw_to_shards", "THREEDPW_GENDER_CODES",
     "crop_person", "crop_point_map", "lsp_to_shards", "mpii_to_shards", "coco_to_shards",
     "sequences_to_shards",
 ]
@@ -435,10 +435,16 @@ def _compose_global_orient(theta: np.ndarray, rot: np.ndarray
     return out
 
 
+# 3DPW gender letters → the uint8 codes shards carry (npz shards hold
+# arrays, not strings).
+THREEDPW_GENDER_CODES = {"n": 0, "m": 1, "f": 2}
+
+
 def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
                        out_size: int = 368, margin: float = 1.3,
                        shard_size: int = 256,
-                       limit: Optional[int] = None) -> List[str]:
+                       limit: Optional[int] = None,
+                       gender: Optional[str] = None) -> List[str]:
     """One 3DPW sequence file + its image directory
     (``imageFiles/<sequence>/``) → evaluation shards for
     ``parallel/eval.evaluate_h36m_style``: per valid (actor, frame) a
@@ -448,15 +454,20 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
     intrinsics (``gt_joints2d`` + all-ones ``conf``), and the SMPL
     parameters with the global orient composed into the camera frame
     (``gt_theta``, ``gt_beta``) — which switches on the evaluator's
-    mesh-level PVE / PA-PVE protocol. Betas pose through the loaded
-    (usually neutral) SMPL model; 3DPW's own annotations are gendered —
-    the standard neutral-model evaluation approximation, note it when
-    quoting numbers."""
+    mesh-level PVE / PA-PVE protocol, plus the actor's ``gt_gender``
+    code (:data:`THREEDPW_GENDER_CODES`). 3DPW's annotations are
+    gendered: either pose GT through the neutral model (the common
+    approximation — say so when quoting numbers) or convert per-gender
+    directories (``gender="m"``/``"f"`` keeps only matching actors) and
+    pass the gendered model as the evaluator's ``gt_smpl_model``."""
     from tpu_pose.models.joints import CPM_TO_SMPL
     seq = load_3dpw(pkl_path)
     k_mat = seq["cam_intrinsics"]
     images, j2d, j3d, thetas, betas, confs = [], [], [], [], [], []
+    genders = []
     for actor in seq["actors"]:
+        if gender is not None and actor["gender"][:1].lower() != gender:
+            continue
         for t, frame_id in enumerate(seq["img_frame_ids"]):
             if limit is not None and len(images) >= limit:
                 break
@@ -484,6 +495,8 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
                 actor["poses"][t], rot).astype(np.float32))
             betas.append(actor["betas"].astype(np.float32))
             confs.append(np.ones(14, np.float32))
+            genders.append(THREEDPW_GENDER_CODES.get(
+                actor["gender"][:1].lower(), 0))
     if not images:
         raise ValueError(f"no valid (actor, frame) samples in {pkl_path}")
     return pipeline.write_npz_shards(out_dir, {
@@ -493,6 +506,7 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
         "gt_joints3d": np.stack(j3d),
         "gt_theta": np.stack(thetas),
         "gt_beta": np.stack(betas),
+        "gt_gender": np.asarray(genders, np.uint8),
     }, shard_size=shard_size)
 
 

@@ -119,6 +119,7 @@ def evaluate_h36m_style(
     root_index: int = 0,
     primary_protocol: str = "p1",
     pckh_threshold: float = 0.5,
+    gt_smpl_model=None,
 ):
     """Streaming eval of the fused pipeline, all standard protocols at once:
 
@@ -139,7 +140,12 @@ def evaluate_h36m_style(
       that carry SMPL ground truth: ``gt_vertices`` directly, or
       ``gt_theta`` (B, 72) + ``gt_beta`` (B, 10) posed through the
       estimator's SMPL model (the 3DPW-style protocol — both meshes use
-      the official model file, only parameters differ).
+      the official model file, only parameters differ). Pass
+      ``gt_smpl_model`` (a loaded SMPLData) to pose GT through a
+      DIFFERENT model than the predictor's — e.g. the official gendered
+      3DPW protocol, where GT uses the male/female model while the
+      predictor fits the neutral one (convert per-gender shard dirs; the
+      adapter records ``gt_gender`` codes).
 
     ``gt_joints3d`` must be in the SMPL 24-joint frame, or provide
     ``select_joints`` mapping predicted (B,24,3) → GT convention (the root
@@ -168,9 +174,11 @@ def evaluate_h36m_style(
         if "gt_theta" in batch and "gt_beta" in batch:
             if not gt_verts_fn_cache:
                 from tpu_pose.models import smpl as smpl_lib
+                gt_model = (estimator.smpl_model if gt_smpl_model is None
+                            else gt_smpl_model)
                 gt_verts_fn_cache.append(jax.jit(
                     lambda b, t: smpl_lib.smpl_forward_batch(
-                        estimator.smpl_model, b, t).vertices))
+                        gt_model, b, t).vertices))
             v = gt_verts_fn_cache[0](
                 np.asarray(batch["gt_beta"], np.float32),
                 np.asarray(batch["gt_theta"], np.float32))

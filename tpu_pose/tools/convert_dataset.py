@@ -46,6 +46,10 @@ flags.DEFINE_float("margin", 0.0, "crop margin; 0 = dataset default "
 flags.DEFINE_integer("shard_size", 256, "samples per npz shard")
 flags.DEFINE_integer("limit", 0, "convert only the first N samples "
                      "(0 = all)")
+flags.DEFINE_string("gender", "", "3dpw only: keep actors of this "
+                    "gender (m|f) — convert per-gender shard dirs for "
+                    "the official gendered-GT protocol (pass the "
+                    "gendered model as eval's gt_smpl_model)")
 flags.mark_flag_as_required("dataset")
 flags.mark_flag_as_required("annotations")
 flags.mark_flag_as_required("images")
@@ -66,7 +70,8 @@ def main(argv):
         paths = datasets.threedpw_to_shards(
             FLAGS.annotations, FLAGS.images, FLAGS.out,
             out_size=FLAGS.size, margin=FLAGS.margin or 1.3,
-            shard_size=FLAGS.shard_size, limit=limit)
+            shard_size=FLAGS.shard_size, limit=limit,
+            gender=FLAGS.gender or None)
     elif FLAGS.dataset == "coco":
         paths = datasets.coco_to_shards(
             FLAGS.annotations, FLAGS.images, FLAGS.out,
