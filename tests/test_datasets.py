@@ -862,6 +862,11 @@ def test_3dpw_to_shards_camera_frame_and_theta(tmp_path):
         rec["gt_joints2d"],
         datasets.crop_point_map(px14, origin, zoom), atol=1e-4)
     assert rec["conf"].shape == (14,) and (rec["conf"] == 1).all()
+    # Effective focal maps through the crop zoom (fx = 500 in the
+    # fixture's K): f_crop = fx · zoom.
+    np.testing.assert_allclose(rec["focal_px"],
+                               raw["cam_intrinsics"][0, 0] * zoom,
+                               rtol=1e-5)
 
 
 def test_3dpw_gender_codes_and_filter(tmp_path):

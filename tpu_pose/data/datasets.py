@@ -464,7 +464,14 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
     seq = load_3dpw(pkl_path)
     k_mat = seq["cam_intrinsics"]
     images, j2d, j3d, thetas, betas, confs = [], [], [], [], [], []
-    genders = []
+    genders, focals = [], []
+    # Effective focal in OUTPUT-CROP pixels: the crop scales image
+    # pixels by ``zoom``, so f_crop = fx·zoom (square pixels assumed —
+    # 3DPW's K has fx≈fy). The person-centered crop also moves the
+    # principal point to the person, which is exactly the SMPLify-style
+    # perspective camera's assumption (FitConfig.focal + principal point
+    # at the frame center) — use it via eval_h36m's --focal/auto.
+    fx = float(k_mat[0, 0])
     for actor in seq["actors"]:
         if gender is not None and actor["gender"][:1].lower() != gender:
             continue
@@ -497,6 +504,7 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
             confs.append(np.ones(14, np.float32))
             genders.append(THREEDPW_GENDER_CODES.get(
                 actor["gender"][:1].lower(), 0))
+            focals.append(np.float32(fx * zoom))
     if not images:
         raise ValueError(f"no valid (actor, frame) samples in {pkl_path}")
     return pipeline.write_npz_shards(out_dir, {
@@ -507,6 +515,7 @@ def threedpw_to_shards(pkl_path: str, images_dir: str, out_dir: str,
         "gt_theta": np.stack(thetas),
         "gt_beta": np.stack(betas),
         "gt_gender": np.asarray(genders, np.uint8),
+        "focal_px": np.asarray(focals, np.float32),
     }, shard_size=shard_size)
 
 

@@ -41,6 +41,11 @@ flags.DEFINE_enum("protocol", "p1", ["p1", "scaled", "pa"],
                   "weak-perspective fits); pa = Procrustes-aligned")
 flags.DEFINE_string("camera", "", "override FitConfig.camera_model "
                     "(weak_perspective | perspective)")
+flags.DEFINE_float("focal", 0.0, "perspective focal length in NETWORK-"
+                   "FRAME pixels (Protocol 1 scores absolute geometry — "
+                   "use the dataset's real focal). 0 = auto: the median "
+                   "focal_px the shards carry (3DPW adapter records the "
+                   "crop-mapped focal), else FitConfig's default")
 
 
 def main(argv):
@@ -59,7 +64,28 @@ def main(argv):
     # perspective camera is the config that can actually deliver it.
     camera = FLAGS.camera or (
         "perspective" if FLAGS.protocol == "p1" else "weak_perspective")
-    fit_cfg = FitConfig(camera_model=camera)
+    focal_kw = {}
+    if FLAGS.focal > 0:
+        focal_kw["focal"] = FLAGS.focal
+    elif camera == "perspective" and FLAGS.data_dir:
+        # Auto-focal from the shards (the 3DPW adapter records the
+        # crop-mapped focal per sample). focal_px is in SHARD-image
+        # pixels; the network frame rescales it by input/S. The stock
+        # 368 CPM input is assumed here — pass --focal explicitly for a
+        # nonstandard input size.
+        import numpy as np
+        src0 = pipeline.NpzShardSource(FLAGS.data_dir)
+        if len(src0) and "focal_px" in src0[0]:
+            n = min(len(src0), 64)
+            med = float(np.median([float(src0[i]["focal_px"])
+                                   for i in range(n)]))
+            s_img = int(src0[0]["images"].shape[0])
+            from tpu_pose.utils.config import CPMConfig
+            focal_kw["focal"] = med * CPMConfig().input_size / s_img
+            print(f"auto focal: median shard focal_px {med:.1f} "
+                  f"(image {s_img}px) → {focal_kw['focal']:.1f} px in "
+                  f"the network frame")
+    fit_cfg = FitConfig(camera_model=camera, **focal_kw)
 
     prior = None
     if FLAGS.gmm_npz:
