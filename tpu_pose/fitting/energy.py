@@ -4,8 +4,12 @@
                    + λ_θ · pose_prior(θ[3:])
                    + λ_a · angle_prior(θ)
                    + λ_β · ‖β‖²
+                   + λ_sp · interpenetration(θ, β)   [optional, default 0]
 
-with ρ the Geman–McClure robustifier (GMoF). Pure scalar jnp function of a
+with ρ the Geman–McClure robustifier (GMoF) and the optional fourth
+term SMPLify's capsule self-interpenetration penalty
+(fitting/interpenetration.py; certified parity covers the 3-prior
+form). Pure scalar jnp function of a
 parameter pytree — ``jax.value_and_grad`` of this is the entire inner loop
 of the fit; no host round-trips (the reference crossed host↔device once per
 optimizer iteration, SURVEY.md §3.3).
@@ -68,6 +72,7 @@ def fit_energy(
     stage: StageConfig,
     cfg: FitConfig,
     prior: Any = None,            # GMMPrior | L2Prior | None
+    capsule_spec: Any = None,     # interpenetration.CapsuleSpec | None
 ) -> jnp.ndarray:
     """Total scalar energy for ONE frame. vmap over frames/people.
 
@@ -95,5 +100,13 @@ def fit_energy(
         e = e + stage.w_angle_prior * priors_lib.angle_prior(theta) * scale ** 2
     if stage.w_shape_prior > 0.0:
         e = e + stage.w_shape_prior * jnp.sum(beta * beta) * scale ** 2
+    if capsule_spec is not None and stage.w_interpenetration > 0.0:
+        # SMPLify's fourth term (fitting/interpenetration.py): capsule
+        # overlap hinge² on the posed joints, m² — weights are large.
+        from tpu_pose.fitting import interpenetration as interp_lib
+        e = e + (stage.w_interpenetration
+                 * interp_lib.interpenetration_penalty(out.joints,
+                                                       capsule_spec)
+                 * scale ** 2)
 
     return e

@@ -206,11 +206,20 @@ def fit_smpl_single(
     obs = _normalize_obs(joints2d, cfg)
     params = default_init(model, obs, conf, cfg) if init is None else init
 
+    # SMPLify's capsule interpenetration term: derive the capsule
+    # geometry ONCE per fit program (outside the optimization scans) —
+    # static topology, traced radii (fitting/interpenetration.py).
+    capsule_spec = None
+    if any(s.w_interpenetration > 0.0 for s in cfg.stages):
+        from tpu_pose.fitting import interpenetration as interp_lib
+        capsule_spec = interp_lib.build_capsule_spec(model)
+
     hists = []
     for stage in cfg.stages:  # static: one scan per stage in the trace
         energy_fn = functools.partial(
             fit_energy, model=model, joints2d_obs=obs, conf=conf,
-            stage=stage, cfg=cfg, prior=prior)
+            stage=stage, cfg=cfg, prior=prior,
+            capsule_spec=capsule_spec)
         runner = (_run_stage_lbfgs if cfg.optimizer == "lbfgs"
                   else _run_stage_adam)
         params, hist = runner(energy_fn, params, stage, cfg.keep_history)
@@ -218,7 +227,8 @@ def fit_smpl_single(
             hists.append(hist)
 
     final_stage = cfg.stages[-1]
-    final_e = fit_energy(params, model, obs, conf, final_stage, cfg, prior)
+    final_e = fit_energy(params, model, obs, conf, final_stage, cfg, prior,
+                         capsule_spec=capsule_spec)
     history = (jnp.concatenate(hists) if cfg.keep_history
                else jnp.zeros((0,), jnp.float32))
     return FitResult(theta=params["theta"], beta=params["beta"],

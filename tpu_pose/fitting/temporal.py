@@ -257,6 +257,12 @@ def fit_video_smooth(
     stage = cfg.stages[-1]
     scale = (2.0 / cfg.img_size) if cfg.normalize_obs else 1.0
     s2 = scale * scale
+    capsule_spec = None
+    if stage.w_interpenetration > 0.0:
+        # SMPLify's interpenetration term follows the last stage's
+        # weight into the joint refine, like the other priors.
+        from tpu_pose.fitting import interpenetration as interp_lib
+        capsule_spec = interp_lib.build_capsule_spec(model)
 
     def beta_per_frame(beta):
         if shared_beta:
@@ -267,7 +273,8 @@ def fit_video_smooth(
         e = jax.vmap(
             lambda th, be, ca, j, c: fit_energy(
                 {"theta": th, "beta": be, "cam": ca},
-                model, j, c, stage, cfg, prior)
+                model, j, c, stage, cfg, prior,
+                capsule_spec=capsule_spec)
         )(p["theta"], beta_per_frame(p["beta"]), p["cam"], obs, conf_seq)
         # where(), not multiplication: a NaN/inf pad-frame energy times 0
         # is NaN and would take the whole sequence's gradients down.

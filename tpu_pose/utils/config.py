@@ -69,6 +69,13 @@ class StageConfig:
     w_pose_prior: float = 4.0
     w_shape_prior: float = 5.0
     w_angle_prior: float = 15.0
+    # Capsule self-interpenetration penalty (the SMPLify objective's
+    # fourth term, fitting/interpenetration.py). Default OFF: the
+    # certified energy parity covers the 3-prior form; enable for
+    # parity tuning or as a regularizer on extreme poses. The penalty
+    # is in m², so useful weights are large (≥1e3: typical overlaps
+    # are centimeters → hinge² ~1e-4).
+    w_interpenetration: float = 0.0
 
 
 # Staged schedules, SMPLify-style (camera-first, then annealed joint
