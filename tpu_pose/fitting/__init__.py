@@ -1,4 +1,10 @@
-from tpu_pose.fitting import energy, fit, priors, temporal  # noqa: F401
+from tpu_pose.fitting import (  # noqa: F401
+    energy,
+    fit,
+    interpenetration,
+    priors,
+    temporal,
+)
 from tpu_pose.fitting.fit import (  # noqa: F401
     FitResult,
     fit_smpl_batch,

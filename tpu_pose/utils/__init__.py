@@ -1,1 +1,1 @@
-from tpu_pose.utils import config, metrics, viz  # noqa: F401
+from tpu_pose.utils import config, metrics, videoio, viz  # noqa: F401
