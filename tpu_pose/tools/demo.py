@@ -264,6 +264,8 @@ def _run_stream(est, video_path, letterbox, fps_out):
         render(leftover, res)
 
     _close_video_out(vwriter)
+    if not thetas:
+        raise app.UsageError(f"no decodable frames in {video_path!r}")
     # Multi results are track-major: time is axis 1 (theta (K, T, 72)).
     t_axis = 1 if FLAGS.multi else 0
     ckpt_lib.save_fit_results(
