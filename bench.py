@@ -242,7 +242,12 @@ def main():
             f"{snap['occupancy']:.2f})")
         # (c) The same load THROUGH the HTTP data plane (serving_http):
         # quantifies the socket + npy-decode + JSON-encode tax over the
-        # in-process 6a figure.
+        # in-process 6a figure. 64 sync client threads so the offered
+        # load saturates the bucket like 6a's up-front submits — with
+        # few closed-loop clients the comparison conflates the HTTP tax
+        # with batching policy (4 threads measured 3.4 req/s: every
+        # ~4-deep batch pads to 64 and ships the full 26 MB padded
+        # upload over the ~41 MB/s tunnel).
         import io as _io
         import json as _json
         from http.client import HTTPConnection
@@ -266,7 +271,7 @@ def main():
                             buckets=(64,),
                             fields=("theta", "joints2d",
                                     "conf")) as hsrv, \
-                ThreadPoolExecutor(max_workers=4) as pool:
+                ThreadPoolExecutor(max_workers=64) as pool:
             go = lambda fr: post_npy(hsrv.host, hsrv.port, fr)  # noqa: E731
             list(pool.map(go, same[:64]))          # warm
             t0 = _time.perf_counter()
@@ -274,7 +279,7 @@ def main():
             dt = _time.perf_counter() - t0
             snap = hsrv.server.stats.snapshot()
         log(f"config6c HTTP serving open-loop {n_req} same-res reqs "
-            f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
+            f"(64 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
             f"(mean batch {snap['mean_batch']:.1f})")
 
         # Config 7: ACCURACY-mode fused throughput — the configuration
