@@ -305,3 +305,36 @@ def test_client_predict_batch_chunks_large_stacks():
         whole = c.predict_batch(stack)
         np.testing.assert_allclose(out["theta"], whole["theta"],
                                    atol=1e-5)
+
+
+def test_backlog_survives_64_connection_burst(srv):
+    """64 near-simultaneous connections must ALL be served.
+
+    Batch-shaped bursts are the normal arrival pattern for a batching
+    server; socketserver's default listen backlog of 5 RSTs the tail of
+    such a burst (measured as ConnectionResetError under the bench's
+    64-thread open-loop load). PoseHTTPServer sizes the backlog to 128
+    by default (`backlog=` to override)."""
+    frame = np.random.RandomState(3).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    body = _npy_bytes(frame)
+    n = 64
+    barrier = threading.Barrier(n)
+    errs, oks = [], []
+
+    def go():
+        try:
+            barrier.wait(timeout=60)
+            status, _, data = _post(srv, body, "application/x-npy")
+            assert status == 200, (status, data[:200])
+            oks.append(1)
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=go) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs[:5]
+    assert len(oks) == n

@@ -64,6 +64,18 @@ _MAX_BODY = 64 * 1024 * 1024        # one frame; 64 MB covers 8K RGB
 _MAX_BODY_BATCH = 1024 * 1024 * 1024  # /predict_batch stacks
 
 
+class _Listener(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a backlog sized for batch-shaped bursts.
+
+    A batching server's whole point is to coalesce simultaneous
+    requests, so bursts of max_batch (64+) near-simultaneous connects
+    are the NORMAL arrival pattern — socketserver's default
+    ``request_queue_size`` of 5 makes the kernel RST the tail of such a
+    burst before ``accept()`` ever runs (measured: 64 concurrent
+    clients → ConnectionResetError under load)."""
+    request_queue_size = 128
+
+
 def _decode_body(body: bytes, ctype: str) -> np.ndarray:
     """Request body → (H, W, 3) uint8 frame. Raises ValueError with a
     client-appropriate message on malformed input."""
@@ -269,6 +281,9 @@ class PoseHTTPServer:
       host/port: bind address; port 0 picks a free port (see ``.port``).
       request_timeout_s: per-request wait on the device result.
       verbose: log each request (BaseHTTPRequestHandler format).
+      backlog: listen(2) queue depth. Size it ≥ the largest client
+        burst (default 128; the stdlib default of 5 RSTs batch-shaped
+        bursts — see ``_Listener``).
       **server_kw: forwarded to ``BatchingServer`` (``max_batch``,
         ``max_wait_ms``, ``buckets``, ``fields`` ...).
 
@@ -279,13 +294,16 @@ class PoseHTTPServer:
 
     def __init__(self, estimator, host: str = "127.0.0.1", port: int = 0,
                  request_timeout_s: float = 120.0, verbose: bool = False,
-                 fields: Optional[Sequence[str]] = None, **server_kw):
+                 fields: Optional[Sequence[str]] = None,
+                 backlog: int = 128, **server_kw):
         self.server = serving_lib.BatchingServer(estimator,
                                                  fields=fields,
                                                  **server_kw)
         self.request_timeout_s = request_timeout_s
         self.verbose = verbose
-        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        listener_cls = type("_Listener", (_Listener,),
+                            {"request_queue_size": int(backlog)})
+        self._httpd = listener_cls((host, port), _Handler)
         self._httpd.pose = self
         self.host, self.port = self._httpd.server_address[:2]
         self._listener = threading.Thread(
