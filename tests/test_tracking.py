@@ -307,3 +307,141 @@ def test_video_multi_three_slots_end_to_end():
     # Presence calls stay boolean and at least one track is real.
     assert np.asarray(r.track_mask).dtype == bool
     assert np.asarray(r.track_mask).any()
+
+
+def _np_viterbi(geom, app, w_app=2.0, w_anchor=8.0, eps=1e-4):
+    """Reference DP (all slots live) for associate_tracks_viterbi."""
+    import itertools
+    t, k = geom.shape[:2]
+    perms = np.array(list(itertools.permutations(range(k))))
+    node = np.stack(
+        [w_anchor * np.mean((app[:, p] - app[0][None]) ** 2, (1, 2))
+         for p in perms], -1)                               # (T, P)
+    cost = node[0].copy()
+    back = np.zeros((t, len(perms)), int)
+    for i in range(1, t):
+        e = np.array([[np.mean((geom[i, p] - geom[i - 1, q]) ** 2)
+                       + w_app * np.mean((app[i, p] - app[i - 1, q]) ** 2)
+                       + (eps if qi != pi else 0.0)
+                       for pi, p in enumerate(perms)]
+                      for qi, q in enumerate(perms)])
+        c = cost[:, None] + e + node[i][None]
+        back[i] = np.argmin(c, 0)
+        cost = c[back[i], np.arange(len(perms))]
+    path = [int(np.argmin(cost))]
+    for i in range(t - 1, 0, -1):
+        path.append(int(back[i][path[-1]]))
+    return perms[path[::-1]]
+
+
+def test_viterbi_matches_numpy_dp_oracle():
+    rng = np.random.RandomState(1)
+    for k in (2, 3):
+        for _ in range(3):
+            geom = rng.randn(10, k, 6).astype(np.float32)
+            app = rng.randn(10, k, 9).astype(np.float32)
+            ref = _np_viterbi(geom, app)
+            got = np.asarray(tracking.associate_tracks_viterbi(
+                jnp.asarray(geom), jnp.asarray(app)))
+            np.testing.assert_array_equal(ref, got)
+
+
+def test_viterbi_anchor_survives_blackout_where_greedy_fails():
+    """A crossing with a mid-sequence garbage gap: geometry continuity
+    prefers the identity swap, but the frame-0 appearance anchor pulls
+    the global path back to the true identities — the failure mode the
+    greedy EMA filter locks into (it has no way to undo a wrong branch
+    after the gap)."""
+    t, k = 20, 2
+    rng = np.random.RandomState(3)
+    # Tracks swap positions across a 4-frame garbage window.
+    x = np.linspace(0.0, 1.0, t, dtype=np.float32)
+    geom = np.zeros((t, k, 2), np.float32)
+    geom[:, 0, 0], geom[:, 1, 0] = x, 1.0 - x
+    geom[:, :, 1] = 0.5
+    app = np.zeros((t, k, 3), np.float32)
+    app[:, 0], app[:, 1] = (1.0, 0.0, 0.0), (0.0, 0.0, 1.0)
+    # Slot order is position-sorted (what NMS peak order does): after the
+    # crossing the slots swap identity.
+    order = np.argsort(geom[..., 0], axis=1)
+    slots_g = np.take_along_axis(geom, order[..., None], 1)
+    slots_a = np.take_along_axis(app, order[..., None], 1)
+    gap = slice(8, 12)
+    slots_g[gap] = rng.rand(4, k, 2)
+    slots_a[gap] = rng.rand(4, k, 3)
+    perm = np.asarray(tracking.associate_tracks_viterbi(
+        jnp.asarray(slots_g), jnp.asarray(slots_a)))
+    tracked_a = np.asarray(tracking.gather_tracks(
+        jnp.asarray(slots_a), jnp.asarray(perm)))
+    # Outside the garbage gap every frame must recover the true colors.
+    keep = np.ones(t, bool)
+    keep[gap] = False
+    np.testing.assert_allclose(tracked_a[keep, 0], app[keep, 0], atol=1e-6)
+    np.testing.assert_allclose(tracked_a[keep, 1], app[keep, 1], atol=1e-6)
+
+
+def test_viterbi_stream_state_matches_batch():
+    rng = np.random.RandomState(5)
+    t, k = 16, 2
+    geom = rng.randn(t, k, 4).astype(np.float32)
+    base = rng.randn(1, k, 6).astype(np.float32)
+    app = (np.repeat(base, t, 0)
+           + 0.02 * rng.randn(t, k, 6)).astype(np.float32)
+    pb = np.asarray(tracking.associate_tracks_viterbi(
+        jnp.asarray(geom), jnp.asarray(app)))
+    p1, st = tracking.associate_tracks_viterbi(
+        jnp.asarray(geom[:9]), jnp.asarray(app[:9]), return_state=True)
+    p2 = tracking.associate_tracks_viterbi(
+        jnp.asarray(geom[9:]), jnp.asarray(app[9:]), init_state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(p1), np.asarray(p2)]), pb)
+
+
+def test_smooth_track_centers_bridges_outliers():
+    """A garbage mid-trajectory observation (the crossing failure mode)
+    must be pulled back to the smooth path; clean observations must
+    survive nearly untouched."""
+    t = 24
+    x = np.linspace(10.0, 50.0, t, dtype=np.float32)
+    centers = np.stack([x, np.full(t, 32.0, np.float32)], -1)[:, None]
+    obs = centers.copy()
+    obs[10, 0] += (40.0, -25.0)                 # one garbage decode
+    w = np.ones((t, 1), np.float32)
+    sm = np.asarray(tracking.smooth_track_centers(
+        jnp.asarray(obs), jnp.asarray(w)))
+    err_out = np.linalg.norm(sm[10, 0] - centers[10, 0])
+    err_clean = np.linalg.norm(sm - centers, axis=-1)[np.arange(t) != 10]
+    assert err_out < 10.0, err_out               # 47 px outlier bridged
+    assert err_clean.max() < 2.0, err_clean.max()
+    # Zero-weight frames (streaming pads) are interpolated, not copied.
+    w2 = w.copy()
+    w2[15] = 0.0
+    obs2 = obs.copy()
+    obs2[15, 0] = (0.0, 0.0)
+    sm2 = np.asarray(tracking.smooth_track_centers(
+        jnp.asarray(obs2), jnp.asarray(w2)))
+    assert np.linalg.norm(sm2[15, 0] - centers[15, 0]) < 3.0
+
+
+def test_estimate_2d_multi_center_hints_fix_slot_identity():
+    """Explicit center_hints must decode slot i at hint i (the temporal
+    second pass's contract) — swap the hints, the slots swap."""
+    from tpu_pose.models import cpm as cpm_lib
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=SMALL,
+                                         fit_cfg=SMALL_FIT)
+    frames = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    hints = jnp.asarray(np.array([[[16.0, 32.0], [48.0, 32.0]],
+                                  [[40.0, 20.0], [20.0, 44.0]]],
+                                 np.float32))
+    _, j1, c1, s1 = cpm_lib.estimate_2d_multi(
+        est.cpm_params, frames, cfg=SMALL, max_people=2,
+        center_hints=hints)
+    _, j2, c2, s2 = cpm_lib.estimate_2d_multi(
+        est.cpm_params, frames, cfg=SMALL, max_people=2,
+        center_hints=hints[:, ::-1])
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2[:, ::-1]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2[:, ::-1]),
+                               rtol=1e-5)
+    assert np.isfinite(np.asarray(c1)).all()

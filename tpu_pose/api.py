@@ -601,6 +601,7 @@ class PoseEstimator:
                                            pad_mask=None,
                                            track_state=None,
                                            anchors=None,
+                                           temporal_hints: bool = True,
                                            return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
@@ -613,33 +614,57 @@ class PoseEstimator:
         # appearance half is load-bearing: through a full crossing the
         # occluded person's hypotheses are garbage for ~10 frames and
         # each person re-appears on the OTHER side, so geometry alone
-        # measured 0.56–0.69 identity accuracy vs 1.00 with re-ID
-        # (fitting/tracking.py module docstring). Score-gated so the
-        # occluded track's features freeze instead of locking onto the
-        # noise peak.
+        # cannot bridge the gap (fitting/tracking.py module docstring).
+        # The assignment is the GLOBAL Viterbi optimum over per-frame
+        # permutations (associate_tracks_viterbi) — measured on the
+        # 10-seed hard crossing benchmark: greedy 0.59 mean identity
+        # accuracy → 0.79 Viterbi → 0.83 with the temporal-hint second
+        # decode pass below.
         from tpu_pose.ops import preprocess as pre
         size = self.cpm_cfg.input_size
         xnet = jax.vmap(lambda im: pre.preprocess(
             im, size, letterbox=self.letterbox))(frames)
         app = tracking.appearance_features(xnet, joints)
-        feats = jnp.concatenate(
-            [joints.reshape(t, k, -1) / size, app], axis=-1)
+        geom = joints.reshape(t, k, -1) / size
         # Streaming pad frames (pad_mask 0) are forced non-live so they
         # can neither update track state nor count as presence; the
         # absolute score gate rejects their -1e9 (gate_frac compares
         # relative to the frame max, which is also -1e9 on a pad frame).
         assoc_scores = (scores if pad_mask is None else
                         jnp.where(pad_mask[:, None] > 0, scores, -1e9))
-        perm, new_state = tracking.associate_tracks(
-            feats, assoc_scores, score_gate=min_person_score,
+        perm, new_state = tracking.associate_tracks_viterbi(
+            geom, app, assoc_scores, score_gate=min_person_score,
             init_state=track_state, return_state=True)
         tj = tracking.gather_tracks(joints, perm)
         tc = tracking.gather_tracks(conf, perm)
         ts = tracking.gather_tracks(scores, perm)
-        fmask = tracking.gather_tracks(
-            cpm_lib.select_people(scores, min_person_score,
-                                  person_score_frac, joints=joints,
-                                  dup_px=dup_px), perm)     # (T, k)
+        sel_joints, sel_scores = joints, scores
+        if temporal_hints:
+            # Second decode pass with TEMPORAL center hints: around a
+            # crossing the occluded person's hypothesis decodes
+            # off-person for several frames (measured 20–60 px), so the
+            # smoothed per-track center trajectory — garbage frames
+            # IRLS-down-weighted — is a strictly better person proposal
+            # than the per-frame NMS peaks. Slot i of the hinted pass
+            # IS track i by construction (center_hints fixes slot
+            # identity), so no re-association is needed. 2× CPM cost,
+            # same contract; measured −33% tracked center error.
+            hints = tracking.smooth_track_centers(
+                tj.mean(-2), jnp.maximum(ts, 0.0))
+            _, tj, tc, ts = cpm_lib.estimate_2d_multi(
+                cpm_params, frames, cfg=self.cpm_cfg,
+                max_people=max_people, letterbox=self.letterbox,
+                refine_scale=self.refine_scale, flip_tta=self.flip_tta,
+                center_hints=hints)
+            sel_joints, sel_scores = tj, ts
+            if pad_mask is not None:
+                ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
+                sel_scores = ts
+        fmask = cpm_lib.select_people(sel_scores, min_person_score,
+                                      person_score_frac,
+                                      joints=sel_joints, dup_px=dup_px)
+        if not temporal_hints:
+            fmask = tracking.gather_tracks(fmask, perm)     # (T, k)
         if pad_mask is not None:
             fmask = fmask & (pad_mask[:, None] > 0)
         track_mask = jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5
@@ -695,13 +720,18 @@ class PoseEstimator:
                                      max_people: int = 2,
                                      min_person_score: float = 0.05,
                                      person_score_frac: float = 0.4,
-                                     dup_px: float = 30.0
+                                     dup_px: float = 30.0,
+                                     temporal_hints: bool = True
                                      ) -> MultiPersonVideoResult:
         """Multi-person video, ONE device program: per-frame hypothesis
-        decode (estimate_2d_multi) → in-graph track association
-        (fitting/tracking.py — exact k!-enumeration assignment under
-        lax.scan, joints-feature cost, score-gated coasting) → per-track
-        joint smooth sequence fits with absent frames masked.
+        decode (estimate_2d_multi) → in-graph GLOBAL track association
+        (fitting/tracking.py — Viterbi DP over the k! per-frame
+        assignments under lax.scan, geometry-continuity + appearance
+        re-ID anchor costs) → a temporally-hinted second decode pass on
+        the smoothed track trajectories (``temporal_hints``, 2× CPM
+        cost — recovers the frames a crossing occlusion corrupts;
+        disable for throughput) → per-track joint smooth sequence fits
+        with absent frames masked.
 
         Composes three rebuild extensions the single-person single-frame
         reference had no analogue for. Axis-1 of the result is TRACK
@@ -713,14 +743,16 @@ class PoseEstimator:
         _check_frames(frames, "frames")
         self._warn_multi_ignores_scale_tta()
         key = ("video_multi", max_people, min_person_score,
-               person_score_frac, dup_px, self.fit_restarts)
+               person_score_frac, dup_px, self.fit_restarts,
+               temporal_hints)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 self._estimate_and_fit_video_multi_impl,
                 max_people=max_people,
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
-                restarts=max(self.fit_restarts, 1)))
+                restarts=max(self.fit_restarts, 1),
+                temporal_hints=temporal_hints))
         return self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), self.smpl_model,
             frames)
@@ -730,7 +762,8 @@ class PoseEstimator:
                                             chunk: int = 64,
                                             min_person_score: float = 0.05,
                                             person_score_frac: float = 0.4,
-                                            dup_px: float = 30.0
+                                            dup_px: float = 30.0,
+                                            temporal_hints: bool = True
                                             ) -> MultiPersonVideoResult:
         """Arbitrary-length multi-person video with bounded memory:
         fixed-``chunk`` windows through the fused tracked pipeline, the
@@ -751,11 +784,13 @@ class PoseEstimator:
             return self.estimate_and_fit_video_multi(
                 frames, max_people=max_people,
                 min_person_score=min_person_score,
-                person_score_frac=person_score_frac, dup_px=dup_px)
+                person_score_frac=person_score_frac, dup_px=dup_px,
+                temporal_hints=temporal_hints)
         sess = MultiPersonVideoSession(
             self, max_people=max_people, chunk=chunk,
             min_person_score=min_person_score,
-            person_score_frac=person_score_frac, dup_px=dup_px)
+            person_score_frac=person_score_frac, dup_px=dup_px,
+            temporal_hints=temporal_hints)
         outs = [r for r in (sess.push(frames), sess.flush())
                 if r is not None]
         return _concat_video_multi(outs)
@@ -763,16 +798,18 @@ class PoseEstimator:
     def _stream_window_programs(self, max_people: int,
                                 min_person_score: float,
                                 person_score_frac: float, dup_px: float,
-                                chunk: int):
+                                chunk: int, temporal_hints: bool = True):
         """Jitted (first-window, anchored-window) fused programs for the
         tracked streaming path, cached per config tuple."""
         base = dict(max_people=max_people,
                     min_person_score=min_person_score,
                     person_score_frac=person_score_frac, dup_px=dup_px,
                     restarts=max(self.fit_restarts, 1),
+                    temporal_hints=temporal_hints,
                     return_carry=True)
         kf = ("video_multi_stream_first", max_people, min_person_score,
-              person_score_frac, dup_px, self.fit_restarts, chunk)
+              person_score_frac, dup_px, self.fit_restarts, chunk,
+              temporal_hints)
         ka = kf[:1] + ("anchored",) + kf[1:]
         if kf not in self._fit_multistart:
             self._fit_multistart[kf] = jax.jit(functools.partial(
@@ -875,14 +912,15 @@ class MultiPersonVideoSession:
 
     def __init__(self, estimator: "PoseEstimator", max_people: int = 2,
                  chunk: int = 64, min_person_score: float = 0.05,
-                 person_score_frac: float = 0.4, dup_px: float = 30.0):
+                 person_score_frac: float = 0.4, dup_px: float = 30.0,
+                 temporal_hints: bool = True):
         estimator._warn_multi_ignores_scale_tta()
         self._est = estimator
         self.chunk = int(chunk)
         self._first_fn, self._anchored_fn = (
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
-                self.chunk))
+                self.chunk, temporal_hints))
         self._params = estimator._params_for_batch(self.chunk)
         self._buf: list = []
         self._buffered = 0

@@ -435,7 +435,8 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                               max_people: int = 2,
                               min_person_score: float = 0.05,
                               person_score_frac: float = 0.4,
-                              dup_px: float = 30.0) -> dict:
+                              dup_px: float = 30.0,
+                              temporal_hints: bool = True) -> dict:
     """Export the TRACKED STREAMING video pipeline: the same two fused
     window programs :class:`api.MultiPersonVideoSession` runs (first
     window; anchored continuation carrying tracker state + per-track
@@ -457,12 +458,18 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
     size = est2.cpm_cfg.input_size
     base = dict(max_people=max_people, min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
-                restarts=max(est.fit_restarts, 1))
+                restarts=max(est.fit_restarts, 1),
+                temporal_hints=temporal_hints)
 
+    # The association state is an opaque pytree (the Viterbi carry:
+    # cost vector, last live features, re-ID anchor); flatten it into
+    # enumerated carry keys so the artifact format does not depend on
+    # its internal structure. The session replays keys from meta.
     def pack(result, state, anchors):
         d = dict(result._asdict())
         d.pop("track_mask")   # per-window; the session recomputes it
-        d["carry_feats"], d["carry_present"] = state
+        for i, leaf in enumerate(jax.tree.leaves(state)):
+            d[f"carry_assoc_{i}"] = leaf
         d["carry_theta"] = anchors["theta"]
         d["carry_beta"] = anchors["beta"]
         d["carry_cam"] = anchors["cam"]
@@ -474,20 +481,31 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
             return_carry=True, **base)
         return pack(r, s, a)
 
-    def fn_anchored(frames, pad_mask, feats, present, theta, beta, cam):
+    frame_spec = jax.ShapeDtypeStruct((chunk, size, size, 3), jnp.uint8)
+    mask_spec = jax.ShapeDtypeStruct((chunk,), jnp.float32)
+    state_treedef = jax.tree.structure(jax.eval_shape(
+        lambda f, m: est2._estimate_and_fit_video_multi_impl(
+            params, est2.smpl_model, f, pad_mask=m,
+            return_carry=True, **base)[1],
+        frame_spec, mask_spec))
+    n_assoc = state_treedef.num_leaves
+    carry_keys = tuple(f"carry_assoc_{i}" for i in range(n_assoc)) + (
+        "carry_theta", "carry_beta", "carry_cam")
+
+    def fn_anchored(frames, pad_mask, *carry):
+        state = jax.tree.unflatten(state_treedef, carry[:n_assoc])
+        theta, beta, cam = carry[n_assoc:]
         r, s, a = est2._estimate_and_fit_video_multi_impl(
             params, est2.smpl_model, frames, pad_mask=pad_mask,
-            track_state=(feats, present),
+            track_state=state,
             anchors={"theta": theta, "beta": beta, "cam": cam},
             return_carry=True, **base)
         return pack(r, s, a)
 
-    frame_spec = jax.ShapeDtypeStruct((chunk, size, size, 3), jnp.uint8)
-    mask_spec = jax.ShapeDtypeStruct((chunk,), jnp.float32)
     carry_avals = jax.eval_shape(fn_first, frame_spec, mask_spec)
     carry_specs = tuple(
         jax.ShapeDtypeStruct(carry_avals[k].shape, carry_avals[k].dtype)
-        for k in _CARRY_KEYS)
+        for k in carry_keys)
 
     exp_first = jax_export.export(
         jax.jit(fn_first), platforms=list(platforms))(
@@ -502,16 +520,17 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         "fn_kwargs": {"max_people": max_people,
                       "min_person_score": min_person_score,
                       "person_score_frac": person_score_frac,
-                      "dup_px": dup_px},
+                      "dup_px": dup_px,
+                      "temporal_hints": temporal_hints},
         "platforms": list(platforms),
         "decode_impl": decode_impl,
         "chunk": int(chunk),
-        "carry_keys": list(_CARRY_KEYS),
+        "carry_keys": list(carry_keys),
         "input": {"shape": [int(chunk), size, size, 3],
                   "dtype": "uint8"},
         "carry": {k: {"shape": list(map(int, carry_avals[k].shape)),
                       "dtype": str(carry_avals[k].dtype)}
-                  for k in _CARRY_KEYS},
+                  for k in carry_keys},
         "outputs": _out_spec(exp_first),
         "estimator": {
             "refine_scale": bool(est.refine_scale),

@@ -30,10 +30,28 @@ each person reappears on the OTHER side):
   only 2–3 noisy updates before the blackout, so its velocity estimate
   is garbage (measured pointing the wrong way);
 - adding APPEARANCE re-ID (per-joint image patch colors,
-  :func:`appearance_features`): **1.00** — clothing colors are stable
-  through arbitrary blackouts and don't care where the person
-  reappears. This is why real MOT systems use appearance re-ID for
-  occlusion gaps; geometry cannot bridge them even in principle.
+  :func:`appearance_features`): 1.00 on that video — clothing colors
+  are stable through arbitrary blackouts and don't care where the
+  person reappears. This is why real MOT systems use appearance re-ID
+  for occlusion gaps; geometry cannot bridge them even in principle.
+
+Round-3 continuation, measured over a 10-SEED crossing benchmark
+(single-video numbers are seed-lottery; the honest distribution):
+
+- greedy EMA filter (:func:`associate_tracks`): mean identity accuracy
+  0.59 — once a garbage crossing frame pollutes the EMA state the
+  wrong branch is locked in, and no knob fixes it (gate_frac/ema/
+  appearance-weight sweeps all measured ≤0.75);
+- global Viterbi assignment (:func:`associate_tracks_viterbi`,
+  appearance-anchored): 0.79 decode-level / 0.76 through the full fit
+  path — a mid-crossing garbage stretch costs one bad transition
+  instead of corrupting the rest of the sequence;
+- + temporally-hinted second decode pass (:func:`smooth_track_centers`
+  trajectories as explicit ``center_hints``): tracked center error
+  47 → 33 px and per-person PA-MPJPE 107 → 99 mm — the remaining
+  failures are DECODE failures (the occluded person's hypothesis lands
+  off-person for ~7 frames), which no assignment can fix, so the fix
+  is re-decoding with a better person proposal.
 """
 
 from __future__ import annotations
@@ -43,7 +61,8 @@ import itertools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["appearance_features", "associate_tracks", "gather_tracks"]
+__all__ = ["appearance_features", "associate_tracks", "gather_tracks",
+           "associate_tracks_viterbi", "smooth_track_centers"]
 
 
 def _permutations(k: int) -> jnp.ndarray:
@@ -179,3 +198,184 @@ def gather_tracks(x_seq: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     :func:`associate_tracks` → (T, k, ...) where index i along axis 1 is
     track i in every frame."""
     return jax.vmap(lambda x, p: x[p])(x_seq, perm)
+
+
+def smooth_track_centers(centers: jnp.ndarray, weights: jnp.ndarray,
+                         lam: float = 8.0, robust_sigma_px: float = 30.0,
+                         robust_iters: int = 2) -> jnp.ndarray:
+    """Robust temporal smoothing of per-track center trajectories.
+
+    The temporal-hint second decode pass (api video-multi
+    ``temporal_hints``) needs a per-frame, per-track center estimate
+    that survives the frames where the DECODE failed — around a
+    crossing the occluded person's hypothesis lands off-person for
+    several frames (measured 20–60 px off on the hard benchmark), and
+    feeding those raw centers back as hints would just re-decode the
+    same failure.
+
+    Per track and coordinate this solves the weighted
+    second-difference-regularized least squares
+
+        min_c  Σ_t w_t (c_t − o_t)²  +  λ Σ_t (c_{t-1} − 2 c_t + c_{t+1})²
+
+    in closed form (one (T, T) solve — T is a video window, ≤64, so the
+    dense solve is trivial and batches over tracks·coords). λ is
+    per-unit-weight (w is normalized to mean 1), so the smoothing
+    strength is invariant to the score scale.
+
+    ``robust_iters`` rounds of IRLS down-weight observations that
+    disagree with the smooth trajectory (`w ← w·exp(−r²/σ²)`,
+    σ = ``robust_sigma_px``): a garbage decode is temporally
+    inconsistent by definition, so it loses its vote and the trajectory
+    bridges it — the same reasoning as the smooth video fit's handling
+    of occluded frames, applied to centers.
+
+    Args: centers (T, k, 2) net-frame px (track order), weights (T, k)
+    ≥ 0 (person-evidence scores work). Returns (T, k, 2).
+    """
+    t_frames = centers.shape[0]
+    if t_frames < 3:
+        return centers
+    obs = jnp.swapaxes(centers.astype(jnp.float32), 0, 1)   # (k, T, 2)
+    w0 = jnp.maximum(jnp.swapaxes(weights.astype(jnp.float32), 0, 1), 0.0)
+    w0 = w0 / (jnp.mean(w0, axis=-1, keepdims=True) + 1e-8)  # (k, T)
+    eye = jnp.eye(t_frames, dtype=jnp.float32)
+    d2 = (eye[:-2] - 2.0 * eye[1:-1] + eye[2:])              # (T-2, T)
+    reg = lam * (d2.T @ d2) + 1e-6 * eye
+
+    def solve(w, o):                                         # (T,), (T, 2)
+        a = reg + jnp.diag(w)
+        return jnp.linalg.solve(a, w[:, None] * o)
+
+    sm = jax.vmap(solve)(w0, obs)
+    for _ in range(robust_iters):
+        r2 = jnp.sum((sm - obs) ** 2, axis=-1)               # (k, T)
+        w = w0 * jnp.exp(-r2 / (robust_sigma_px ** 2))
+        w = w / (jnp.mean(w, axis=-1, keepdims=True) + 1e-8)
+        sm = jax.vmap(solve)(w, obs)
+    return jnp.swapaxes(sm, 0, 1)
+
+
+def associate_tracks_viterbi(geom_seq: jnp.ndarray,
+                             app_seq: jnp.ndarray,
+                             scores_seq: jnp.ndarray | None = None,
+                             w_app: float = 2.0,
+                             w_anchor: float = 8.0,
+                             score_gate: float = 0.0,
+                             gate_frac: float = 0.75,
+                             init_state=None,
+                             return_state: bool = False):
+    """Globally-optimal identity assignment: Viterbi DP over the k!
+    per-frame permutations.
+
+    :func:`associate_tracks` is a per-frame greedy filter: once a
+    garbage decode (an occlusion crossing) pollutes its EMA state, the
+    wrong branch is locked in. This variant solves the WHOLE sequence's
+    assignment as a shortest path — per-frame node costs tie each
+    track's appearance to its frame-0 anchor (re-ID), edge costs charge
+    feature discontinuity between consecutive frames — so a few
+    mid-crossing garbage frames cost one bad transition instead of
+    corrupting all later frames. Same contract as
+    :func:`associate_tracks` (track i born as frame-0 slot i; apply
+    with :func:`gather_tracks`). Measured on the hard crossing
+    benchmark (10 seeds, trained weights, TPU): mean identity accuracy
+    0.59 (greedy) → 0.79, mean center error 47 → 38 px; with the
+    temporal-hint second decode pass on top, 0.83 / 32 px.
+
+    TPU-native shape: the DP is a `lax.scan` over frames carrying the
+    (k!,) cost vector — k ≤ 5 people keeps k! ≤ 120, all static — and a
+    reverse scan extracts the argmin path. No host loop, no dynamic
+    shapes.
+
+    Args:
+      geom_seq: (T, k, Dg) geometry features (size-normalized joints).
+      app_seq: (T, k, Da) appearance features (:func:`appearance_features`).
+      scores_seq: (T, k) hypothesis scores; liveness gating as in
+        :func:`associate_tracks` — non-live slots (pad frames, gated
+        occlusions) contribute no cost, and an all-non-live frame
+        passes the DP state through unchanged (an ε tie-break prefers
+        keeping the permutation).
+      w_app: appearance weight in the edge (continuity) cost.
+      w_anchor: weight of the appearance-to-anchor node cost.
+      init_state: carry from a previous window's ``return_state`` —
+        continues tracks across window boundaries: the previous
+        window's committed path seeds the DP (its cost vector is
+        collapsed onto the chosen state) and the anchor persists, so
+        track i stays the same person for any T.
+      return_state: also return the carry for the next window.
+
+    Returns: perm (T, k) int32 (with ``return_state``, ``(perm,
+    state)`` where state = (cost (k!,), last geom (k, Dg), last app
+    (k, Da), last live (k,), anchor (k, Da))).
+    """
+    t_frames, k, _ = geom_seq.shape
+    geom_seq = geom_seq.astype(jnp.float32)
+    app_seq = app_seq.astype(jnp.float32)
+    if scores_seq is None:
+        scores_seq = jnp.ones((t_frames, k), jnp.float32)
+    perms = _permutations(k)                               # (P, k)
+    p_count = perms.shape[0]
+    eps_stay = 1e-4
+
+    def live_flags(s_t):
+        rel = s_t >= gate_frac * jnp.max(s_t)
+        return ((s_t >= score_gate) & rel).astype(jnp.float32)
+
+    def wmean(d2, w):
+        """d2 (..., k, D) squared diffs, w (..., k) → weighted mean
+        feature distance; 0 when nothing is live."""
+        num = jnp.sum(jnp.mean(d2, -1) * w, -1)
+        return num / (jnp.sum(w, -1) + 1e-8)
+
+    if init_state is None:
+        anchor = app_seq[0]
+        live_prev = live_flags(scores_seq[0])
+        cost = w_anchor * wmean(
+            (app_seq[0][perms] - anchor[None]) ** 2, live_prev[perms])
+        prev_g, prev_a = geom_seq[0], app_seq[0]
+        xs = (geom_seq[1:], app_seq[1:], scores_seq[1:])
+    else:
+        cost, prev_g, prev_a, live_prev, anchor = init_state
+        xs = (geom_seq, app_seq, scores_seq)
+
+    not_eye = 1.0 - jnp.eye(p_count, dtype=jnp.float32)
+
+    def step(carry, inp):
+        cost, pg, pa, pl = carry
+        g_t, a_t, s_t = inp
+        l_t = live_flags(s_t)
+        gp, ap_, lp = g_t[perms], a_t[perms], l_t[perms]   # (P, k, ·)
+        node = w_anchor * wmean((ap_ - anchor[None]) ** 2, lp)
+        pgq, paq, plq = pg[perms], pa[perms], pl[perms]
+        wqp = lp[None] * plq[:, None]                       # (P, P, k)
+        edge = (wmean((gp[None] - pgq[:, None]) ** 2, wqp)
+                + w_app * wmean((ap_[None] - paq[:, None]) ** 2, wqp)
+                + eps_stay * not_eye)
+        c = cost[:, None] + edge + node[None]               # (q, p)
+        back = jnp.argmin(c, axis=0).astype(jnp.int32)
+        new_cost = jnp.min(c, axis=0)
+        new_cost = new_cost - jnp.min(new_cost)   # bounded for streaming
+        # Previous-frame features advance only on live slots, so a pad
+        # or gated frame does not erase the last real observation.
+        upd = l_t[:, None] > 0
+        return (new_cost, jnp.where(upd, g_t, pg),
+                jnp.where(upd, a_t, pa), jnp.maximum(pl, l_t)), back
+
+    (cost, last_g, last_a, last_l), backs = jax.lax.scan(
+        step, (cost, prev_g, prev_a, live_prev), xs)
+
+    s_last = jnp.argmin(cost).astype(jnp.int32)
+
+    def bstep(s, back_t):
+        return back_t[s], s
+
+    s_first, states = jax.lax.scan(bstep, s_last, backs, reverse=True)
+    if init_state is None:
+        states = jnp.concatenate([s_first[None], states])
+    perm = perms[states]                                    # (T, k)
+    if not return_state:
+        return perm
+    # Commit the window's chosen endpoint so the next window cannot
+    # retroactively flip this one's emitted identities.
+    committed = jnp.where(jnp.arange(p_count) == s_last, 0.0, 1e6)
+    return perm, (committed, last_g, last_a, last_l, anchor)

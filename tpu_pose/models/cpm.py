@@ -862,7 +862,8 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       refine_scale: bool = False,
                       scale_target_frac: float = 0.6,
                       max_zoom: float = 3.0,
-                      flip_tta: bool = False):
+                      flip_tta: bool = False,
+                      center_hints: jnp.ndarray | None = None):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -883,6 +884,14 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     no hypothesis matching is needed and the merge is the slot-wise
     conf-weighted average of the single-person path. 2× FLOPs.
 
+    ``center_hints``: optional (B, k, 2) NET-frame pixel centers that
+    REPLACE the internal NMS peak proposals — slot i decodes the person
+    at ``center_hints[b, i]``, so the caller controls slot identity
+    (the video tracker's temporal-hint second pass relies on this).
+    ``person_scores`` are then the person-evidence values sampled at
+    the hints (same scale as the peak scores), so liveness gating keeps
+    working.
+
     Returns: heatmaps (B, k, H, H, P+1), joints_px (B, k, P, 2),
     conf (B, k, P), person_scores (B, k).
     """
@@ -897,8 +906,17 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     trunk1, b1 = _stage1_forward(conv, x)                 # once per image
 
     fg = person_evidence(b1, cfg, person_sigma_px)        # (B, h, h)
-    centers, person_scores = find_person_peaks(
-        fg, k, cfg.stride, nms_radius_px)                 # (B, k, 2)
+    if center_hints is None:
+        centers, person_scores = find_person_peaks(
+            fg, k, cfg.stride, nms_radius_px)             # (B, k, 2)
+    else:
+        # Caller-supplied slots: decode the person at each hint and
+        # score it by the evidence there (bilinear, cell-corner
+        # convention: pixel x = col·stride).
+        centers = jnp.asarray(center_hints, jnp.float32)
+        cells = centers[..., ::-1] / cfg.stride           # (B, k, [y,x])
+        person_scores = jax.vmap(lambda m, c: jax.scipy.ndimage.map_coordinates(
+            m, [c[:, 0], c[:, 1]], order=1, mode="nearest"))(fg, cells)
 
     def rep(t):  # (B, ...) → (B*k, ...) person-hypothesis fold
         return jnp.repeat(t, k, axis=0)
