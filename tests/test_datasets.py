@@ -884,3 +884,31 @@ def test_3dpw_gender_codes_and_filter(tmp_path):
     datasets.threedpw_to_shards(pkl, img_dir, out_m, out_size=64,
                                 gender="m")
     assert len(pipeline.NpzShardSource(out_m)) == len(src)
+
+
+def test_mpii_to_cpm_detector_conversion_and_twins():
+    """models.joints.mpii_to_cpm is the pure MPII16_TO_CPM permutation;
+    the dataset adapter's table and the jax-free PoseClient twin stay
+    equivalent to it (drift guards for the duplicated correspondence);
+    jnp input round-trips through the jax path."""
+    import jax.numpy as jnp
+    from tpu_pose.client import PoseClient
+    from tpu_pose.data import datasets as ds
+    from tpu_pose.models import joints as joints_lib
+
+    np.testing.assert_array_equal(joints_lib.MPII16_TO_CPM,
+                                  ds.MPII_TO_CPM)
+    rng = np.random.RandomState(21)
+    j16 = rng.rand(3, 16, 2).astype(np.float32) * 64
+    c16 = rng.rand(3, 16).astype(np.float32)
+    j_a, c_a = joints_lib.mpii_to_cpm(j16, c16)
+    j_b, c_b = PoseClient.mpii_to_cpm(j16, c16)
+    np.testing.assert_allclose(j_a, j_b)
+    np.testing.assert_allclose(c_a, c_b)
+    j_c, c_c = joints_lib.mpii_to_cpm(jnp.asarray(j16), jnp.asarray(c16))
+    np.testing.assert_allclose(np.asarray(j_c), j_a, atol=1e-6)
+    # Semantic spot checks: CPM 0 = MPII head-top 9, CPM 10 = r_ankle 0.
+    np.testing.assert_allclose(j_a[:, 0], j16[:, 9])
+    np.testing.assert_allclose(j_a[:, 10], j16[:, 0])
+    with np.testing.assert_raises(ValueError):
+        joints_lib.mpii_to_cpm(j16[:, :15], c16[:, :15])

@@ -160,6 +160,23 @@ class PoseClient:
         c[..., 1] = np.minimum(conf17[..., 5], conf17[..., 6])
         return j, c
 
+    @staticmethod
+    def mpii_to_cpm(joints16: np.ndarray, conf16: np.ndarray):
+        """MPII-16 detector output → the CPM-14 convention ``fit``
+        sends — a pure permutation (MPII carries every CPM joint;
+        pelvis/thorax dropped). Client-side numpy twin of
+        ``models.joints.mpii_to_cpm``, kept equivalent by
+        tests/test_datasets.py."""
+        joints16 = np.asarray(joints16)
+        conf16 = np.asarray(conf16)
+        if (joints16.shape[-2:] != (16, 2)
+                or conf16.shape != joints16.shape[:-1]):
+            raise ValueError(
+                f"mpii_to_cpm takes (..., 16, 2) joints with matching "
+                f"(..., 16) conf; got {joints16.shape}, {conf16.shape}")
+        idx = np.array([9, 8, 12, 11, 10, 13, 14, 15, 2, 1, 0, 3, 4, 5])
+        return joints16[..., idx, :], conf16[..., idx]
+
     def fit(self, joints2d: np.ndarray, conf: np.ndarray) -> dict:
         """(P, 2)/(N, P, 2) network-frame joints + conf → fit result
         (``fn=fit_smpl`` servers). External COCO-17 detector output

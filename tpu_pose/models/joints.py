@@ -124,6 +124,34 @@ def coco_to_cpm(joints17, conf17):
     return j, c
 
 
+# MPII-16 id → CPM-14 slot (a pure permutation: MPII carries every CPM
+# joint; pelvis 6 and thorax 7 are dropped). Canonical table — the
+# dataset adapter (data.datasets.MPII_TO_CPM) and the jax-free client
+# twin (client.PoseClient.mpii_to_cpm) are drift-guarded against it.
+MPII16_TO_CPM = np.array([9, 8, 12, 11, 10, 13, 14, 15, 2, 1, 0, 3, 4, 5],
+                         dtype=np.int32)
+
+
+def mpii_to_cpm(joints16, conf16):
+    """MPII-16 detector output → the CPM-14 convention ``fit_smpl`` and
+    the ``/fit`` serving route consume.
+
+    Unlike COCO (:func:`coco_to_cpm`), nothing is synthesized: MPII
+    annotates head-top and upper-neck directly, so this is the pure
+    :data:`MPII16_TO_CPM` permutation (pelvis/thorax dropped). Works on
+    numpy or jnp arrays, any leading batch shape: (..., 16, 2),
+    (..., 16) → ((..., 14, 2), (..., 14)).
+    """
+    xp = jnp if isinstance(joints16, jnp.ndarray) else np
+    joints16 = xp.asarray(joints16)
+    conf16 = xp.asarray(conf16)
+    if joints16.shape[-2:] != (16, 2) or conf16.shape != joints16.shape[:-1]:
+        raise ValueError(
+            f"mpii_to_cpm takes (..., 16, 2) joints with matching "
+            f"(..., 16) conf; got {joints16.shape}, {conf16.shape}")
+    return joints16[..., MPII16_TO_CPM, :], conf16[..., MPII16_TO_CPM]
+
+
 # Human3.6M 17-joint convention for evaluation (SURVEY.md §2 row 12).
 H36M_JOINT_NAMES = [
     "pelvis", "r_hip", "r_knee", "r_ankle", "l_hip", "l_knee", "l_ankle",
