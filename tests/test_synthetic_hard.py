@@ -130,3 +130,22 @@ def test_train_batches_schema(model):
     iy, ix = np.unravel_index(np.argmax(bf["center_maps"][0, ..., 0]),
                               (128, 128))
     np.testing.assert_allclose([127 - ix, iy], ex["centers"][0], atol=1.0)
+
+
+def test_truncation_marks_out_of_frame_joints(model):
+    """truncation>0 lets the person slide partially off-frame; joints
+    outside the frame are marked invisible (the occluder convention),
+    and truncation=0 stays bit-identical to the pre-flag sets."""
+    size = CFG.input_size
+    base = sh.make_hard_examples(model, 8, CFG, seed=9,
+                                 scale_range=(0.5, 0.9))
+    again = sh.make_hard_examples(model, 8, CFG, seed=9,
+                                  scale_range=(0.5, 0.9), truncation=0.0)
+    np.testing.assert_array_equal(base["images"], again["images"])
+    tr = sh.make_hard_examples(model, 8, CFG, seed=9,
+                               scale_range=(0.5, 0.9), truncation=0.6)
+    out = ((tr["joints2d"] < 0.0)
+           | (tr["joints2d"] > size - 1.0)).any(-1)
+    assert out.any(), "truncation=0.6 should push some joints off-frame"
+    assert (tr["visibility"][out] == 0.0).all()
+    assert np.isfinite(tr["heatmaps"]).all()

@@ -212,7 +212,8 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                        heatmap_sigma: float = 3.0,
                        theta: np.ndarray | None = None,
                        beta: np.ndarray | None = None,
-                       flip_prob: float = 0.0
+                       flip_prob: float = 0.0,
+                       truncation: float = 0.0
                        ) -> Dict[str, np.ndarray]:
     """n hard frames. Returns the data/synthetic.py example schema PLUS:
     ``centers`` (n, 2) person center px, ``scales`` (n,) person scale as
@@ -229,7 +230,13 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     stay exact). The classic CPM training augmentation — without it a
     net trained on chirally-biased data degrades under flip TTA
     (measured: TTA +2–3.5 px WORSE on a flip_prob=0 net). Default 0 so
-    existing eval sets stay bit-identical."""
+    existing eval sets stay bit-identical.
+
+    ``truncation``: lets the center offset push the person up to this
+    fraction of its OWN extent beyond the frame edge (real footage has
+    people entering/leaving frame); joints landing outside the frame
+    are marked invisible in ``visibility``, matching the occluder
+    convention. Default 0 keeps every prior set bit-identical."""
     rng = np.random.RandomState(seed)
     if theta is None:
         theta, beta = synthetic.sample_poses(rng, n)
@@ -257,7 +264,8 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
         extent = np.abs(j3d14[i] - c3d).max()
         s_frac = rng.uniform(*scale_range)
         scale_px = s_frac * (size / 2.0) / max(extent, 1e-3)
-        margin = max(0.0, (0.98 - s_frac)) * (size / 2.0)
+        margin = (max(0.0, (0.98 - s_frac)) * (size / 2.0)
+                  + truncation * s_frac * (size / 2.0))
         center_px = (size / 2.0
                      + rng.uniform(-margin, margin, 2)).astype(np.float32)
 
@@ -266,6 +274,7 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                       center_px)
 
         px = (j3d14[i] - c3d)[:, :2] * scale_px + center_px
+        visibility[i, ((px < 0.0) | (px > size - 1.0)).any(axis=1)] = 0.0
         if rng.rand() < occlusion_prob:
             extent_px = s_frac * (size / 2.0)
             lo, hi = _occlude(rng, img, center_px, extent_px)

