@@ -240,47 +240,34 @@ def main():
             f"(4 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
             f"(mean batch {snap['mean_batch']:.1f}, occupancy "
             f"{snap['occupancy']:.2f})")
-        # (c) The same load THROUGH the HTTP data plane (serving_http):
-        # quantifies the socket + npy-decode + JSON-encode tax over the
-        # in-process 6a figure. 64 sync client threads so the offered
-        # load saturates the bucket like 6a's up-front submits — with
-        # few closed-loop clients the comparison conflates the HTTP tax
-        # with batching policy (4 threads measured 3.4 req/s: every
-        # ~4-deep batch pads to 64 and ships the full 26 MB padded
-        # upload over the ~41 MB/s tunnel).
-        import io as _io
-        import json as _json
-        from http.client import HTTPConnection
-
+        # (c) The same load THROUGH the HTTP data plane (serving_http),
+        # driven by the PRODUCT client (tpu_pose.client.PoseClient:
+        # keep-alive HTTP/1.1 connection per thread, binary npz
+        # responses): quantifies the socket + npy-decode + npz-encode
+        # tax over the in-process 6a figure. 64 sync client threads so
+        # the offered load saturates the bucket like 6a's up-front
+        # submits — with few closed-loop clients the comparison
+        # conflates the HTTP tax with batching policy (4 threads
+        # measured 3.4 req/s: every ~4-deep batch pads to 64 and ships
+        # the full 26 MB padded upload over the ~41 MB/s tunnel).
+        from tpu_pose.client import PoseClient
         from tpu_pose.serving_http import PoseHTTPServer
-
-        def post_npy(host, port, frame):
-            buf = _io.BytesIO()
-            np.save(buf, frame)
-            conn = HTTPConnection(host, port, timeout=300)
-            conn.request("POST", "/predict?fields=theta,joints2d,conf",
-                         body=buf.getvalue(),
-                         headers={"Content-Type": "application/x-npy"})
-            r = conn.getresponse()
-            out = _json.loads(r.read())
-            conn.close()
-            assert r.status == 200, out
-            return out
 
         with PoseHTTPServer(est, max_batch=64, max_wait_ms=5.0,
                             buckets=(64,),
                             fields=("theta", "joints2d",
                                     "conf")) as hsrv, \
-                ThreadPoolExecutor(max_workers=64) as pool:
-            go = lambda fr: post_npy(hsrv.host, hsrv.port, fr)  # noqa: E731
-            list(pool.map(go, same[:64]))          # warm
+                ThreadPoolExecutor(max_workers=64) as pool, \
+                PoseClient(f"http://{hsrv.host}:{hsrv.port}",
+                           fields=("theta", "joints2d", "conf")) as cli:
+            list(pool.map(cli.predict, same[:64]))          # warm
             t0 = _time.perf_counter()
-            list(pool.map(go, same))
+            list(pool.map(cli.predict, same))
             dt = _time.perf_counter() - t0
             snap = hsrv.server.stats.snapshot()
         log(f"config6c HTTP serving open-loop {n_req} same-res reqs "
-            f"(64 client threads): {dt:.2f} s -> {n_req / dt:.1f} req/s "
-            f"(mean batch {snap['mean_batch']:.1f})")
+            f"(64 keep-alive client threads): {dt:.2f} s -> "
+            f"{n_req / dt:.1f} req/s (mean batch {snap['mean_batch']:.1f})")
 
         # Config 7: ACCURACY-mode fused throughput — the configuration
         # the hard-benchmark accuracy table recommends (refine_center +

@@ -264,6 +264,44 @@ def test_pose_client_roundtrip(srv):
     assert not PoseClient("http://127.0.0.1:1").healthy()
 
 
+def test_pose_client_keepalive_and_stale_socket_retry(srv):
+    """The client holds ONE persistent HTTP/1.1 connection per thread
+    (per-request TCP connect dominated small-request latency), and a
+    kept-alive socket that died between requests reconnects
+    transparently (every route is a pure function, so the single
+    resend is safe)."""
+    from tpu_pose.client import PoseClient
+    frame = np.random.RandomState(3).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    with PoseClient(f"http://{srv.host}:{srv.port}",
+                    fields=("theta",)) as c:
+        c.predict(frame)
+        conn1 = c._local.conn
+        assert conn1 is not None          # kept alive, not torn down
+        c.predict(frame)
+        assert c._local.conn is conn1     # ... and reused
+        # Simulate the server/idle-timeout closing the kept socket
+        # under us: the next request must succeed on a fresh one.
+        conn1.sock.close()
+        out = c.predict(frame)
+        assert out["theta"].shape == (72,)
+        assert c._local.conn is not conn1
+        # Worker threads get their OWN connection (no cross-thread
+        # socket sharing).
+        seen = {}
+
+        def from_thread():
+            c.predict(frame)
+            seen["conn"] = c._local.conn
+            c.close()
+
+        t = threading.Thread(target=from_thread)
+        t.start()
+        t.join()
+        assert seen["conn"] is not c._local.conn
+    assert c._local.conn is None          # context exit closed it
+
+
 def test_pose_client_fit():
     from tpu_pose.client import PoseClient
     est = PoseEstimator.create_synthetic(

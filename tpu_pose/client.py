@@ -18,8 +18,10 @@ array data.
 
 from __future__ import annotations
 
+import http.client
 import io
 import json
+import threading
 from http.client import HTTPConnection
 from typing import Optional, Sequence
 from urllib.parse import urlparse
@@ -58,24 +60,66 @@ class PoseClient:
         self.port = u.port or 80
         self.fields = tuple(fields) if fields else None
         self.timeout_s = timeout_s
+        # One persistent keep-alive connection PER CALLING THREAD (the
+        # endpoint is HTTP/1.1): per-frame TCP connect + handler-thread
+        # spawn would otherwise dominate small-request latency. Thread-
+        # local storage keeps the instance safe to share across a
+        # client thread pool without a lock on the socket.
+        self._local = threading.local()
 
     # -- wire helpers ------------------------------------------------------
 
+    def _drop_conn(self) -> None:
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            self._local.conn = None
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        """Close this thread's persistent connection (idle sockets are
+        otherwise kept alive for reuse). Safe to call from each thread
+        that used the client; also the context-manager exit."""
+        self._drop_conn()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _request(self, method: str, path: str, body: bytes = b"",
                  ctype: str = "application/x-npy") -> tuple:
-        conn = HTTPConnection(self.host, self.port,
-                              timeout=self.timeout_s)
-        try:
-            headers = {"Accept": "application/x-npz"}
-            if body:
-                headers["Content-Type"] = ctype
-            conn.request(method, path, body=body or None,
-                         headers=headers)
-            r = conn.getresponse()
-            data = r.read()
+        headers = {"Accept": "application/x-npz"}
+        if body:
+            headers["Content-Type"] = ctype
+        # One transparent retry on a connection-level failure: a kept-
+        # alive socket the server (or an idle timeout) closed between
+        # requests surfaces as OSError/BadStatusLine on the NEXT use.
+        # Every route is a pure function of its body, so a resend is
+        # safe; a failure on a FRESH connection propagates.
+        for attempt in (0, 1):
+            conn = getattr(self._local, "conn", None)
+            fresh = conn is None
+            if fresh:
+                conn = HTTPConnection(self.host, self.port,
+                                      timeout=self.timeout_s)
+                self._local.conn = conn
+            try:
+                conn.request(method, path, body=body or None,
+                             headers=headers)
+                r = conn.getresponse()
+                data = r.read()
+            except (OSError, http.client.HTTPException):
+                self._drop_conn()
+                if fresh or attempt:
+                    raise
+                continue
+            if r.will_close:
+                self._drop_conn()
             return r.status, r.getheader("Content-Type") or "", data
-        finally:
-            conn.close()
 
     def _result(self, status: int, ctype: str, data: bytes) -> dict:
         if status != 200:
