@@ -345,6 +345,152 @@ def test_client_predict_batch_chunks_large_stacks():
                                    atol=1e-5)
 
 
+def test_error_paths_do_not_poison_keepalive(srv):
+    """Advisor finding (r3 medium): error paths that answer BEFORE
+    reading the request body (404 route, bad Content-Length) must close
+    the connection — otherwise the unread body is parsed as the next
+    request line on the kept-alive socket and the NEXT valid request
+    gets a bogus 501/414."""
+    body = _npy_bytes(np.zeros((64, 64, 3), np.uint8))
+    conn = HTTPConnection(srv.host, srv.port, timeout=30)
+    conn.request("POST", "/nope", body=body,
+                 headers={"Content-Type": "application/x-npy"})
+    r = conn.getresponse()
+    r.read()
+    assert r.status == 404
+    assert r.will_close      # server-signalled close, not a raw drop
+    conn.close()
+    # End to end through PoseClient: an error response then a valid
+    # request on the same client must succeed (client also drops the
+    # conn on any non-200).
+    from tpu_pose.client import PoseClient, ServingError
+    with PoseClient(f"http://{srv.host}:{srv.port}",
+                    fields=("theta",)) as c:
+        with pytest.raises(ServingError, match="404"):
+            c._result(*c._request("POST", "/nope", body))
+        assert getattr(c._local, "conn", None) is None  # dropped
+        out = c.predict(np.zeros((64, 64, 3), np.uint8))
+        assert out["theta"].shape == (72,)
+
+
+def test_client_close_reaches_worker_thread_conns(srv):
+    """Advisor finding (r3 low): close() must close connections opened
+    by OTHER threads of a shared client (pool workers), not just the
+    calling thread's — each idle keep-alive socket pins a server
+    handler thread."""
+    from tpu_pose.client import PoseClient
+    frame = np.random.RandomState(11).randint(
+        0, 255, (64, 64, 3)).astype(np.uint8)
+    c = PoseClient(f"http://{srv.host}:{srv.port}", fields=("theta",))
+    worker_conns = []
+
+    def worker():
+        c.predict(frame)
+        worker_conns.append(c._local.conn)
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    c.predict(frame)
+    assert len(c._conns) == 4          # 3 workers + this thread
+    c.close()
+    assert not c._conns
+    assert all(conn.sock is None for conn in worker_conns)
+
+
+def test_client_timeout_is_not_retried(srv):
+    """Advisor finding (r3 low): a response timeout must NOT be treated
+    as a stale-socket reconnect+resend (that would duplicate device
+    work and double worst-case latency) — it drops the conn and raises
+    immediately."""
+    import socket
+
+    from tpu_pose.client import PoseClient
+    calls = {"n": 0}
+
+    class _SlowConn:
+        sock = object()
+
+        def request(self, *a, **kw):
+            calls["n"] += 1
+
+        def getresponse(self):
+            raise socket.timeout("timed out")
+
+        def close(self):
+            pass
+
+    c = PoseClient(f"http://{srv.host}:{srv.port}")
+    c._local.conn = _SlowConn()        # a previously-used (stale-able) conn
+    with pytest.raises(OSError):
+        c._request("GET", "/stats")
+    assert calls["n"] == 1             # no silent resend
+    assert getattr(c._local, "conn", None) is None
+
+
+def test_overload_returns_503_with_retry_after():
+    """Backpressure end to end (VERDICT r3 next #4): with the device
+    busy and the queue full, a new request gets a PROMPT 503 with a
+    Retry-After header and a JSON retry hint — not a 500-after-timeout;
+    accepted work completes; /stats exposes queue_depth and shed."""
+    from test_serving import _GatedEstimator
+    stub = _GatedEstimator()
+    with PoseHTTPServer(stub, max_batch=1, max_wait_ms=0.0,
+                        max_queue=1) as s:
+        frame = np.zeros((8, 8, 3), np.uint8)
+        body = _npy_bytes(frame)
+        results = []
+
+        def go():
+            results.append(_post(s, body, "application/x-npy"))
+
+        t1 = threading.Thread(target=go)   # goes in flight
+        t1.start()
+        assert stub.entered.wait(timeout=60)
+        t2 = threading.Thread(target=go)   # fills the queue (depth 1)
+        t2.start()
+        deadline = 60
+        import time
+        t0 = time.time()
+        while s.server.queue_depth() < 1 and time.time() - t0 < deadline:
+            time.sleep(0.01)
+        status, _, data = _post(s, body, "application/x-npy")
+        # ... and the header rode along.
+        conn = HTTPConnection(s.host, s.port, timeout=30)
+        conn.request("POST", "/predict", body=body,
+                     headers={"Content-Type": "application/x-npy"})
+        r = conn.getresponse()
+        retry_hdr = r.getheader("Retry-After")
+        r.read()
+        conn.close()
+        assert status == 503
+        err = json.loads(data)
+        assert "overloaded" in err["error"]
+        assert err["retry_after_s"] >= 0.1
+        assert retry_hdr is not None and int(retry_hdr) >= 1
+        snap = json.loads(_get(s, "/stats"))
+        assert snap["shed"] >= 2 and snap["max_queue"] == 1
+        assert snap["queue_depth"] == 1
+        metrics = _get(s, "/metrics").decode()
+        assert "# TYPE tpu_pose_shed counter" in metrics
+        assert "tpu_pose_queue_depth" in metrics
+        stub.release.set()
+        t1.join(timeout=60)
+        t2.join(timeout=60)
+        assert sorted(r[0] for r in results) == [200, 200]
+
+
+def _get(s, path):
+    conn = HTTPConnection(s.host, s.port, timeout=30)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return data
+
+
 def test_backlog_survives_64_connection_burst(srv):
     """64 near-simultaneous connections must ALL be served.
 

@@ -64,8 +64,13 @@ class PoseClient:
         # endpoint is HTTP/1.1): per-frame TCP connect + handler-thread
         # spawn would otherwise dominate small-request latency. Thread-
         # local storage keeps the instance safe to share across a
-        # client thread pool without a lock on the socket.
+        # client thread pool without a lock on the socket; the
+        # lock-guarded registry below exists ONLY so close() can reach
+        # connections opened by other (possibly dead) worker threads —
+        # each idle keep-alive socket pins a server handler thread.
         self._local = threading.local()
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
 
     # -- wire helpers ------------------------------------------------------
 
@@ -73,16 +78,27 @@ class PoseClient:
         conn = getattr(self._local, "conn", None)
         if conn is not None:
             self._local.conn = None
+            with self._conns_lock:
+                self._conns.discard(conn)
             try:
                 conn.close()
             except OSError:
                 pass
 
     def close(self) -> None:
-        """Close this thread's persistent connection (idle sockets are
-        otherwise kept alive for reuse). Safe to call from each thread
-        that used the client; also the context-manager exit."""
+        """Close EVERY connection this client ever opened — the calling
+        thread's and any opened by worker threads that used the shared
+        instance (e.g. a client thread pool) and have since moved on.
+        Safe from any thread; also the context-manager exit. A thread
+        mid-request when close() fires sees its request fail."""
         self._drop_conn()
+        with self._conns_lock:
+            conns, self._conns = self._conns, set()
+        for conn in conns:
+            try:
+                conn.close()
+            except OSError:
+                pass
 
     def __enter__(self):
         return self
@@ -99,7 +115,12 @@ class PoseClient:
         # alive socket the server (or an idle timeout) closed between
         # requests surfaces as OSError/BadStatusLine on the NEXT use.
         # Every route is a pure function of its body, so a resend is
-        # safe; a failure on a FRESH connection propagates.
+        # safe; a failure on a FRESH connection propagates. A response
+        # TIMEOUT is NOT retried (socket.timeout is an OSError subclass
+        # but means the request is slow in flight — e.g. first-compile —
+        # not that the socket was stale; a silent resend would duplicate
+        # device work and double worst-case latency): drop the conn,
+        # re-raise immediately.
         for attempt in (0, 1):
             conn = getattr(self._local, "conn", None)
             fresh = conn is None
@@ -107,17 +128,25 @@ class PoseClient:
                 conn = HTTPConnection(self.host, self.port,
                                       timeout=self.timeout_s)
                 self._local.conn = conn
+                with self._conns_lock:
+                    self._conns.add(conn)
             try:
                 conn.request(method, path, body=body or None,
                              headers=headers)
                 r = conn.getresponse()
                 data = r.read()
-            except (OSError, http.client.HTTPException):
+            except (OSError, http.client.HTTPException) as e:
                 self._drop_conn()
-                if fresh or attempt:
+                if isinstance(e, TimeoutError) or fresh or attempt:
                     raise
                 continue
-            if r.will_close:
+            if r.will_close or r.status != 200:
+                # Non-200 responses drop the connection even when the
+                # server says keep-alive: error paths that answered
+                # before reading the request body leave the unread body
+                # on the wire, where it would be parsed as the NEXT
+                # request line (keep-alive poisoning). Cheap (errors are
+                # rare) and always safe.
                 self._drop_conn()
             return r.status, r.getheader("Content-Type") or "", data
 

@@ -31,9 +31,16 @@ Endpoints:
   independent requests. Same response contract.
 - ``GET /healthz`` — liveness: 200 ``{"ok": true}`` while the
   dispatcher thread is alive.
-- ``GET /stats`` — the BatchingServer telemetry snapshot as JSON.
+- ``GET /stats`` — the BatchingServer telemetry snapshot as JSON
+  (including ``queue_depth``/``max_queue``/``shed`` — the backlog is
+  observable, not just suffered).
 - ``GET /metrics`` — the same snapshot in Prometheus text format
   (``tpu_pose_*`` gauges/counters).
+
+Overload: when the BatchingServer's queue is at ``max_queue``, POST
+routes answer a PROMPT ``503`` with a ``Retry-After`` header and a JSON
+``retry_after_s`` hint (estimated from queue depth × measured batch
+service time) instead of queueing into the request timeout.
 
 Use::
 
@@ -129,6 +136,10 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(payload)))
+        if self.close_connection:
+            # Tell the client (don't just drop the socket): set on the
+            # error paths that answer before reading the request body.
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(payload)
 
@@ -147,13 +158,13 @@ class _Handler(BaseHTTPRequestHandler):
             alive = pose.server._thread.is_alive()
             self._send_json(200 if alive else 503, {"ok": alive})
         elif path == "/stats":
-            self._send_json(200, pose.server.stats.snapshot())
+            self._send_json(200, pose.server.telemetry())
         elif path == "/metrics":
-            snap = pose.server.stats.snapshot()
+            snap = pose.server.telemetry()
             lines = []
             for k, v in snap.items():
                 name = f"tpu_pose_{k}"
-                kind = ("counter" if k in ("requests", "batches")
+                kind = ("counter" if k in ("requests", "batches", "shed")
                         else "gauge")
                 lines.append(f"# TYPE {name} {kind}")
                 lines.append(f"{name} {float(v)}")
@@ -166,6 +177,12 @@ class _Handler(BaseHTTPRequestHandler):
         pose = self.server.pose
         path, _, query = self.path.partition("?")
         if path not in ("/predict", "/predict_batch", "/fit"):
+            # Answering BEFORE reading the body leaves the unread body
+            # on a kept-alive connection, where it would be parsed as
+            # the next request line (keep-alive poisoning — the next
+            # valid request on this socket would get a bogus 501/414).
+            # Close instead of draining: the body may be up to the cap.
+            self.close_connection = True
             self._error(404, f"no route {path!r}")
             return
         max_body = (_MAX_BODY_BATCH if path == "/predict_batch"
@@ -175,6 +192,7 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             length = 0
         if not 0 < length <= max_body:
+            self.close_connection = True  # body unread — see 404 above
             self._error(413 if length > max_body else 400,
                         f"Content-Length must be in (0, {max_body}]")
             return
@@ -248,6 +266,22 @@ class _Handler(BaseHTTPRequestHandler):
                 fut = pose.server.submit(frame)
                 res = _to_plain(fut.result(
                     timeout=pose.request_timeout_s))
+        except serving_lib.ServerOverloaded as e:
+            # Backpressure: prompt 503 + Retry-After instead of queueing
+            # into a timeout (in a batched submit some earlier rows may
+            # already be queued — they compute and are discarded, the
+            # price of failing fast).
+            self.send_response(503)
+            payload = json.dumps({
+                "error": str(e),
+                "retry_after_s": round(e.retry_after_s, 2)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("Retry-After",
+                             str(max(1, int(round(e.retry_after_s)))))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         except ValueError as e:
             # e.g. /fit against a frames server, wrong joint count —
             # client errors, not server faults.

@@ -33,6 +33,9 @@ flags.DEFINE_boolean("quantize", False, "int8 CPM weights for large "
 flags.DEFINE_string("host", "0.0.0.0", "bind address")
 flags.DEFINE_integer("port", 8080, "bind port (0 = pick a free one)")
 flags.DEFINE_integer("max_batch", 64, "largest device batch")
+flags.DEFINE_integer("max_queue", -1, "backpressure bound: shed with "
+                     "503 + Retry-After once this many requests are "
+                     "queued (-1 = 8*max_batch default, 0 = unbounded)")
 flags.DEFINE_float("max_wait_ms", 5.0, "batch-fill wait after the "
                    "first queued request")
 flags.DEFINE_enum("fn", "estimate_and_fit",
@@ -42,6 +45,10 @@ flags.DEFINE_enum("fn", "estimate_and_fit",
                   "(POST /predict), the multi-person hypothesis-slot "
                   "path, or joints-only fitting (POST /fit — external "
                   "2D detectors). Must match --artifact's exported fn.")
+flags.DEFINE_boolean("allow_empty", False, "multi-person servers may "
+                     "report ZERO people on person-free frames "
+                     "(person_mask all-false) instead of always keeping "
+                     "the top hypothesis")
 flags.DEFINE_integer("max_people", 2, "hypothesis slots for "
                      "--fn estimate_and_fit_multi (live weights only)")
 flags.DEFINE_string("fields", "",
@@ -88,12 +95,15 @@ def main(argv):
                                        "energy"),
             "fit_smpl": None,   # FitResult is already compact
         }[FLAGS.fn]
-    fn_kwargs = ({"max_people": FLAGS.max_people}
+    fn_kwargs = ({"max_people": FLAGS.max_people,
+                  "allow_empty": FLAGS.allow_empty}
                  if (FLAGS.fn == "estimate_and_fit_multi"
                      and not FLAGS.artifact) else None)
     srv = PoseHTTPServer(est, host=FLAGS.host, port=FLAGS.port,
                          max_batch=FLAGS.max_batch,
                          max_wait_ms=FLAGS.max_wait_ms,
+                         max_queue=(None if FLAGS.max_queue < 0
+                                    else FLAGS.max_queue),
                          fields=fields, fn=FLAGS.fn,
                          fn_kwargs=fn_kwargs, verbose=FLAGS.verbose)
     route = "/fit" if FLAGS.fn == "fit_smpl" else "/predict"
