@@ -149,3 +149,87 @@ def test_truncation_marks_out_of_frame_joints(model):
     assert out.any(), "truncation=0.6 should push some joints off-frame"
     assert (tr["visibility"][out] == 0.0).all()
     assert np.isfinite(tr["heatmaps"]).all()
+
+
+def test_distractor_keeps_target_gt_and_changes_pixels(model):
+    """distractor_prob renders a second body from an INDEPENDENT rng
+    stream: target GT (joints/centers/heatmaps/scales) is bit-identical
+    to the distractor-free set, frames differ exactly where a
+    distractor was drawn, and a foreground distractor can only REMOVE
+    visibility (never add)."""
+    base = sh.make_hard_examples(model, 8, CFG, seed=2,
+                                 occlusion_prob=0.0)
+    d = sh.make_hard_examples(model, 8, CFG, seed=2, occlusion_prob=0.0,
+                              distractor_prob=0.7)
+    for k in ("joints2d", "centers", "scales", "heatmaps",
+              "gt_joints3d"):
+        np.testing.assert_array_equal(base[k], d[k])
+    has = d["has_distractor"]
+    assert has.sum() >= 2 and has.sum() < 8        # ~0.7 of 8
+    for i in range(8):
+        same = np.array_equal(base["images"][i], d["images"][i])
+        assert same == (has[i] == 0)
+        assert np.isfinite(d["distractor_centers"][i]).all() == bool(
+            has[i])
+    assert (d["visibility"] <= base["visibility"]).all()
+
+
+def test_multi_examples_k3_schema_and_separation(model):
+    m = sh.make_hard_multi_examples(model, 4, CFG, seed=1, num_people=3)
+    assert m["images"].shape == (4, 128, 128, 3)
+    assert m["joints2d"].shape == (4, 3, 14, 2)
+    assert m["gt_joints3d"].shape == (4, 3, 24, 3)
+    assert m["centers"].shape == (4, 3, 2)
+    # Spread placement: centers pairwise separated.
+    c = m["centers"]
+    for i in range(4):
+        d01 = np.linalg.norm(c[i, 0] - c[i, 1])
+        d12 = np.linalg.norm(c[i, 1] - c[i, 2])
+        assert d01 > 20 and d12 > 20
+    # Identity ordering: joints cluster around their own center.
+    d = np.linalg.norm(m["joints2d"].mean(2) - c, axis=-1)
+    assert d.max() < 24.0
+
+
+def test_multi_video_k3_everyone_crosses(model):
+    v = sh.make_hard_multi_video(model, 10, CFG, seed=1, crossing=True,
+                                 num_people=3)
+    assert v["joints2d"].shape == (10, 3, 14, 2)
+    cx = v["centers"][..., 0]
+    # Person p ends at the mirror slot: order reverses start → end.
+    assert cx[0, 0] < cx[0, 1] < cx[0, 2]
+    assert cx[-1, 0] > cx[-1, 1] > cx[-1, 2]
+
+
+def test_empty_examples_have_no_person(model):
+    e = sh.make_empty_examples(6, CFG, seed=0)
+    assert e["images"].shape == (6, 128, 128, 3)
+    assert set(e) == {"images"}
+    # Deterministic per seed, distinct across seeds.
+    e2 = sh.make_empty_examples(6, CFG, seed=0)
+    np.testing.assert_array_equal(e["images"], e2["images"])
+    assert not np.array_equal(
+        e["images"], sh.make_empty_examples(6, CFG, seed=1)["images"])
+
+
+def test_enterleave_presence_semantics(model):
+    el = sh.make_hard_enterleave_video(model, 16, CFG, seed=0)
+    p = el["present"]
+    assert p.shape == (16, 3)
+    assert p[:, 0].all()                           # A never leaves
+    assert p[0, 1] == 1 and p[-1, 1] == 0          # B leaves for good
+    # B's exit is monotone: once gone, never back.
+    gone = np.nonzero(p[:, 1] == 0)[0]
+    assert (p[gone[0]:, 1] == 0).all()
+    assert p[0, 2] == 0 and p[-1, 2] == 1          # C enters mid-way
+    came = np.nonzero(p[:, 2] == 1)[0]
+    assert (p[came[0]:, 2] == 1).all()
+    # B and C never overlap (a 2-slot world with 3 identities).
+    assert (p[:, 1] + p[:, 2] <= 1).all()
+    # Present people's joints sit near their centers (render convention).
+    for i in range(16):
+        for q in range(3):
+            if p[i, q]:
+                d = np.linalg.norm(
+                    el["joints2d"][i, q].mean(0) - el["centers"][i, q])
+                assert d < 24.0

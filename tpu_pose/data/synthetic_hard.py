@@ -175,8 +175,10 @@ def render_person(img: np.ndarray, rng: np.random.RandomState,
                   joints3d: np.ndarray,
                   center3d: np.ndarray, scale_px: float,
                   center_px: np.ndarray,
-                  contract: float = 0.35) -> None:
-    """Render one posed body into ``img`` (in place).
+                  contract: float = 0.35) -> np.ndarray:
+    """Render one posed body into ``img`` (in place); returns the
+    boolean coverage mask (which pixels the body splatted — used to mark
+    target joints a FOREGROUND distractor person covers as occluded).
 
     verts3d: (V, 3) posed SMPL vertices (model/camera space, +z away).
     The x/y mapping matches the joint projection in
@@ -201,7 +203,7 @@ def render_person(img: np.ndarray, rng: np.random.RandomState,
     colors = _region_colors(rng)[cache.regions] * shade
     colors = np.clip(colors, 0.0, 1.0)
     radius = max(1, int(round(scale_px / 80.0)))
-    splat_person(img, px, z, colors, radius)
+    return splat_person(img, px, z, colors, radius)
 
 
 def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
@@ -213,7 +215,8 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                        theta: np.ndarray | None = None,
                        beta: np.ndarray | None = None,
                        flip_prob: float = 0.0,
-                       truncation: float = 0.0
+                       truncation: float = 0.0,
+                       distractor_prob: float = 0.0
                        ) -> Dict[str, np.ndarray]:
     """n hard frames. Returns the data/synthetic.py example schema PLUS:
     ``centers`` (n, 2) person center px, ``scales`` (n,) person scale as
@@ -236,7 +239,21 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     fraction of its OWN extent beyond the frame edge (real footage has
     people entering/leaving frame); joints landing outside the frame
     are marked invisible in ``visibility``, matching the occluder
-    convention. Default 0 keeps every prior set bit-identical."""
+    convention. Default 0 keeps every prior set bit-identical.
+
+    ``distractor_prob``: probability of rendering a SECOND, non-target
+    body into the frame (random pose/scale, placed away from the target
+    center, randomly in front of or behind the target; a foreground
+    distractor marks the target joints it covers as occluded). The GT
+    center map / heatmaps / joints stay the TARGET person's only — the
+    Caffe-CPM training convention (VERDICT r3 next #1): the center map
+    must learn to SELECT the hinted person among people, not merely
+    locate the only one. All distractor randomness comes from a
+    SEPARATE rng stream, so the target content of every frame is
+    bit-identical to the distractor_prob=0 set (clean A/B) and prior
+    eval sets are unchanged. Extra returns when enabled:
+    ``has_distractor`` (n,) 0/1 and ``distractor_centers`` (n, 2)
+    (NaN rows where absent)."""
     rng = np.random.RandomState(seed)
     if theta is None:
         theta, beta = synthetic.sample_poses(rng, n)
@@ -248,6 +265,15 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     from tpu_pose.models import smpl as smpl_lib
     verts = np.asarray(jax.jit(smpl_lib.smpl_forward_batch)(
         model, beta, theta).vertices)
+
+    rng_d = np.random.RandomState(seed * 31 + 555777)
+    has_distractor = np.zeros((n,), np.float32)
+    distractor_centers = np.full((n, 2), np.nan, np.float32)
+    if distractor_prob > 0.0:
+        theta_d, beta_d = synthetic.sample_poses(rng_d, n)
+        j3d_d = synthetic._smpl_joints_np(model, theta_d, beta_d)
+        verts_d = np.asarray(jax.jit(smpl_lib.smpl_forward_batch)(
+            model, beta_d, theta_d).vertices)
 
     size = cfg.input_size
     cache = _BodyCache(model)
@@ -270,11 +296,45 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                      + rng.uniform(-margin, margin, 2)).astype(np.float32)
 
         img = random_background(rng, size, clutter=clutter)
+
+        # Distractor person (independent rng stream — see docstring).
+        d_render = None
+        if distractor_prob > 0.0 and rng_d.rand() < distractor_prob:
+            j14_d = j3d_d[i][joints_lib.CPM_TO_SMPL]
+            c3d_d = j14_d.mean(0)
+            ext_d = np.abs(j14_d - c3d_d).max()
+            sf_d = rng_d.uniform(*scale_range)
+            scale_px_d = sf_d * (size / 2.0) / max(ext_d, 1e-3)
+            # Place away from the target: ≥ 0.55 × the summed extents
+            # apart (partial overlap allowed — that's the hard case the
+            # selector must survive); fall back to the farthest of the
+            # candidates when the frame is too crowded to satisfy it.
+            min_sep = 0.55 * (s_frac + sf_d) * (size / 2.0)
+            cands = rng_d.uniform(0.08 * size, 0.92 * size, (20, 2))
+            dists = np.linalg.norm(cands - center_px[None], axis=1)
+            ok = np.nonzero(dists >= min_sep)[0]
+            c_d = (cands[ok[0]] if len(ok)
+                   else cands[np.argmax(dists)]).astype(np.float32)
+            in_front = rng_d.rand() < 0.5
+            d_render = (verts_d[i], j3d_d[i], c3d_d, scale_px_d, c_d,
+                        in_front)
+            has_distractor[i] = 1.0
+            distractor_centers[i] = c_d
+            if not in_front:                        # behind the target
+                render_person(img, rng_d, cache, *d_render[:5])
+
         render_person(img, rng, cache, verts[i], j3d[i], c3d, scale_px,
                       center_px)
 
         px = (j3d14[i] - c3d)[:, :2] * scale_px + center_px
         visibility[i, ((px < 0.0) | (px > size - 1.0)).any(axis=1)] = 0.0
+
+        if d_render is not None and d_render[5]:    # distractor in front
+            d_mask = render_person(img, rng_d, cache, *d_render[:5])
+            xi = np.clip(np.round(px[:, 0]), 0, size - 1).astype(np.int64)
+            yi = np.clip(np.round(px[:, 1]), 0, size - 1).astype(np.int64)
+            visibility[i, d_mask[yi, xi]] = 0.0     # covered → occluded
+
         if rng.rand() < occlusion_prob:
             extent_px = s_frac * (size / 2.0)
             lo, hi = _occlude(rng, img, center_px, extent_px)
@@ -288,6 +348,9 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
             visibility[i] = visibility[i][joints_lib.CPM_FLIP_PERM]
             center_px = np.array(
                 [size - 1.0 - center_px[0], center_px[1]], np.float32)
+            if has_distractor[i]:
+                distractor_centers[i, 0] = (size - 1.0
+                                            - distractor_centers[i, 0])
 
         images[i] = (img * 255).astype(np.uint8)
         joints2d[i] = px
@@ -295,30 +358,37 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
         scales[i] = s_frac
         heatmaps[i] = synthetic.gaussian_heatmaps(px, size, cfg.stride,
                                                   heatmap_sigma)
-    return {
+    out = {
         "images": images, "heatmaps": heatmaps, "joints2d": joints2d,
         "gt_joints3d": j3d.astype(np.float32),
         "theta": theta, "beta": beta,
         "centers": centers, "scales": scales, "visibility": visibility,
     }
+    if distractor_prob > 0.0:
+        out["has_distractor"] = has_distractor
+        out["distractor_centers"] = distractor_centers
+    return out
 
 
 def make_hard_multi_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                              seed: int = 0,
                              scale_range: Tuple[float, float] = (0.4, 0.55),
-                             clutter: int = 4) -> Dict[str, np.ndarray]:
-    """Two-person hard frames for the per-person 3D accuracy measurement
-    (VERDICT r2 next #4): two bodies, left/right separated centers,
-    depth-ordered compositing (the nearer person occludes).
+                             clutter: int = 4,
+                             num_people: int = 2) -> Dict[str, np.ndarray]:
+    """k-person hard frames for the per-person 3D accuracy measurement
+    (VERDICT r2 next #4; r3 next #3 adds k>2): ``num_people`` bodies at
+    separated centers with jitter, depth-ordered compositing (the nearer
+    person occludes). ``num_people=2`` reproduces the round-3 two-person
+    set bit-identically (same rng call order).
 
     Returns images (n,S,S,3) u8 + per-person GT stacked on axis 1:
-    joints2d (n,2,14,2), gt_joints3d (n,2,24,3), centers (n,2,2),
-    theta/beta (n,2,...)."""
+    joints2d (n,k,14,2), gt_joints3d (n,k,24,3), centers (n,k,2),
+    theta/beta (n,k,...)."""
+    k = num_people
     rng = np.random.RandomState(seed)
-    theta_a, beta_a = synthetic.sample_poses(rng, n)
-    theta_b, beta_b = synthetic.sample_poses(rng, n)
-    theta = np.concatenate([theta_a, theta_b])
-    beta = np.concatenate([beta_a, beta_b])
+    parts = [synthetic.sample_poses(rng, n) for _ in range(k)]
+    theta = np.concatenate([t for t, _ in parts])
+    beta = np.concatenate([b for _, b in parts])
     j3d = synthetic._smpl_joints_np(model, theta, beta)
 
     import jax
@@ -328,15 +398,20 @@ def make_hard_multi_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
         model, beta, theta).vertices)
 
     size = cfg.input_size
+    xfracs = ((0.28, 0.72) if k == 2
+              else tuple(np.linspace(0.16, 0.84, k)))
     cache = _BodyCache(model)
     images = np.zeros((n, size, size, 3), np.uint8)
-    joints2d = np.zeros((n, 2, 14, 2), np.float32)
-    centers = np.zeros((n, 2, 2), np.float32)
+    joints2d = np.zeros((n, k, 14, 2), np.float32)
+    centers = np.zeros((n, k, 2), np.float32)
 
     for i in range(n):
         img = random_background(rng, size, clutter=clutter)
-        # Left/right placement with jitter; random depth order.
-        order = [0, 1] if rng.rand() < 0.5 else [1, 0]  # far one first
+        # Spread placement with jitter; random depth order (far first).
+        if k == 2:
+            order = [0, 1] if rng.rand() < 0.5 else [1, 0]
+        else:
+            order = rng.permutation(k)
         for slot in order:
             idx = i + slot * n
             j14 = j3d[idx][joints_lib.CPM_TO_SMPL]
@@ -344,8 +419,7 @@ def make_hard_multi_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
             extent = np.abs(j14 - c3d).max()
             s_frac = rng.uniform(*scale_range)
             scale_px = s_frac * (size / 2.0) / max(extent, 1e-3)
-            cx = size * (0.28 if slot == 0 else 0.72) \
-                + rng.uniform(-0.05, 0.05) * size
+            cx = size * xfracs[slot] + rng.uniform(-0.05, 0.05) * size
             cy = size * 0.5 + rng.uniform(-0.1, 0.1) * size
             center_px = np.array([cx, cy], np.float32)
             render_person(img, rng, cache, verts[idx], j3d[idx], c3d,
@@ -354,12 +428,12 @@ def make_hard_multi_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
             centers[i, slot] = center_px
         images[i] = (img * 255).astype(np.uint8)
 
+    stack_k = lambda a: np.stack(  # noqa: E731
+        [a[p * n:(p + 1) * n] for p in range(k)], axis=1)
     return {
         "images": images, "joints2d": joints2d, "centers": centers,
-        "gt_joints3d": np.stack([j3d[:n], j3d[n:]], axis=1).astype(
-            np.float32),
-        "theta": np.stack([theta[:n], theta[n:]], axis=1),
-        "beta": np.stack([beta[:n], beta[n:]], axis=1),
+        "gt_joints3d": stack_k(j3d).astype(np.float32),
+        "theta": stack_k(theta), "beta": stack_k(beta),
     }
 
 
@@ -367,7 +441,8 @@ def make_hard_multi_video(model, num_frames: int,
                           cfg: CPMConfig = CPMConfig(), seed: int = 0,
                           scale_range: Tuple[float, float] = (0.4, 0.55),
                           clutter: int = 4, crossing: bool = True,
-                          keyframe_every: int = 8) -> Dict[str, np.ndarray]:
+                          keyframe_every: int = 8,
+                          num_people: int = 2) -> Dict[str, np.ndarray]:
     """Two-person hard VIDEO for the track-association benchmark
     (api.estimate_and_fit_video_multi / fitting/tracking.py).
 
@@ -380,17 +455,26 @@ def make_hard_multi_video(model, num_frames: int,
     tracker must survive. One static background per sequence (it is a
     video), per-frame occluders off.
 
+    ``num_people`` (r3 next #3): k people on spread linear paths; with
+    ``crossing`` every person walks to the mirror position (person p:
+    slot p → slot k−1−p), so all pairs cross near the middle — k
+    simultaneous identity hazards. k=2 reproduces the round-3 crossing
+    benchmark bit-identically (same rng call order). Each person's
+    clothing colors are frame-constant and person-distinct (render rng
+    seeded per person), so appearance re-ID has a real signal.
+
     Returns images (T,S,S,3) u8 + GT in stable PERSON-IDENTITY order on
-    axis 1 (the whole point of the benchmark): joints2d (T,2,14,2),
-    gt_joints3d (T,2,24,3), centers (T,2,2), theta (T,2,72),
-    beta (T,2,10)."""
+    axis 1 (the whole point of the benchmark): joints2d (T,k,14,2),
+    gt_joints3d (T,k,24,3), centers (T,k,2), theta (T,k,72),
+    beta (T,k,10)."""
+    k = num_people
     rng = np.random.RandomState(seed)
     size = cfg.input_size
     t_idx = np.arange(num_frames, dtype=np.float64)
     n_keys = max(2, num_frames // keyframe_every + 2)
-    theta = np.zeros((num_frames, 2, 72), np.float32)
-    beta = np.zeros((num_frames, 2, 10), np.float32)
-    for p in range(2):
+    theta = np.zeros((num_frames, k, 72), np.float32)
+    beta = np.zeros((num_frames, k, 10), np.float32)
+    for p in range(k):
         k_theta, k_beta = synthetic.sample_poses(rng, n_keys)
         t = t_idx / keyframe_every
         i0 = np.minimum(t.astype(np.int64), n_keys - 2)
@@ -402,36 +486,36 @@ def make_hard_multi_video(model, num_frames: int,
     import jax
 
     from tpu_pose.models import smpl as smpl_lib
-    flat_t = theta.reshape(num_frames * 2, 72)
-    flat_b = beta.reshape(num_frames * 2, 10)
+    flat_t = theta.reshape(num_frames * k, 72)
+    flat_b = beta.reshape(num_frames * k, 10)
     out = jax.jit(smpl_lib.smpl_forward_batch)(model, flat_b, flat_t)
-    verts = np.asarray(out.vertices).reshape(num_frames, 2, -1, 3)
+    verts = np.asarray(out.vertices).reshape(num_frames, k, -1, 3)
     j3d = synthetic._smpl_joints_np(model, flat_t, flat_b).reshape(
-        num_frames, 2, -1, 3)
+        num_frames, k, -1, 3)
 
-    # Linear center paths; crossing swaps sides over the middle half.
+    # Linear center paths; crossing walks each person to the mirror
+    # slot over the sequence, so every pair swaps sides.
     u = t_idx / max(num_frames - 1, 1)                 # 0→1
-    x0, x1 = 0.28, 0.72
-    if crossing:
-        xa = x0 + (x1 - x0) * u                        # left → right
-        xb = x1 - (x1 - x0) * u                        # right → left
-    else:
-        xa = np.full(num_frames, x0)
-        xb = np.full(num_frames, x1)
-    ya = 0.5 + 0.06 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
-    yb = 0.5 + 0.06 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
-    cx = np.stack([xa, xb], 1) * size                  # (T, 2)
-    cy = np.stack([ya, yb], 1) * size
-    s_frac = rng.uniform(*scale_range, size=2)
+    pos = np.array((0.28, 0.72) if k == 2
+                   else np.linspace(0.22, 0.78, k))
+    xs_path = []
+    for p in range(k):
+        x_from, x_to = pos[p], (pos[k - 1 - p] if crossing else pos[p])
+        xs_path.append(x_from + (x_to - x_from) * u)
+    ys_path = [0.5 + 0.06 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
+               for _ in range(k)]
+    cx = np.stack(xs_path, 1) * size                   # (T, k)
+    cy = np.stack(ys_path, 1) * size
+    s_frac = rng.uniform(*scale_range, size=k)
 
     cache = _BodyCache(model)
     background = random_background(rng, size, clutter=clutter)
     images = np.zeros((num_frames, size, size, 3), np.uint8)
-    joints2d = np.zeros((num_frames, 2, 14, 2), np.float32)
-    centers = np.zeros((num_frames, 2, 2), np.float32)
+    joints2d = np.zeros((num_frames, k, 14, 2), np.float32)
+    centers = np.zeros((num_frames, k, 2), np.float32)
     for i in range(num_frames):
         img = background.copy()
-        for p in (1, 0):                               # far (1) first
+        for p in range(k - 1, -1, -1):                 # far (k−1) first
             j14 = j3d[i, p][joints_lib.CPM_TO_SMPL]
             c3d = j14.mean(0)
             extent = np.abs(j14 - c3d).max()
@@ -456,21 +540,28 @@ def hard_train_batches(model, batch_size: int, num_batches: int,
                        raw_images: bool = False,
                        scale_range: Tuple[float, float] = (0.45, 0.95),
                        occlusion_prob: float = 0.4,
-                       flip_prob: float = 0.5
+                       flip_prob: float = 0.5,
+                       distractor_prob: float = 0.0
                        ) -> Iterator[Dict[str, np.ndarray]]:
     """Training batches on the hard set (schema of
     synthetic.cpm_train_batches). Center maps paint at each frame's GT
     person center — the Caffe CPM training convention (GT centering at
     train time; in-graph refine_center supplies it at inference).
     ``flip_prob=0.5`` mirrors half the examples (see make_hard_examples)
-    — removes the chirality bias so flip TTA helps instead of hurts."""
+    — removes the chirality bias so flip TTA helps instead of hurts.
+    ``distractor_prob`` renders a second non-target body into that
+    fraction of frames with the targets still selecting ONLY the
+    centered person (see make_hard_examples) — the training signal that
+    teaches the center map to be a person SELECTOR, the Caffe-CPM
+    convention (VERDICT r3 next #1)."""
     from tpu_pose.ops import preprocess as pre
     for b in range(num_batches):
         ex = make_hard_examples(model, batch_size, cfg,
                                 seed=seed * 9973 + b,
                                 scale_range=scale_range,
                                 occlusion_prob=occlusion_prob,
-                                flip_prob=flip_prob)
+                                flip_prob=flip_prob,
+                                distractor_prob=distractor_prob)
         cmaps = np.stack([
             np.asarray(pre.gaussian_center_map(
                 cfg.input_size, cfg.center_sigma, center=c))
@@ -492,3 +583,128 @@ def hard_eval_batches(model, batch_size: int, num_batches: int,
                                 seed=seed * 9973 + b, **kw)
         yield {"images": ex["images"], "gt_joints3d": ex["gt_joints3d"],
                "gt_joints2d": ex["joints2d"]}
+
+
+def make_empty_examples(n: int, cfg: CPMConfig = CPMConfig(),
+                        seed: int = 0, clutter: int = 6,
+                        occluder_prob: float = 0.4) -> Dict[str, np.ndarray]:
+    """Person-FREE hard frames: the same background distribution as
+    :func:`make_hard_examples` (low-frequency fields, skin-toned clutter
+    rectangles, Gaussian decoy blobs, optional occluder rectangle) with
+    NO body rendered — the negative class for the empty-frame operating
+    point (VERDICT r3 next #6: ``select_people(allow_empty=True)``'s
+    false-positive person rate is measured on these).
+
+    Returns {"images": (n, S, S, 3) uint8}."""
+    rng = np.random.RandomState(seed)
+    size = cfg.input_size
+    images = np.zeros((n, size, size, 3), np.uint8)
+    for i in range(n):
+        img = random_background(rng, size, clutter=clutter)
+        if rng.rand() < occluder_prob:
+            _occlude(rng, img,
+                     np.array([size / 2.0, size / 2.0], np.float32),
+                     0.7 * (size / 2.0))
+        images[i] = (img * 255).astype(np.uint8)
+    return {"images": images}
+
+
+def make_hard_enterleave_video(model, num_frames: int,
+                               cfg: CPMConfig = CPMConfig(), seed: int = 0,
+                               scale_range: Tuple[float, float] = (0.4, 0.55),
+                               clutter: int = 4, keyframe_every: int = 8,
+                               leave_at: float = 0.45,
+                               enter_at: float = 0.6
+                               ) -> Dict[str, np.ndarray]:
+    """Enter/leave hard video for the track birth/death benchmark
+    (VERDICT r3 next #2): THREE identities share a 2-slot world —
+
+    - person A stays in frame the whole sequence (gentle wander);
+    - person B starts in frame and walks OUT the right edge, fully gone
+      by ``leave_at``·T (then stays gone — a permanent exit);
+    - person C walks IN from the left edge starting at ``enter_at``·T —
+      a mid-sequence entrance with DIFFERENT clothing colors than B
+      (per-person render rng), so a tracker must BIRTH a new identity,
+      not resurrect B's.
+
+    A correct tracker with ``max_people=2`` and track death enabled
+    re-uses B's slot for C after B's death; GT is returned per IDENTITY
+    (axis 1 size 3) with a ``present`` (T, 3) flag (a person counts
+    present while ≥60% of its 14 joints are in frame), and the
+    benchmark script maps identities to slots segment-wise.
+
+    Returns images (T,S,S,3) u8, joints2d (T,3,14,2) (off-frame
+    positions included — they are the GT paths), centers (T,3,2),
+    gt_joints3d (T,3,24,3), theta (T,3,72), beta (T,3,10),
+    present (T,3) float 0/1."""
+    n_id = 3
+    rng = np.random.RandomState(seed)
+    size = cfg.input_size
+    t_idx = np.arange(num_frames, dtype=np.float64)
+    n_keys = max(2, num_frames // keyframe_every + 2)
+    theta = np.zeros((num_frames, n_id, 72), np.float32)
+    beta = np.zeros((num_frames, n_id, 10), np.float32)
+    for p in range(n_id):
+        k_theta, k_beta = synthetic.sample_poses(rng, n_keys)
+        t = t_idx / keyframe_every
+        i0 = np.minimum(t.astype(np.int64), n_keys - 2)
+        w = (1.0 - np.cos(np.pi * (t - i0))) / 2.0
+        theta[:, p] = ((1.0 - w)[:, None] * k_theta[i0]
+                       + w[:, None] * k_theta[i0 + 1])
+        beta[:, p] = k_beta[0]
+
+    import jax
+
+    from tpu_pose.models import smpl as smpl_lib
+    flat_t = theta.reshape(num_frames * n_id, 72)
+    flat_b = beta.reshape(num_frames * n_id, 10)
+    out = jax.jit(smpl_lib.smpl_forward_batch)(model, flat_b, flat_t)
+    verts = np.asarray(out.vertices).reshape(num_frames, n_id, -1, 3)
+    j3d = synthetic._smpl_joints_np(model, flat_t, flat_b).reshape(
+        num_frames, n_id, -1, 3)
+
+    u = t_idx / max(num_frames - 1, 1)                  # 0→1
+    # A wanders around x=0.3; B exits right (fully off by leave_at);
+    # C enters left (fully off before enter_at). "Off" = 0.25 frames
+    # beyond the edge — more than a person half-width at these scales.
+    xa = 0.30 + 0.05 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
+    ub = np.clip(u / max(leave_at, 1e-6), 0.0, 1.0)
+    xb = 0.70 + (1.25 - 0.70) * ub
+    uc = np.clip((u - enter_at) / max(1.0 - enter_at, 1e-6), 0.0, 1.0)
+    xc = -0.25 + (0.62 - (-0.25)) * uc
+    ys = [0.5 + 0.05 * np.sin(2 * np.pi * u + rng.uniform(0, 6.3))
+          for _ in range(n_id)]
+    cx = np.stack([xa, xb, xc], 1) * size               # (T, 3)
+    cy = np.stack(ys, 1) * size
+    s_frac = rng.uniform(*scale_range, size=n_id)
+
+    cache = _BodyCache(model)
+    background = random_background(rng, size, clutter=clutter)
+    images = np.zeros((num_frames, size, size, 3), np.uint8)
+    joints2d = np.zeros((num_frames, n_id, 14, 2), np.float32)
+    centers = np.zeros((num_frames, n_id, 2), np.float32)
+    present = np.zeros((num_frames, n_id), np.float32)
+    for i in range(num_frames):
+        img = background.copy()
+        for p in range(n_id - 1, -1, -1):               # far first
+            j14 = j3d[i, p][joints_lib.CPM_TO_SMPL]
+            c3d = j14.mean(0)
+            extent = np.abs(j14 - c3d).max()
+            scale_px = s_frac[p] * (size / 2.0) / max(extent, 1e-3)
+            center_px = np.array([cx[i, p], cy[i, p]], np.float32)
+            px = (j14 - c3d)[:, :2] * scale_px + center_px
+            joints2d[i, p] = px
+            centers[i, p] = center_px
+            in_frame = ((px >= 0.0) & (px <= size - 1.0)).all(axis=1)
+            present[i, p] = float(in_frame.mean() >= 0.6)
+            if in_frame.any():                          # partially visible
+                render_person(img, np.random.RandomState(seed + 7 * p),
+                              cache, verts[i, p], j3d[i, p], c3d,
+                              scale_px, center_px)
+        images[i] = (img * 255).astype(np.uint8)
+
+    return {
+        "images": images, "joints2d": joints2d, "centers": centers,
+        "gt_joints3d": j3d.astype(np.float32),
+        "theta": theta, "beta": beta, "present": present,
+    }
