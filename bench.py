@@ -269,6 +269,52 @@ def main():
             f"(64 keep-alive client threads): {dt:.2f} s -> "
             f"{n_req / dt:.1f} req/s (mean batch {snap['mean_batch']:.1f})")
 
+        # (d) OVERLOAD posture (VERDICT r3 next #4): offered load far
+        # beyond capacity against a bounded queue — sheds must be
+        # PROMPT typed 503-style rejections (microseconds, measured),
+        # memory stays bounded at max_queue, and every ACCEPTED request
+        # completes. 8 submit threads fire n_over requests at once.
+        n_over = 256 if args.quick else 512
+        shed_times, accepted = [], []
+        with serving_lib.BatchingServer(
+                est, max_batch=64, max_wait_ms=5.0, buckets=(64,),
+                max_queue=96,
+                fields=("theta",)) as srv:
+            for f in [srv.submit(fr) for fr in same[:64]]:
+                f.result()                        # warm program
+            import threading as _threading
+            lock = _threading.Lock()
+
+            def fire(fr):
+                t1 = _time.perf_counter()
+                try:
+                    fut = srv.submit(fr)
+                except serving_lib.ServerOverloaded:
+                    with lock:
+                        shed_times.append(_time.perf_counter() - t1)
+                    return None
+                with lock:
+                    accepted.append(fut)
+                return fut
+
+            t0 = _time.perf_counter()
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(fire, [same[i % len(same)]
+                                     for i in range(n_over)]))
+            for f in accepted:
+                f.result()
+            dt = _time.perf_counter() - t0
+            depth_after = srv.queue_depth()
+            shed_total = srv.telemetry()["shed"]
+        shed_ms = (sorted(shed_times)[len(shed_times) // 2] * 1e3
+                   if shed_times else 0.0)
+        log(f"config6d serving overload {n_over} offered vs max_queue "
+            f"96: accepted {len(accepted)}, shed {shed_total} "
+            f"(p50 shed latency {shed_ms:.3f} ms), all accepted "
+            f"completed in {dt:.2f} s -> "
+            f"{len(accepted) / dt:.1f} req/s, queue drained to "
+            f"{depth_after}")
+
         # Config 7: ACCURACY-mode fused throughput — the configuration
         # the hard-benchmark accuracy table recommends (refine_center +
         # flip TTA + 2-scale TTA ≈ 6 CPM passes/frame). Quantifies what

@@ -82,6 +82,12 @@ def test_select_people_thresholds():
                           [0.04, 0.02]])  # noise frame: keep top only
     mask = np.asarray(cpm.select_people(scores))
     assert mask.tolist() == [[True, True], [True, False], [True, False]]
+    # allow_empty (r4, VERDICT r3 weak #4): the noise frame whose best
+    # peak misses the absolute floor reports ZERO people; frames with a
+    # real person are unchanged.
+    mask_e = np.asarray(cpm.select_people(scores, allow_empty=True))
+    assert mask_e.tolist() == [[True, True], [True, False],
+                               [False, False]]
 
 
 def test_two_person_frame_resolves_two_fits():

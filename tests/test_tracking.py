@@ -445,3 +445,160 @@ def test_estimate_2d_multi_center_hints_fix_slot_identity():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2[:, ::-1]),
                                rtol=1e-5)
     assert np.isfinite(np.asarray(c1)).all()
+
+
+def test_viterbi_frame0_garbage_slot_keeps_identity_order():
+    """Round-4 regression: one real person + one garbage (non-live)
+    hypothesis whose decode sits ON the same person. Without the
+    frame-0 birth charge the DP swapped identities at birth (track 0
+    born on the garbage slot); track 0 must stay the top-scored slot."""
+    t = 8
+    rng = np.random.RandomState(0)
+    app = np.zeros((t, 2, 3), np.float32)
+    app[:, 0] = [0.8, 0.2, 0.1]
+    app[:, 1] = app[:, 0] + rng.uniform(-0.02, 0.02, (t, 3))  # same person
+    geom = rng.rand(t, 2, 4).astype(np.float32) * 0.1
+    scores = np.stack([np.ones(t), np.full(t, -1e9)], 1).astype(np.float32)
+    perm = np.asarray(tracking.associate_tracks_viterbi(
+        jnp.asarray(geom), jnp.asarray(app), jnp.asarray(scores),
+        score_gate=0.5))
+    np.testing.assert_array_equal(perm[:, 0], np.zeros(t))  # track0=slot0
+
+
+def test_viterbi_birth_anchors_new_person_to_free_slot():
+    """A person ENTERING mid-sequence claims the never-live track (slot
+    freed by the anchored0=live0 rule) instead of stealing the anchored
+    track, and keeps it for the rest of the sequence."""
+    t = 14
+    rng = np.random.RandomState(1)
+    app = np.zeros((t, 2, 3), np.float32)
+    app[:, 0] = [0.9, 0.1, 0.1]                     # person A throughout
+    app[:, 1] = rng.rand(t, 3)                      # garbage ...
+    app[6:, 1] = [0.1, 0.1, 0.9]                    # ... then person B
+    app += rng.uniform(-0.01, 0.01, app.shape).astype(np.float32)
+    geom = np.zeros((t, 2, 2), np.float32)
+    geom[:, 0, 0], geom[:, 1, 0] = 0.3, 0.7
+    scores = np.ones((t, 2), np.float32)
+    scores[:6, 1] = 0.1                             # gated pre-entry
+    # Slot order shuffles after entry: B sometimes lands in slot 0.
+    sw = slice(9, 12)
+    app[sw] = app[sw, ::-1]
+    geom[sw] = geom[sw, ::-1]
+    perm = np.asarray(tracking.associate_tracks_viterbi(
+        jnp.asarray(geom), jnp.asarray(app), jnp.asarray(scores),
+        score_gate=0.5))
+    tracked = np.asarray(tracking.gather_tracks(jnp.asarray(app),
+                                                jnp.asarray(perm)))
+    # Track 0 is A everywhere; track 1 is B from entry on.
+    assert (tracked[:, 0, 0] > 0.6).all()
+    assert (tracked[6:, 1, 2] > 0.6).all()
+
+
+def test_viterbi_death_frees_slot_for_new_identity():
+    """B leaves permanently; C enters later with different clothing.
+    With death enabled (death_frames=3 < the 5-frame gap), C claims B's
+    released slot and anchors to C's OWN appearance — B's stale anchor
+    must not force C into an appearance mismatch against A's track.
+    With death disabled, B's anchor persists and the same frames pay
+    the mismatch (C still must not steal A's track)."""
+    t = 18
+    rng = np.random.RandomState(2)
+    a_app, b_app, c_app = ([0.9, 0.1, 0.1], [0.1, 0.9, 0.1],
+                           [0.1, 0.1, 0.9])
+    app = np.zeros((t, 2, 3), np.float32)
+    app[:, 0] = a_app
+    app[:7, 1] = b_app                              # B present 0..6
+    app[7:12, 1] = rng.rand(5, 3)                   # gone 7..11
+    app[12:, 1] = c_app                             # C present 12..
+    app += rng.uniform(-0.01, 0.01, app.shape).astype(np.float32)
+    geom = np.zeros((t, 2, 2), np.float32)
+    geom[:, 0, 0], geom[:, 1, 0] = 0.3, 0.7
+    scores = np.ones((t, 2), np.float32)
+    scores[7:12, 1] = 0.1
+    for death in (3, 0):
+        perm, state = tracking.associate_tracks_viterbi(
+            jnp.asarray(geom), jnp.asarray(app), jnp.asarray(scores),
+            score_gate=0.5, death_frames=death, return_state=True)
+        tracked = np.asarray(tracking.gather_tracks(
+            jnp.asarray(app), jnp.asarray(perm)))
+        assert (tracked[:, 0, 0] > 0.6).all(), f"A stolen (death={death})"
+        assert (tracked[12:, 1, 2] > 0.6).all(), f"C misrouted ({death})"
+        anchored = np.asarray(state[5])
+        anchor = np.asarray(state[4])
+        assert anchored[1] == 1.0
+        if death:
+            # C re-anchored the released slot: anchor ≈ C, not B.
+            assert anchor[1, 2] > 0.6, anchor[1]
+
+
+def test_viterbi_birth_state_carries_across_windows():
+    """Splitting the birth sequence into windows (return_state /
+    init_state) reproduces the single-call assignment — births persist
+    through the streaming carry."""
+    t = 14
+    rng = np.random.RandomState(3)
+    app = np.zeros((t, 2, 3), np.float32)
+    app[:, 0] = [0.9, 0.1, 0.1]
+    app[:, 1] = rng.rand(t, 3)
+    app[6:, 1] = [0.1, 0.1, 0.9]
+    app += rng.uniform(-0.01, 0.01, app.shape).astype(np.float32)
+    geom = rng.rand(t, 2, 4).astype(np.float32) * 0.05
+    scores = np.ones((t, 2), np.float32)
+    scores[:6, 1] = 0.1
+    full = np.asarray(tracking.associate_tracks_viterbi(
+        jnp.asarray(geom), jnp.asarray(app), jnp.asarray(scores),
+        score_gate=0.5))
+    p1, st = tracking.associate_tracks_viterbi(
+        jnp.asarray(geom[:4]), jnp.asarray(app[:4]),
+        jnp.asarray(scores[:4]), score_gate=0.5, return_state=True)
+    p2 = tracking.associate_tracks_viterbi(
+        jnp.asarray(geom[4:]), jnp.asarray(app[4:]),
+        jnp.asarray(scores[4:]), score_gate=0.5, init_state=st)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(p1), np.asarray(p2)]), full)
+
+
+def test_smooth_track_centers_single_observation_stays_finite():
+    """Round-4 regression: a track with ONE observed frame (the rest
+    weight-0 garbage) made the f32 smoothing solve singular → NaN
+    trajectory → NaN hints → NaN decode. The weight floor must keep it
+    finite and near the raw observations."""
+    t = 5
+    obs = np.array([[30., 30.], [28., 25.], [27., 26.], [29., 24.],
+                    [30., 25.]], np.float32)[:, None]
+    w = np.array([[0.92], [0.], [0.], [0.], [0.]], np.float32)
+    sm = np.asarray(tracking.smooth_track_centers(
+        jnp.asarray(obs), jnp.asarray(w)))
+    assert np.isfinite(sm).all()
+    assert abs(sm[0, 0, 0] - 30.0) < 3.0
+    # All-zero weights degrade to ~the raw centers, not NaN.
+    sm0 = np.asarray(tracking.smooth_track_centers(
+        jnp.asarray(obs), jnp.zeros((t, 1), np.float32)))
+    assert np.isfinite(sm0).all()
+
+
+def test_video_session_birth_death_knobs_execute():
+    """track_death_frames / track_birth_cost / allow_empty thread
+    through the windowed session (7-leaf association carry incl.
+    anchors/anchored/miss) and produce finite, valid output."""
+    from tpu_pose.api import MultiPersonVideoSession
+    cpm = CPMConfig(input_size=64, features=8, stage1_head_width=16,
+                    refine_width=8, num_stages=2)
+    fit = FitConfig(stages=(StageConfig(iters=6, lr=0.05),), img_size=64)
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=cpm, fit_cfg=fit)
+    sess = MultiPersonVideoSession(est, max_people=2, chunk=3,
+                                   track_death_frames=2,
+                                   track_birth_cost=0.1,
+                                   allow_empty=True)
+    frames = np.random.RandomState(4).randint(
+        0, 255, (5, 64, 64, 3)).astype(np.uint8)
+    outs = [r for r in (sess.push(frames), sess.flush())
+            if r is not None]
+    assert sum(o.perm.shape[0] for o in outs) == 5
+    for o in outs:
+        assert np.isfinite(np.asarray(o.theta)).all()
+        p = np.asarray(o.perm)
+        assert all(sorted(r.tolist()) == [0, 1] for r in p)
+        # allow_empty: frame_mask MAY be all-false — it must still be
+        # boolean with valid shape (no ≥1-per-frame guarantee).
+        assert o.frame_mask.dtype == jnp.bool_

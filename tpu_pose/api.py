@@ -517,14 +517,16 @@ class PoseEstimator:
     def _estimate_and_fit_multi_impl(self, cpm_params, smpl_model, images,
                                      max_people: int, min_person_score:
                                      float, person_score_frac: float,
-                                     dup_px: float):
+                                     dup_px: float,
+                                     allow_empty: bool = False):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
             letterbox=self.letterbox, refine_scale=self.refine_scale,
             flip_tta=self.flip_tta)
         mask = cpm_lib.select_people(scores, min_person_score,
                                      person_score_frac, joints=joints,
-                                     dup_px=dup_px)
+                                     dup_px=dup_px,
+                                     allow_empty=allow_empty)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
         # Per-hypothesis fits are FIRST-CLASS (VERDICT r2 weak #2): the
@@ -569,7 +571,8 @@ class PoseEstimator:
                                max_people: int = 2,
                                min_person_score: float = 0.05,
                                person_score_frac: float = 0.4,
-                               dup_px: float = 30.0
+                               dup_px: float = 30.0,
+                               allow_empty: bool = False
                                ) -> MultiPersonResult:
         """Multi-person fused path: stage-1 trunk once per image, NMS'd
         foreground peaks propose up to ``max_people`` centers, refinement
@@ -581,14 +584,15 @@ class PoseEstimator:
         _check_frames(images)
         self._warn_multi_ignores_scale_tta()
         key = ("multi", max_people, min_person_score, person_score_frac,
-               dup_px)
+               dup_px, allow_empty)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(
                 functools.partial(self._estimate_and_fit_multi_impl,
                                   max_people=max_people,
                                   min_person_score=min_person_score,
                                   person_score_frac=person_score_frac,
-                                  dup_px=dup_px))
+                                  dup_px=dup_px,
+                                  allow_empty=allow_empty))
         return self._fit_multistart[key](
             self._params_for_batch(images.shape[0]), self.smpl_model,
             images)
@@ -602,6 +606,9 @@ class PoseEstimator:
                                            track_state=None,
                                            anchors=None,
                                            temporal_hints: bool = True,
+                                           allow_empty: bool = False,
+                                           birth_cost: float = 0.05,
+                                           death_frames: int = 0,
                                            return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
@@ -634,6 +641,7 @@ class PoseEstimator:
                         jnp.where(pad_mask[:, None] > 0, scores, -1e9))
         perm, new_state = tracking.associate_tracks_viterbi(
             geom, app, assoc_scores, score_gate=min_person_score,
+            birth_cost=birth_cost, death_frames=death_frames,
             init_state=track_state, return_state=True)
         tj = tracking.gather_tracks(joints, perm)
         tc = tracking.gather_tracks(conf, perm)
@@ -662,7 +670,8 @@ class PoseEstimator:
                 sel_scores = ts
         fmask = cpm_lib.select_people(sel_scores, min_person_score,
                                       person_score_frac,
-                                      joints=sel_joints, dup_px=dup_px)
+                                      joints=sel_joints, dup_px=dup_px,
+                                      allow_empty=allow_empty)
         if not temporal_hints:
             fmask = tracking.gather_tracks(fmask, perm)     # (T, k)
         if pad_mask is not None:
@@ -721,7 +730,10 @@ class PoseEstimator:
                                      min_person_score: float = 0.05,
                                      person_score_frac: float = 0.4,
                                      dup_px: float = 30.0,
-                                     temporal_hints: bool = True
+                                     temporal_hints: bool = True,
+                                     allow_empty: bool = False,
+                                     track_birth_cost: float = 0.05,
+                                     track_death_frames: int = 0
                                      ) -> MultiPersonVideoResult:
         """Multi-person video, ONE device program: per-frame hypothesis
         decode (estimate_2d_multi) → in-graph GLOBAL track association
@@ -737,6 +749,18 @@ class PoseEstimator:
         reference had no analogue for. Axis-1 of the result is TRACK
         identity, not per-frame score rank; ``perm`` records the
         assignment, ``frame_mask``/``track_mask`` the presence calls.
+
+        Track lifecycle (round 4): anchors are dynamic — a track whose
+        slot is garbage at frame 0 anchors to its FIRST live
+        observation (birth costs ``track_birth_cost`` in appearance-MSE
+        units, the threshold beyond which a new identity is declared
+        rather than stealing an anchored track), and
+        ``track_death_frames`` > 0 lets a track non-live that many
+        consecutive frames release its slot for a new person (choose it
+        longer than expected occlusion blackouts; 0 = never, the
+        round-3 behavior). ``allow_empty`` lets frames report zero
+        people (person-free stretches) instead of always keeping the
+        top hypothesis.
         Memory scales with T·max_people (all hypotheses refine per
         frame); for very long sequences run in windows and stitch on
         track features."""
@@ -744,7 +768,8 @@ class PoseEstimator:
         self._warn_multi_ignores_scale_tta()
         key = ("video_multi", max_people, min_person_score,
                person_score_frac, dup_px, self.fit_restarts,
-               temporal_hints)
+               temporal_hints, allow_empty, track_birth_cost,
+               track_death_frames)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 self._estimate_and_fit_video_multi_impl,
@@ -752,7 +777,10 @@ class PoseEstimator:
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 restarts=max(self.fit_restarts, 1),
-                temporal_hints=temporal_hints))
+                temporal_hints=temporal_hints,
+                allow_empty=allow_empty,
+                birth_cost=track_birth_cost,
+                death_frames=track_death_frames))
         return self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), self.smpl_model,
             frames)
@@ -763,7 +791,10 @@ class PoseEstimator:
                                             min_person_score: float = 0.05,
                                             person_score_frac: float = 0.4,
                                             dup_px: float = 30.0,
-                                            temporal_hints: bool = True
+                                            temporal_hints: bool = True,
+                                            allow_empty: bool = False,
+                                            track_birth_cost: float = 0.05,
+                                            track_death_frames: int = 0
                                             ) -> MultiPersonVideoResult:
         """Arbitrary-length multi-person video with bounded memory:
         fixed-``chunk`` windows through the fused tracked pipeline, the
@@ -785,12 +816,16 @@ class PoseEstimator:
                 frames, max_people=max_people,
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
-                temporal_hints=temporal_hints)
+                temporal_hints=temporal_hints, allow_empty=allow_empty,
+                track_birth_cost=track_birth_cost,
+                track_death_frames=track_death_frames)
         sess = MultiPersonVideoSession(
             self, max_people=max_people, chunk=chunk,
             min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
-            temporal_hints=temporal_hints)
+            temporal_hints=temporal_hints, allow_empty=allow_empty,
+            track_birth_cost=track_birth_cost,
+            track_death_frames=track_death_frames)
         outs = [r for r in (sess.push(frames), sess.flush())
                 if r is not None]
         return _concat_video_multi(outs)
@@ -798,7 +833,10 @@ class PoseEstimator:
     def _stream_window_programs(self, max_people: int,
                                 min_person_score: float,
                                 person_score_frac: float, dup_px: float,
-                                chunk: int, temporal_hints: bool = True):
+                                chunk: int, temporal_hints: bool = True,
+                                allow_empty: bool = False,
+                                track_birth_cost: float = 0.05,
+                                track_death_frames: int = 0):
         """Jitted (first-window, anchored-window) fused programs for the
         tracked streaming path, cached per config tuple."""
         base = dict(max_people=max_people,
@@ -806,10 +844,14 @@ class PoseEstimator:
                     person_score_frac=person_score_frac, dup_px=dup_px,
                     restarts=max(self.fit_restarts, 1),
                     temporal_hints=temporal_hints,
+                    allow_empty=allow_empty,
+                    birth_cost=track_birth_cost,
+                    death_frames=track_death_frames,
                     return_carry=True)
         kf = ("video_multi_stream_first", max_people, min_person_score,
               person_score_frac, dup_px, self.fit_restarts, chunk,
-              temporal_hints)
+              temporal_hints, allow_empty, track_birth_cost,
+              track_death_frames)
         ka = kf[:1] + ("anchored",) + kf[1:]
         if kf not in self._fit_multistart:
             self._fit_multistart[kf] = jax.jit(functools.partial(
@@ -913,14 +955,18 @@ class MultiPersonVideoSession:
     def __init__(self, estimator: "PoseEstimator", max_people: int = 2,
                  chunk: int = 64, min_person_score: float = 0.05,
                  person_score_frac: float = 0.4, dup_px: float = 30.0,
-                 temporal_hints: bool = True):
+                 temporal_hints: bool = True,
+                 allow_empty: bool = False,
+                 track_birth_cost: float = 0.05,
+                 track_death_frames: int = 0):
         estimator._warn_multi_ignores_scale_tta()
         self._est = estimator
         self.chunk = int(chunk)
         self._first_fn, self._anchored_fn = (
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
-                self.chunk, temporal_hints))
+                self.chunk, temporal_hints, allow_empty,
+                track_birth_cost, track_death_frames))
         self._params = estimator._params_for_batch(self.chunk)
         self._buf: list = []
         self._buffered = 0

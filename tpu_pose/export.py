@@ -436,7 +436,10 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                               min_person_score: float = 0.05,
                               person_score_frac: float = 0.4,
                               dup_px: float = 30.0,
-                              temporal_hints: bool = True) -> dict:
+                              temporal_hints: bool = True,
+                              allow_empty: bool = False,
+                              track_birth_cost: float = 0.05,
+                              track_death_frames: int = 0) -> dict:
     """Export the TRACKED STREAMING video pipeline: the same two fused
     window programs :class:`api.MultiPersonVideoSession` runs (first
     window; anchored continuation carrying tracker state + per-track
@@ -459,7 +462,10 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
     base = dict(max_people=max_people, min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 restarts=max(est.fit_restarts, 1),
-                temporal_hints=temporal_hints)
+                temporal_hints=temporal_hints,
+                allow_empty=allow_empty,
+                birth_cost=track_birth_cost,
+                death_frames=track_death_frames)
 
     # The association state is an opaque pytree (the Viterbi carry:
     # cost vector, last live features, re-ID anchor); flatten it into
@@ -521,7 +527,10 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                       "min_person_score": min_person_score,
                       "person_score_frac": person_score_frac,
                       "dup_px": dup_px,
-                      "temporal_hints": temporal_hints},
+                      "temporal_hints": temporal_hints,
+                      "allow_empty": allow_empty,
+                      "track_birth_cost": track_birth_cost,
+                      "track_death_frames": track_death_frames},
         "platforms": list(platforms),
         "decode_impl": decode_impl,
         "chunk": int(chunk),

@@ -803,7 +803,8 @@ def find_person_peaks(fg: jnp.ndarray, k: int, stride: int,
 def select_people(scores: jnp.ndarray, min_score: float = 0.05,
                   score_frac: float = 0.4,
                   joints: jnp.ndarray | None = None,
-                  dup_px: float = 30.0) -> jnp.ndarray:
+                  dup_px: float = 30.0,
+                  allow_empty: bool = False) -> jnp.ndarray:
     """Person-count selection from hypothesis scores (ROADMAP #4's
     remaining piece: fixed ``max_people`` slots, variable TRUE count).
 
@@ -824,16 +825,27 @@ def select_people(scores: jnp.ndarray, min_score: float = 0.05,
        (measured: count accuracy 0.50 on score-only selection vs 14-joint
        evidence peaking at every limb).
 
-    The top hypothesis per frame is always kept, so every frame yields at
-    least one person. Static shapes: returns a (B, k) bool mask, not a
-    ragged result — downstream consumers mask, they don't reshape (the
-    jit-stable TPU idiom for dynamic counts).
+    By default the top hypothesis per frame is always kept, so every
+    frame yields at least one person — the person-centric contract the
+    reference's single-person pipeline assumes (a person IS in frame).
+    ``allow_empty=True`` drops that guarantee: a frame whose strongest
+    hypothesis clears neither the absolute floor ``min_score`` nor the
+    evidence bar reports ZERO people (VERDICT r3 weak #4 — multi-person
+    serving and tracked video on person-free stretches need a no-person
+    call; pick ``min_score`` from the measured person-free operating
+    point, see PARITY.md "empty-frame operating point"). The relative
+    ``score_frac`` gate still applies only BETWEEN hypotheses — with
+    allow_empty the frame max itself must clear ``min_score`` first.
+    Static shapes: returns a (B, k) bool mask, not a ragged result —
+    downstream consumers mask, they don't reshape (the jit-stable TPU
+    idiom for dynamic counts).
     """
     is_top = scores >= jnp.max(scores, axis=-1, keepdims=True)
     keep = ((scores >= min_score)
             & (scores >= score_frac * jnp.max(scores, axis=-1,
                                               keepdims=True)))
-    keep = keep | is_top
+    if not allow_empty:
+        keep = keep | is_top
     if joints is None:
         return keep
     k = scores.shape[-1]

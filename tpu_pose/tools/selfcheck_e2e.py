@@ -13,6 +13,7 @@ fitting, metrics. Takes ~15 min on one v5e (mostly training steps).
   python scripts/selfcheck_e2e.py --steps 800 --out /tmp/selfcheck
 """
 
+import functools
 import json
 import os
 import sys
@@ -30,6 +31,10 @@ flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
 flags.DEFINE_integer("hard_steps", 2400, "CPM training steps on the HARD "
                      "set (0 skips the hard section)")
 flags.DEFINE_integer("hard_eval_frames", 48, "hard-set eval frames")
+flags.DEFINE_float("hard_distractor_prob", 0.35, "fraction of hard "
+                   "training frames that render a second, non-target "
+                   "body (the center-map-as-person-SELECTOR training "
+                   "signal; 0 reproduces the round-3 recipe)")
 flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
 
 
@@ -248,8 +253,10 @@ def main(argv):
         # recipe (2026-08-17) — 16×1200 underfit the flip-augmented
         # distribution (36.3 plain); 32×2400 dominates every hard row
         # (32.2 plain, 19.3 rc+flip_tta vs the 23.1 pre-flip best).
-        for b in sh.hard_train_batches(model, FLAGS.train_batch, 32, cfg,
-                                       seed=0, raw_images=True):
+        for b in sh.hard_train_batches(
+                model, FLAGS.train_batch, 32, cfg, seed=0,
+                raw_images=True,
+                distractor_prob=FLAGS.hard_distractor_prob):
             pool_h.append(jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x)), b))
         params_h, opt_state_h, opt_h = cpm_train.init_train_state(
@@ -395,6 +402,92 @@ def main(argv):
             "pa_mpjpe_mm_per_person": pa_v}
         log(f"hard multi-video (crossing): id acc {id_acc:.2f}, center "
             f"err {center_err_v:.1f} px, per-person PA {pa_v:.1f} mm")
+
+        # (e) empty-frame operating point (VERDICT r3 next #6): person-
+        # evidence top-peak score distributions on person-FREE hard
+        # backgrounds vs person frames pick the allow_empty floor; then
+        # measure the person/no-person calls at that floor.
+        from tpu_pose.models import cpm as cpm_lib
+        emp = sh.make_empty_examples(32, cfg, seed=1212)
+        per = sh.make_hard_examples(model, 32, cfg, seed=1313,
+                                    scale_range=(0.45, 0.95))
+        multi2 = jax.jit(functools.partial(
+            cpm_lib.estimate_2d_multi, cfg=cfg, max_people=2))
+        s_emp = np.asarray(multi2(params_h,
+                                  jnp.asarray(emp["images"]))[3])
+        s_per = np.asarray(multi2(params_h,
+                                  jnp.asarray(per["images"]))[3])
+        top_emp, top_per = s_emp[:, 0], s_per[:, 0]
+        # Floor: geometric midpoint when the distributions separate,
+        # else the empty set's 95th percentile (accepting some FPs).
+        lo, hi = float(top_emp.max()), float(top_per.min())
+        floor = (float(np.sqrt(max(lo, 1e-6) * hi)) if hi > lo
+                 else float(np.quantile(top_emp, 0.95)))
+        fp = float((top_emp >= floor).mean())
+        tp = float((top_per >= floor).mean())
+        # Count accuracy WITH allow_empty at the chosen floor across
+        # 0/1/2-person frames (mask from the full multi path).
+        est_sel = PoseEstimator(params_h, model, prior=fitted_prior,
+                                cpm_cfg=cfg)
+        c0 = np.asarray(est_sel.estimate_and_fit_multi(
+            jnp.asarray(emp["images"][:16]), max_people=2,
+            min_person_score=floor,
+            allow_empty=True).person_mask.sum(-1))
+        c1 = np.asarray(est_sel.estimate_and_fit_multi(
+            jnp.asarray(per["images"][:16]), max_people=2,
+            min_person_score=floor,
+            allow_empty=True).person_mask.sum(-1))
+        c2 = np.asarray(est_sel.estimate_and_fit_multi(
+            jnp.asarray(mh["images"]), max_people=2,
+            min_person_score=floor,
+            allow_empty=True).person_mask.sum(-1))
+        profiling.sync(jnp.asarray(0))
+        results["empty_frame_operating_point"] = {
+            "floor": floor, "empty_top1_max": lo, "person_top1_min": hi,
+            "fp_rate_empty": fp, "tp_retention": tp,
+            "count_acc_0p": float((c0 == 0).mean()),
+            "count_acc_1p": float((c1 == 1).mean()),
+            "count_acc_2p": float((c2 == 2).mean())}
+        log(f"empty-frame operating point: floor {floor:.3f} "
+            f"(empty max {lo:.3f} vs person min {hi:.3f}) -> FP "
+            f"{fp:.2f}, TP {tp:.2f}; allow_empty count acc "
+            f"0p {float((c0 == 0).mean()):.2f} / 1p "
+            f"{float((c1 == 1).mean()):.2f} / 2p "
+            f"{float((c2 == 2).mean()):.2f}")
+
+        # (f) k=3 crowd stills (VERDICT r3 next #3): per-person PA +
+        # count accuracy at max_people=3 (3! = 6 assignment candidates).
+        import itertools as it_lib
+        m3 = sh.make_hard_multi_examples(model, 8, cfg, seed=303,
+                                         num_people=3)
+        r3 = est_mh.estimate_and_fit_multi(jnp.asarray(m3["images"]),
+                                           max_people=3)
+        profiling.sync(r3.theta)
+        pc3 = np.asarray(r3.joints2d.mean(-2))            # (N, 3, 2)
+        gc3 = m3["joints2d"].mean(-2)
+        perms3 = list(it_lib.permutations(range(3)))
+        pas3, cents3 = [], []
+        mask3 = np.asarray(r3.person_mask)
+        for i in range(len(pc3)):
+            costs = [np.linalg.norm(pc3[i] - gc3[i, list(pp)],
+                                    axis=-1).mean() for pp in perms3]
+            order3 = perms3[int(np.argmin(costs))]
+            cents3.append(min(costs))
+            for slot in range(3):
+                if mask3[i, slot]:
+                    pas3.append(float(metrics.pa_mpjpe_np(
+                        np.asarray(r3.joints3d)[i, slot][None],
+                        m3["gt_joints3d"][i, order3[slot]][None])[0]))
+        counts3 = mask3.sum(-1)
+        results["hard_multi_person_k3"] = {
+            "center_err_px": float(np.mean(cents3)),
+            "pa_mpjpe_mm_per_person": float(np.mean(pas3)) * 1000,
+            "count_acc": float((counts3 == 3).mean()),
+            "masked_fits": len(pas3)}
+        log(f"hard k=3 stills: center err {np.mean(cents3):.1f} px, "
+            f"per-person PA {np.mean(pas3) * 1000:.1f} mm over "
+            f"{len(pas3)} masked fits, count acc "
+            f"{float((counts3 == 3).mean()):.2f}")
         ckpt_lib.save_cpm_params(
             os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
             jax.tree.map(np.asarray, params_h))

@@ -1,0 +1,243 @@
+"""Multi-seed tracked-video benchmark (VERDICT r3 next #1/#2/#3).
+
+Round 3 established that single-video tracking figures are
+seed-lottery (id accuracy 0.46–1.00 across seeds of the same
+benchmark); every tracked-video number in PARITY.md therefore comes
+from THIS harness: N seeds per scenario, means reported with the
+per-seed spread.
+
+Scenarios (``--mode``):
+
+- ``crossing``  — two people swap sides behind a mutual-occlusion
+  blackout (data/synthetic_hard.make_hard_multi_video, crossing=True):
+  the round-3 10-seed benchmark, unchanged, so numbers are comparable
+  across rounds.
+- ``k3``        — THREE people, every pair crossing (num_people=3):
+  the crowd evidence (3! = 6 assignment candidates per frame).
+- ``enterleave``— three identities in a 2-slot world: B exits
+  permanently, C enters later (make_hard_enterleave_video); measures
+  track birth/death (``--death_frames``), presence-count accuracy, and
+  segment identity consistency.
+
+Weights: ``--weights`` (an npz from selfcheck/train_cpm, trained on
+the HARD set — random weights make tracking meaningless). Typical:
+
+  python scripts/track_bench.py \\
+      --weights /tmp/tpu_pose_selfcheck/cpm_weights_hard.npz \\
+      --mode crossing,k3,enterleave --seeds 10 \\
+      --out /tmp/track_bench.json
+"""
+
+import itertools
+import json
+import os
+import time
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("weights", "", "trained CPM weights npz (REQUIRED)")
+flags.DEFINE_string("mode", "crossing", "comma list: crossing,k3,"
+                    "enterleave")
+flags.DEFINE_integer("seeds", 10, "videos per scenario")
+flags.DEFINE_integer("frames", 26, "frames per video")
+flags.DEFINE_integer("restarts", 2, "fit yaw hypotheses")
+flags.DEFINE_boolean("temporal_hints", True, "hinted second decode")
+flags.DEFINE_integer("death_frames", 8, "track death (enterleave mode; "
+                     "0 disables)")
+flags.DEFINE_float("birth_cost", 0.05, "track birth cost (appearance-"
+                   "MSE units)")
+flags.DEFINE_float("min_person_score", 0.05, "absolute person-evidence "
+                   "floor")
+flags.DEFINE_boolean("stream", False, "run enterleave through "
+                     "MultiPersonVideoSession windows (chunk=10) instead "
+                     "of one program — exercises the birth/death carry")
+flags.DEFINE_string("out", "", "write the result dict as JSON here")
+
+
+def _best_perm(costs):
+    """costs: (k!, ...) summed assignment costs → index of the best."""
+    import numpy as np
+    return int(np.argmin(costs))
+
+
+def _match_metrics(res, gt_centers, gt_j3d, metrics_mod):
+    """Global σ: track→identity matching over the whole sequence, then
+    per-frame identity accuracy under it (a swap shows up as frames
+    preferring a different permutation), center error and per-person
+    PA-MPJPE under σ. Generalizes selfcheck §7d to any k."""
+    import numpy as np
+    tc = np.asarray(res.joints2d).mean(-2)           # (T, k, 2)
+    k = tc.shape[1]
+    perms = list(itertools.permutations(range(k)))
+    totals = [np.linalg.norm(tc - gt_centers[:, p], axis=-1).sum()
+              for p in perms]
+    sigma = perms[_best_perm(totals)]
+    ga = gt_centers[:, sigma]                        # (T, k, 2)
+    frame_costs = np.stack(
+        [np.linalg.norm(tc - ga[:, p], axis=-1).sum(-1) for p in perms],
+        -1)                                          # (T, k!)
+    ident = perms.index(tuple(range(k)))
+    id_acc = float((frame_costs.argmin(-1) == ident).mean())
+    center_err = float(np.linalg.norm(tc - ga, axis=-1).mean())
+    gj = gt_j3d[:, sigma]                            # (T, k, 24, 3)
+    pa = float(np.mean([
+        np.mean(metrics_mod.pa_mpjpe_np(np.asarray(res.joints3d)[q],
+                                        gj[:, q]))
+        for q in range(k)])) * 1000
+    return {"id_acc": id_acc, "center_err_px": center_err,
+            "pa_mpjpe_mm": pa}
+
+
+def _enterleave_metrics(res, el):
+    """Presence-count accuracy + per-segment identity consistency for
+    the 3-identities / 2-slots world. For each identity's presence
+    segment, its per-frame nearest LIVE track is computed; the segment
+    is consistent when ≥ the majority of frames agree with the
+    segment's majority track, and count_acc compares live-track count
+    to the number of present people per frame."""
+    import numpy as np
+    tc = np.asarray(res.joints2d).mean(-2)           # (T, k, 2)
+    fmask = np.asarray(res.frame_mask)               # (T, k)
+    present = el["present"]                          # (T, 3)
+    t_frames, k = fmask.shape
+    count_acc = float((fmask.sum(-1) == present.sum(-1)).mean())
+    seg_consistency, id_correct, id_total = [], 0, 0
+    majority = {}
+    for ident in range(present.shape[1]):
+        on = np.nonzero(present[:, ident] > 0)[0]
+        if not len(on):
+            continue
+        d = np.linalg.norm(tc[on] - el["centers"][on, ident][:, None],
+                           axis=-1)                  # (|on|, k)
+        d = np.where(fmask[on], d, np.inf)
+        near = d.argmin(-1)                          # nearest live track
+        has_live = np.isfinite(d.min(-1))
+        vals, counts = np.unique(near[has_live], return_counts=True)
+        if not len(vals):
+            seg_consistency.append(0.0)
+            continue
+        maj = int(vals[counts.argmax()])
+        majority[ident] = maj
+        ok = (near == maj) & has_live
+        seg_consistency.append(float(ok.mean()))
+        id_correct += int(ok.sum())
+        id_total += len(on)
+    # A (identity 0) and whichever of B/C is present must land on
+    # DISTINCT tracks; with death enabled, B and C may share a slot.
+    distinct = (majority.get(1, -1) != majority.get(0, -2)
+                and majority.get(2, -1) != majority.get(0, -2))
+    return {"count_acc": count_acc,
+            "id_acc": id_correct / max(id_total, 1),
+            "seg_consistency_min": float(min(seg_consistency)),
+            "ab_c_distinct_tracks": bool(distinct),
+            "c_track_reuses_b_slot": bool(
+                majority.get(1) is not None
+                and majority.get(1) == majority.get(2))}
+
+
+def main(argv):
+    del argv
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+
+    from tpu_pose.api import MultiPersonVideoSession, PoseEstimator
+    from tpu_pose.data import synthetic_hard as sh
+    from tpu_pose.fitting import priors as priors_lib
+    from tpu_pose.models import smpl_data
+    from tpu_pose.utils import metrics, profiling
+    from tpu_pose.utils import tf_converter
+    from tpu_pose.utils.config import CPMConfig
+
+    if not FLAGS.weights or not os.path.exists(FLAGS.weights):
+        raise SystemExit(f"--weights not found: {FLAGS.weights!r} "
+                         f"(train via selfcheck_e2e or train_cpm first)")
+    cfg = CPMConfig()
+    model = smpl_data.synthetic_smpl(seed=0)
+    params = tf_converter.load_params_npz(FLAGS.weights)
+    prior = priors_lib.synthetic_gmm_prior(0)
+    est = PoseEstimator(params, model, prior=prior, cpm_cfg=cfg,
+                        fit_restarts=FLAGS.restarts)
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[{time.time() - t0:6.0f}s] {msg}", flush=True)
+
+    results = {"config": {
+        "weights": FLAGS.weights, "seeds": FLAGS.seeds,
+        "frames": FLAGS.frames, "restarts": FLAGS.restarts,
+        "temporal_hints": FLAGS.temporal_hints,
+        "death_frames": FLAGS.death_frames,
+        "birth_cost": FLAGS.birth_cost}}
+    modes = [m.strip() for m in FLAGS.mode.split(",") if m.strip()]
+
+    for mode in modes:
+        per_seed = []
+        for seed in range(FLAGS.seeds):
+            if mode == "crossing" or mode == "k3":
+                k = 3 if mode == "k3" else 2
+                vh = sh.make_hard_multi_video(
+                    model, FLAGS.frames, cfg, seed=seed, crossing=True,
+                    num_people=k)
+                res = est.estimate_and_fit_video_multi(
+                    jnp.asarray(vh["images"]), max_people=k,
+                    min_person_score=FLAGS.min_person_score,
+                    temporal_hints=FLAGS.temporal_hints,
+                    track_birth_cost=FLAGS.birth_cost)
+                profiling.sync(res.theta)
+                m = _match_metrics(res, vh["centers"],
+                                   vh["gt_joints3d"], metrics)
+            elif mode == "enterleave":
+                el = sh.make_hard_enterleave_video(
+                    model, FLAGS.frames, cfg, seed=seed)
+                kwargs = dict(
+                    max_people=2,
+                    min_person_score=FLAGS.min_person_score,
+                    temporal_hints=FLAGS.temporal_hints,
+                    allow_empty=False,
+                    track_birth_cost=FLAGS.birth_cost,
+                    track_death_frames=FLAGS.death_frames)
+                if FLAGS.stream:
+                    sess = MultiPersonVideoSession(est, chunk=10,
+                                                   **kwargs)
+                    outs = [r for r in (sess.push(el["images"]),
+                                        sess.flush()) if r is not None]
+                    from tpu_pose.api import _concat_video_multi
+                    res = _concat_video_multi(outs)
+                else:
+                    res = est.estimate_and_fit_video_multi(
+                        jnp.asarray(el["images"]), **kwargs)
+                profiling.sync(res.theta)
+                m = _enterleave_metrics(res, el)
+            else:
+                raise SystemExit(f"unknown mode {mode!r}")
+            per_seed.append(m)
+            log(f"{mode} seed {seed}: " + json.dumps(
+                {k_: (round(v, 3) if isinstance(v, float) else v)
+                 for k_, v in m.items()}))
+        agg = {}
+        for key in per_seed[0]:
+            vals = [float(m[key]) for m in per_seed]
+            agg[key] = {"mean": round(float(np.mean(vals)), 4),
+                        "min": round(float(np.min(vals)), 4),
+                        "max": round(float(np.max(vals)), 4)}
+        results[mode] = {"per_seed": per_seed, "aggregate": agg}
+        log(f"{mode} aggregate: " + json.dumps(agg))
+
+    if FLAGS.out:
+        with open(FLAGS.out, "w") as f:
+            json.dump(results, f, indent=2)
+        log(f"wrote {FLAGS.out}")
+
+
+def run():
+    """Console entry point (pyproject.toml [project.scripts])."""
+    app.run(main)
+
+
+if __name__ == "__main__":
+    run()
