@@ -91,40 +91,51 @@ def _match_metrics(res, gt_centers, gt_j3d, metrics_mod):
 
 def _enterleave_metrics(res, el):
     """Presence-count accuracy + per-segment identity consistency for
-    the 3-identities / 2-slots world. For each identity's presence
-    segment, its per-frame nearest LIVE track is computed; the segment
-    is consistent when ≥ the majority of frames agree with the
-    segment's majority track, and count_acc compares live-track count
-    to the number of present people per frame."""
+    the 3-identities / 2-slots world. Per frame, PRESENT identities are
+    matched to tracks by an EXCLUSIVE min-cost assignment over the
+    track axis (two identities can never claim the same track; tracks
+    need not be frame_mask-live to be matched — presence-call errors
+    are scored separately by count_acc, not double-counted into id
+    accuracy). Per identity SEGMENT, the majority matched track defines
+    the identity's track; id_acc is the fraction of present frames
+    matched to it."""
     import numpy as np
     tc = np.asarray(res.joints2d).mean(-2)           # (T, k, 2)
     fmask = np.asarray(res.frame_mask)               # (T, k)
     present = el["present"]                          # (T, 3)
     t_frames, k = fmask.shape
+    n_id = present.shape[1]
     count_acc = float((fmask.sum(-1) == present.sum(-1)).mean())
+    # match[t, ident] = exclusively assigned track (or -1 if absent).
+    match = -np.ones((t_frames, n_id), np.int64)
+    for t in range(t_frames):
+        ids = np.nonzero(present[t] > 0)[0]
+        if not len(ids):
+            continue
+        best, best_cost = None, np.inf
+        for pp in itertools.permutations(range(k), len(ids)):
+            cost = sum(np.linalg.norm(tc[t, pp[j]]
+                                      - el["centers"][t, ids[j]])
+                       for j in range(len(ids)))
+            if cost < best_cost:
+                best, best_cost = pp, cost
+        for j, ident in enumerate(ids):
+            match[t, ident] = best[j]
     seg_consistency, id_correct, id_total = [], 0, 0
     majority = {}
-    for ident in range(present.shape[1]):
+    for ident in range(n_id):
         on = np.nonzero(present[:, ident] > 0)[0]
         if not len(on):
             continue
-        d = np.linalg.norm(tc[on] - el["centers"][on, ident][:, None],
-                           axis=-1)                  # (|on|, k)
-        d = np.where(fmask[on], d, np.inf)
-        near = d.argmin(-1)                          # nearest live track
-        has_live = np.isfinite(d.min(-1))
-        vals, counts = np.unique(near[has_live], return_counts=True)
-        if not len(vals):
-            seg_consistency.append(0.0)
-            continue
+        vals, counts = np.unique(match[on, ident], return_counts=True)
         maj = int(vals[counts.argmax()])
         majority[ident] = maj
-        ok = (near == maj) & has_live
+        ok = match[on, ident] == maj
         seg_consistency.append(float(ok.mean()))
         id_correct += int(ok.sum())
         id_total += len(on)
     # A (identity 0) and whichever of B/C is present must land on
-    # DISTINCT tracks; with death enabled, B and C may share a slot.
+    # DISTINCT tracks; with death enabled, C may reuse B's slot.
     distinct = (majority.get(1, -1) != majority.get(0, -2)
                 and majority.get(2, -1) != majority.get(0, -2))
     return {"count_acc": count_acc,
