@@ -250,8 +250,11 @@ def test_letterbox_affine_field(est):
 def test_pipelined_dispatch_many_batches(est):
     """Back-to-back batches flow through the 1-deep pipeline with every
     future resolving to its own frame's numbers (no cross-batch mixing)."""
+    # max_queue=0: this test floods 20 requests at max_batch=2 — the
+    # r4 default bound (8×max_batch=16) would legitimately shed the
+    # tail on a slow box; unbounded is the behavior under test here.
     with serving.BatchingServer(_EchoEstimator(), max_batch=2,
-                                max_wait_ms=0.0) as srv:
+                                max_wait_ms=0.0, max_queue=0) as srv:
         futs = [srv.submit(np.full((2, 2, 3), v, np.uint8))
                 for v in range(20)]
         for v, f in enumerate(futs):

@@ -26,7 +26,10 @@ SMALL_FIT = FitConfig(
 def srv():
     est = PoseEstimator.create_synthetic(
         seed=0, cpm_cfg=SMALL_CPM, fit_cfg=SMALL_FIT, letterbox=True)
-    with PoseHTTPServer(est, max_batch=4, max_wait_ms=10.0,
+    # max_queue=0 (unbounded): the 64-connection burst test floods far
+    # past the r4 default bound (8×max_batch=32); backpressure has its
+    # own dedicated test (test_overload_returns_503_with_retry_after).
+    with PoseHTTPServer(est, max_batch=4, max_wait_ms=10.0, max_queue=0,
                         fields=("joints2d", "conf", "theta", "energy",
                                 "letterbox_affine")) as s:
         yield s

@@ -518,11 +518,12 @@ class PoseEstimator:
                                      max_people: int, min_person_score:
                                      float, person_score_frac: float,
                                      dup_px: float,
-                                     allow_empty: bool = False):
+                                     allow_empty: bool = False,
+                                     nms_radius_px: float = 96.0):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
             letterbox=self.letterbox, refine_scale=self.refine_scale,
-            flip_tta=self.flip_tta)
+            flip_tta=self.flip_tta, nms_radius_px=nms_radius_px)
         mask = cpm_lib.select_people(scores, min_person_score,
                                      person_score_frac, joints=joints,
                                      dup_px=dup_px,
@@ -572,7 +573,8 @@ class PoseEstimator:
                                min_person_score: float = 0.05,
                                person_score_frac: float = 0.4,
                                dup_px: float = 30.0,
-                               allow_empty: bool = False
+                               allow_empty: bool = False,
+                               nms_radius_px: float = 96.0
                                ) -> MultiPersonResult:
         """Multi-person fused path: stage-1 trunk once per image, NMS'd
         foreground peaks propose up to ``max_people`` centers, refinement
@@ -584,7 +586,7 @@ class PoseEstimator:
         _check_frames(images)
         self._warn_multi_ignores_scale_tta()
         key = ("multi", max_people, min_person_score, person_score_frac,
-               dup_px, allow_empty)
+               dup_px, allow_empty, nms_radius_px)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(
                 functools.partial(self._estimate_and_fit_multi_impl,
@@ -592,7 +594,8 @@ class PoseEstimator:
                                   min_person_score=min_person_score,
                                   person_score_frac=person_score_frac,
                                   dup_px=dup_px,
-                                  allow_empty=allow_empty))
+                                  allow_empty=allow_empty,
+                                  nms_radius_px=nms_radius_px))
         return self._fit_multistart[key](
             self._params_for_batch(images.shape[0]), self.smpl_model,
             images)
@@ -609,12 +612,14 @@ class PoseEstimator:
                                            allow_empty: bool = False,
                                            birth_cost: float = 0.05,
                                            death_frames: int = 0,
+                                           nms_radius_px: float = 96.0,
                                            return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, frames, cfg=self.cpm_cfg, max_people=max_people,
             letterbox=self.letterbox, refine_scale=self.refine_scale,
-            flip_tta=self.flip_tta)            # (T,k,P,2),(T,k,P),(T,k)
+            flip_tta=self.flip_tta,
+            nms_radius_px=nms_radius_px)       # (T,k,P,2),(T,k,P),(T,k)
         t, k = scores.shape
         # Identity association on size-normalized DECODED JOINTS
         # (position AND pose) + per-joint APPEARANCE colors. The
@@ -663,7 +668,7 @@ class PoseEstimator:
                 cpm_params, frames, cfg=self.cpm_cfg,
                 max_people=max_people, letterbox=self.letterbox,
                 refine_scale=self.refine_scale, flip_tta=self.flip_tta,
-                center_hints=hints)
+                nms_radius_px=nms_radius_px, center_hints=hints)
             sel_joints, sel_scores = tj, ts
             if pad_mask is not None:
                 ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
@@ -733,7 +738,8 @@ class PoseEstimator:
                                      temporal_hints: bool = True,
                                      allow_empty: bool = False,
                                      track_birth_cost: float = 0.05,
-                                     track_death_frames: int = 0
+                                     track_death_frames: int = 0,
+                                     nms_radius_px: float = 96.0
                                      ) -> MultiPersonVideoResult:
         """Multi-person video, ONE device program: per-frame hypothesis
         decode (estimate_2d_multi) → in-graph GLOBAL track association
@@ -769,7 +775,7 @@ class PoseEstimator:
         key = ("video_multi", max_people, min_person_score,
                person_score_frac, dup_px, self.fit_restarts,
                temporal_hints, allow_empty, track_birth_cost,
-               track_death_frames)
+               track_death_frames, nms_radius_px)
         if key not in self._fit_multistart:
             self._fit_multistart[key] = jax.jit(functools.partial(
                 self._estimate_and_fit_video_multi_impl,
@@ -780,7 +786,8 @@ class PoseEstimator:
                 temporal_hints=temporal_hints,
                 allow_empty=allow_empty,
                 birth_cost=track_birth_cost,
-                death_frames=track_death_frames))
+                death_frames=track_death_frames,
+                nms_radius_px=nms_radius_px))
         return self._fit_multistart[key](
             self._params_for_batch(frames.shape[0]), self.smpl_model,
             frames)

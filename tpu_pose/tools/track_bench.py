@@ -49,6 +49,9 @@ flags.DEFINE_float("birth_cost", 0.05, "track birth cost (appearance-"
                    "MSE units)")
 flags.DEFINE_float("min_person_score", 0.05, "absolute person-evidence "
                    "floor")
+flags.DEFINE_float("nms_radius", 96.0, "NMS suppression radius px for "
+                   "the person-peak proposals (crowded k=3 scenes sit "
+                   "near the 96 px default)")
 flags.DEFINE_boolean("stream", False, "run enterleave through "
                      "MultiPersonVideoSession windows (chunk=10) instead "
                      "of one program — exercises the birth/death carry")
@@ -183,7 +186,8 @@ def main(argv):
         "frames": FLAGS.frames, "restarts": FLAGS.restarts,
         "temporal_hints": FLAGS.temporal_hints,
         "death_frames": FLAGS.death_frames,
-        "birth_cost": FLAGS.birth_cost}}
+        "birth_cost": FLAGS.birth_cost,
+        "nms_radius": FLAGS.nms_radius}}
     modes = [m.strip() for m in FLAGS.mode.split(",") if m.strip()]
 
     for mode in modes:
@@ -198,7 +202,8 @@ def main(argv):
                     jnp.asarray(vh["images"]), max_people=k,
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
-                    track_birth_cost=FLAGS.birth_cost)
+                    track_birth_cost=FLAGS.birth_cost,
+                    nms_radius_px=FLAGS.nms_radius)
                 profiling.sync(res.theta)
                 m = _match_metrics(res, vh["centers"],
                                    vh["gt_joints3d"], metrics)
