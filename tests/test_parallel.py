@@ -275,6 +275,51 @@ def test_masked_supervision_loss():
     np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-5)
 
 
+def test_stage1_union_supervision_loss():
+    """stage1_heatmaps semantics: equal to the shared targets ≡ the
+    baseline loss; corrupting the NON-stage-1 portion of the shared
+    targets moves the loss while the stage-1 term follows its own maps;
+    the train step picks heatmaps_stage1 out of the batch and the DP
+    sharded step matches single-device."""
+    cfg = SMALL_CPM
+    key = jax.random.PRNGKey(6)
+    params, opt_state, opt = cpm_train.init_train_state(key, cfg, lr=1e-3)
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(8, 64, 64, 3), jnp.float32) - 0.5
+    cmaps = jnp.asarray(rng.rand(8, 64, 64, 1), jnp.float32)
+    hm = jnp.asarray(rng.rand(8, 8, 8, 15), jnp.float32)
+    base = cpm_train.stage_supervision_loss(params, images, cmaps, hm,
+                                            cfg)
+    same = cpm_train.stage_supervision_loss(params, images, cmaps, hm,
+                                            cfg, stage1_heatmaps=hm)
+    np.testing.assert_allclose(float(base), float(same), rtol=1e-6)
+
+    hm_u = hm + 0.3 * jnp.asarray(rng.rand(8, 8, 8, 15), jnp.float32)
+    split = cpm_train.stage_supervision_loss(params, images, cmaps, hm,
+                                             cfg, stage1_heatmaps=hm_u)
+    assert abs(float(split) - float(base)) > 1e-6
+    # Reconstruct by hand: stage 1 against hm_u, the rest against hm.
+    beliefs = __import__("tpu_pose.models.cpm",
+                         fromlist=["cpm"]).cpm_forward(
+        params, images, cmaps, cfg)
+    want = (float(jnp.mean((beliefs[0] - hm_u) ** 2))
+            + sum(float(jnp.mean((b - hm) ** 2)) for b in beliefs[1:])
+            ) / len(beliefs)
+    np.testing.assert_allclose(float(split), want, rtol=1e-5)
+
+    batch = {"images": images, "center_maps": cmaps, "heatmaps": hm,
+             "heatmaps_stage1": hm_u}
+    step1 = cpm_train.make_train_step(cfg, opt)
+    _, _, loss1 = step1(params, opt_state, batch)
+    np.testing.assert_allclose(float(loss1), float(split), rtol=1e-5)
+    mesh = mesh_lib.make_mesh()
+    stepN = cpm_train.make_train_step(cfg, opt, mesh=mesh)
+    _, _, lossN = stepN(mesh_lib.replicate(params, mesh),
+                        mesh_lib.replicate(opt_state, mesh),
+                        mesh_lib.shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(loss1), float(lossN), rtol=1e-5)
+
+
 def test_painted_batches_from_adapter_shards(tmp_path):
     """tools/train_cpm._painted_batches: convert_dataset-schema shards →
     train batches with painted targets, center maps, joint masks, flip

@@ -233,3 +233,110 @@ def test_enterleave_presence_semantics(model):
                 d = np.linalg.norm(
                     el["joints2d"][i, q].mean(0) - el["centers"][i, q])
                 assert d < 24.0
+
+def test_union_stage1_targets(model):
+    """union_stage1 adds stage-1 UNION heatmaps: identical to the
+    target-only maps on distractor-free frames, pointwise ≥ them on
+    joint channels everywhere, with the extra mass concentrated at the
+    distractor — and everything else bit-identical to the same call
+    without the flag."""
+    d = sh.make_hard_examples(model, 8, CFG, seed=2, occlusion_prob=0.0,
+                              distractor_prob=0.7)
+    u = sh.make_hard_examples(model, 8, CFG, seed=2, occlusion_prob=0.0,
+                              distractor_prob=0.7, union_stage1=True)
+    for k in d:
+        np.testing.assert_array_equal(d[k], u[k])
+    hs1 = u["heatmaps_stage1"]
+    assert hs1.shape == u["heatmaps"].shape
+    has = u["has_distractor"]
+    for i in range(8):
+        if has[i]:
+            # Joint channels only gain mass; background only loses.
+            assert (hs1[i, ..., :-1] >= u["heatmaps"][i, ..., :-1]
+                    - 1e-6).all()
+            assert (hs1[i, ..., -1] <= u["heatmaps"][i, ..., -1]
+                    + 1e-6).all()
+            extra = (hs1[i, ..., :-1] - u["heatmaps"][i, ..., :-1]).max(-1)
+            yx = np.unravel_index(np.argmax(extra), extra.shape)
+            peak_px = np.array([yx[1], yx[0]], np.float32) * CFG.stride
+            # The strongest extra mass sits on the distractor's body
+            # (within its ~scale·size/2 extent of its center).
+            dist = np.linalg.norm(peak_px - u["distractor_centers"][i])
+            assert extra.max() > 0.5
+            assert dist < 0.75 * CFG.input_size
+        else:
+            np.testing.assert_array_equal(hs1[i], u["heatmaps"][i])
+    # Background channel stays the 1 − max convention.
+    np.testing.assert_allclose(
+        hs1[..., -1], 1.0 - hs1[..., :-1].max(-1), atol=1e-6)
+
+
+def test_union_stage1_flip_mirrors_distractor_mass(model):
+    """With flip_prob=1 every frame mirrors; the union map's EXTRA mass
+    (distractor) must mirror with it — catching a painter that flips
+    the target but paints the distractor unmirrored."""
+    # flip_prob must be >0 in BOTH calls so the per-frame flip draw is
+    # consumed and the rng streams stay aligned; 1e-12 never triggers.
+    u0 = sh.make_hard_examples(model, 6, CFG, seed=5, occlusion_prob=0.0,
+                               distractor_prob=1.0, union_stage1=True,
+                               flip_prob=1e-12)
+    u1 = sh.make_hard_examples(model, 6, CFG, seed=5, occlusion_prob=0.0,
+                               distractor_prob=1.0, union_stage1=True,
+                               flip_prob=1.0)
+    size = CFG.input_size
+    for i in range(6):
+        # distractor_centers mirror exactly.
+        np.testing.assert_allclose(
+            u1["distractor_centers"][i, 0],
+            size - 1.0 - u0["distractor_centers"][i, 0], atol=1e-5)
+        np.testing.assert_allclose(u1["distractor_centers"][i, 1],
+                                   u0["distractor_centers"][i, 1])
+        e0 = (u0["heatmaps_stage1"][i, ..., :-1]
+              - u0["heatmaps"][i, ..., :-1]).max(-1)
+        e1 = (u1["heatmaps_stage1"][i, ..., :-1]
+              - u1["heatmaps"][i, ..., :-1]).max(-1)
+        # Compare the extra-mass CENTER OF MASS (argmax is brittle: the
+        # mirrored grid is offset by (size−1) mod stride, so ties
+        # between joints resolve differently). Cell-corner convention:
+        # pixel = col·stride.
+        ys, xs = np.mgrid[0:e0.shape[0], 0:e0.shape[1]]
+        com = lambda e: (np.sum(e * xs) / e.sum() * CFG.stride,  # noqa: E731
+                         np.sum(e * ys) / e.sum() * CFG.stride)
+        cx0, cy0 = com(e0)
+        cx1, cy1 = com(e1)
+        assert abs(cx1 - (size - 1.0 - cx0)) <= CFG.stride
+        assert abs(cy1 - cy0) <= CFG.stride
+
+
+def test_max_distractors_two(model):
+    """max_distractors=2 samples 1..2 bodies per triggered frame from
+    the same independent stream; target GT stays bit-identical and the
+    2-distractor frames differ from the 1-distractor set's pixels."""
+    base = sh.make_hard_examples(model, 10, CFG, seed=2,
+                                 occlusion_prob=0.0)
+    d1 = sh.make_hard_examples(model, 10, CFG, seed=2,
+                               occlusion_prob=0.0, distractor_prob=0.9)
+    d2 = sh.make_hard_examples(model, 10, CFG, seed=2,
+                               occlusion_prob=0.0, distractor_prob=0.9,
+                               max_distractors=2)
+    for k in ("joints2d", "centers", "scales", "heatmaps"):
+        np.testing.assert_array_equal(base[k], d2[k])
+    nd = d2["num_distractors"]
+    assert set(np.unique(nd[nd > 0])) <= {1, 2}
+    assert (nd == 2).any()                        # ~0.45 of 10 frames
+    assert (nd == 1).any()
+    # num_distractors consistent with has_distractor within the set.
+    np.testing.assert_array_equal(nd > 0, d2["has_distractor"] > 0)
+    # (The nd draw consumes rng_d, so the TRIGGER pattern is allowed to
+    # differ from the max_distractors=1 set — only max_distractors=1
+    # preserves bit-identity with it; d1 is here for that contract:)
+    assert d1["num_distractors"].max() == 1
+
+
+def test_train_batches_union_schema(model):
+    b = next(iter(sh.hard_train_batches(
+        model, 4, 1, CFG, seed=0, raw_images=True, distractor_prob=1.0,
+        union_stage1=True, max_distractors=2)))
+    assert b["heatmaps_stage1"].shape == b["heatmaps"].shape
+    assert (b["heatmaps_stage1"][..., :-1]
+            >= b["heatmaps"][..., :-1] - 1e-6).all()

@@ -669,8 +669,22 @@ class PoseEstimator:
             # IS track i by construction (center_hints fixes slot
             # identity), so no re-association is needed. 2× CPM cost,
             # same contract; measured −33% tracked center error.
+            # Hint-smoothing weights: score × the pre-hint presence
+            # call (score-ordered dedupe). A coasting track whose
+            # decode DUPLICATES another person carries a high score —
+            # weighting by score alone glues its smoothed trajectory
+            # to the wrong person (measured on the enter/leave
+            # benchmark: 59/260 under-counted frames, concentrated
+            # after the entrance, because the stale hint re-decoded
+            # the established person every frame and dedupe killed the
+            # slot). Zero-weighting duplicate/absent frames lets the
+            # trajectory bridge to wherever the track's REAL
+            # observations resume — entrances and crossings alike.
+            w_hint = cpm_lib.select_people(
+                ts, min_person_score, person_score_frac, joints=tj,
+                dup_px=dup_px, allow_empty=True, order_by_score=True)
             hints = tracking.smooth_track_centers(
-                tj.mean(-2), jnp.maximum(ts, 0.0))
+                tj.mean(-2), jnp.maximum(ts, 0.0) * w_hint)
             _, tj, tc, ts = cpm_lib.estimate_2d_multi(
                 cpm_params, frames, cfg=self.cpm_cfg,
                 max_people=max_people, letterbox=self.letterbox,
@@ -680,10 +694,15 @@ class PoseEstimator:
             if pad_mask is not None:
                 ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
                 sel_scores = ts
+        # With temporal_hints the selection runs on TRACK-ordered slots
+        # (hinted pass), so the dedupe must be score-ordered — see
+        # select_people(order_by_score=...). Without hints it runs on
+        # the NMS order (already score-sorted) and gathers after.
         fmask = cpm_lib.select_people(sel_scores, min_person_score,
                                       person_score_frac,
                                       joints=sel_joints, dup_px=dup_px,
-                                      allow_empty=allow_empty)
+                                      allow_empty=allow_empty,
+                                      order_by_score=temporal_hints)
         if not temporal_hints:
             fmask = tracking.gather_tracks(fmask, perm)     # (T, k)
         if pad_mask is not None:

@@ -216,7 +216,9 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
                        beta: np.ndarray | None = None,
                        flip_prob: float = 0.0,
                        truncation: float = 0.0,
-                       distractor_prob: float = 0.0
+                       distractor_prob: float = 0.0,
+                       max_distractors: int = 1,
+                       union_stage1: bool = False
                        ) -> Dict[str, np.ndarray]:
     """n hard frames. Returns the data/synthetic.py example schema PLUS:
     ``centers`` (n, 2) person center px, ``scales`` (n,) person scale as
@@ -253,7 +255,28 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     bit-identical to the distractor_prob=0 set (clean A/B) and prior
     eval sets are unchanged. Extra returns when enabled:
     ``has_distractor`` (n,) 0/1 and ``distractor_centers`` (n, 2)
-    (NaN rows where absent)."""
+    (NaN rows where absent).
+
+    ``max_distractors``: with ``max_distractors > 1`` a triggered frame
+    renders 1..max_distractors non-target bodies (count from the same
+    rng_d stream), so k≥3-person scenes exist in the training
+    distribution (round-4 k=3 crowd evidence). ``max_distractors=1``
+    keeps the rng_d call order of the original single-distractor sets
+    bit-identical.
+
+    ``union_stage1``: also return ``heatmaps_stage1`` — belief targets
+    whose joint channels are the UNION (pointwise max) over the target
+    AND every rendered distractor. Round-4 measured rationale: person
+    proposals come from STAGE-1 evidence (`cpm.person_evidence`), and
+    stage 1 has no center-map input, so supervising it with target-only
+    heatmaps on distractor frames trains it to suppress people it
+    cannot possibly distinguish — the 9600-step selector recipe
+    measurably degraded 3-person proposals (k3 id-acc 0.60 → 0.48)
+    while 2-person crossing improved. Union stage-1 targets restore the
+    Caffe-CPM split: stage 1 detects EVERYONE (it sees only the image),
+    the center-hinted refinement stages select the target
+    (target-only supervision, unchanged). Wire via
+    ``cpm_train.stage_supervision_loss(stage1_heatmaps=...)``."""
     rng = np.random.RandomState(seed)
     if theta is None:
         theta, beta = synthetic.sample_poses(rng, n)
@@ -268,18 +291,26 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
 
     rng_d = np.random.RandomState(seed * 31 + 555777)
     has_distractor = np.zeros((n,), np.float32)
+    num_distractors = np.zeros((n,), np.int64)
     distractor_centers = np.full((n, 2), np.nan, np.float32)
+    d_sets = []
     if distractor_prob > 0.0:
-        theta_d, beta_d = synthetic.sample_poses(rng_d, n)
-        j3d_d = synthetic._smpl_joints_np(model, theta_d, beta_d)
-        verts_d = np.asarray(jax.jit(smpl_lib.smpl_forward_batch)(
-            model, beta_d, theta_d).vertices)
+        # One pose set per distractor slot, all sampled up front so the
+        # per-frame rng_d sequence is position-independent (and, at
+        # max_distractors=1, bit-identical to the original sets).
+        for _ in range(max(1, max_distractors)):
+            theta_d, beta_d = synthetic.sample_poses(rng_d, n)
+            j3d_d = synthetic._smpl_joints_np(model, theta_d, beta_d)
+            verts_d = np.asarray(jax.jit(smpl_lib.smpl_forward_batch)(
+                model, beta_d, theta_d).vertices)
+            d_sets.append((j3d_d, verts_d))
 
     size = cfg.input_size
     cache = _BodyCache(model)
     images = np.zeros((n, size, size, 3), np.uint8)
     heatmaps = np.zeros((n, size // cfg.stride, size // cfg.stride,
                          cfg.num_joints + 1), np.float32)
+    heatmaps_s1 = (np.zeros_like(heatmaps) if union_stage1 else None)
     joints2d = np.zeros((n, 14, 2), np.float32)
     centers = np.zeros((n, 2), np.float32)
     scales = np.zeros((n,), np.float32)
@@ -297,31 +328,44 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
 
         img = random_background(rng, size, clutter=clutter)
 
-        # Distractor person (independent rng stream — see docstring).
-        d_render = None
+        # Distractor people (independent rng stream — see docstring).
+        d_renders = []
+        d_px = []
         if distractor_prob > 0.0 and rng_d.rand() < distractor_prob:
-            j14_d = j3d_d[i][joints_lib.CPM_TO_SMPL]
-            c3d_d = j14_d.mean(0)
-            ext_d = np.abs(j14_d - c3d_d).max()
-            sf_d = rng_d.uniform(*scale_range)
-            scale_px_d = sf_d * (size / 2.0) / max(ext_d, 1e-3)
-            # Place away from the target: ≥ 0.55 × the summed extents
-            # apart (partial overlap allowed — that's the hard case the
-            # selector must survive); fall back to the farthest of the
-            # candidates when the frame is too crowded to satisfy it.
-            min_sep = 0.55 * (s_frac + sf_d) * (size / 2.0)
-            cands = rng_d.uniform(0.08 * size, 0.92 * size, (20, 2))
-            dists = np.linalg.norm(cands - center_px[None], axis=1)
-            ok = np.nonzero(dists >= min_sep)[0]
-            c_d = (cands[ok[0]] if len(ok)
-                   else cands[np.argmax(dists)]).astype(np.float32)
-            in_front = rng_d.rand() < 0.5
-            d_render = (verts_d[i], j3d_d[i], c3d_d, scale_px_d, c_d,
-                        in_front)
+            nd = (1 if max_distractors <= 1
+                  else int(rng_d.randint(1, max_distractors + 1)))
+            placed = [(center_px, s_frac)]
+            for di in range(nd):
+                j3d_d, verts_d = d_sets[di]
+                j14_d = j3d_d[i][joints_lib.CPM_TO_SMPL]
+                c3d_d = j14_d.mean(0)
+                ext_d = np.abs(j14_d - c3d_d).max()
+                sf_d = rng_d.uniform(*scale_range)
+                scale_px_d = sf_d * (size / 2.0) / max(ext_d, 1e-3)
+                # Place away from the target AND earlier distractors:
+                # ≥ 0.55 × the summed extents apart (partial overlap
+                # allowed — that's the hard case the selector must
+                # survive); fall back to the least-crowded candidate
+                # when the frame can't satisfy it.
+                cands = rng_d.uniform(0.08 * size, 0.92 * size, (20, 2))
+                margin = np.min(np.stack([
+                    np.linalg.norm(cands - pc[None], axis=1)
+                    - 0.55 * (ps + sf_d) * (size / 2.0)
+                    for pc, ps in placed]), axis=0)
+                ok = np.nonzero(margin >= 0.0)[0]
+                c_d = (cands[ok[0]] if len(ok)
+                       else cands[np.argmax(margin)]).astype(np.float32)
+                in_front = rng_d.rand() < 0.5
+                d_renders.append((verts_d[i], j3d_d[i], c3d_d, scale_px_d,
+                                  c_d, in_front))
+                d_px.append((j14_d - c3d_d)[:, :2] * scale_px_d + c_d)
+                placed.append((c_d, sf_d))
             has_distractor[i] = 1.0
-            distractor_centers[i] = c_d
-            if not in_front:                        # behind the target
-                render_person(img, rng_d, cache, *d_render[:5])
+            num_distractors[i] = nd
+            distractor_centers[i] = d_renders[0][4]
+            for dr in d_renders:
+                if not dr[5]:                       # behind the target
+                    render_person(img, rng_d, cache, *dr[:5])
 
         render_person(img, rng, cache, verts[i], j3d[i], c3d, scale_px,
                       center_px)
@@ -329,11 +373,14 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
         px = (j3d14[i] - c3d)[:, :2] * scale_px + center_px
         visibility[i, ((px < 0.0) | (px > size - 1.0)).any(axis=1)] = 0.0
 
-        if d_render is not None and d_render[5]:    # distractor in front
-            d_mask = render_person(img, rng_d, cache, *d_render[:5])
-            xi = np.clip(np.round(px[:, 0]), 0, size - 1).astype(np.int64)
-            yi = np.clip(np.round(px[:, 1]), 0, size - 1).astype(np.int64)
-            visibility[i, d_mask[yi, xi]] = 0.0     # covered → occluded
+        for dr in d_renders:
+            if dr[5]:                               # distractor in front
+                d_mask = render_person(img, rng_d, cache, *dr[:5])
+                xi = np.clip(np.round(px[:, 0]), 0,
+                             size - 1).astype(np.int64)
+                yi = np.clip(np.round(px[:, 1]), 0,
+                             size - 1).astype(np.int64)
+                visibility[i, d_mask[yi, xi]] = 0.0  # covered → occluded
 
         if rng.rand() < occlusion_prob:
             extent_px = s_frac * (size / 2.0)
@@ -351,6 +398,9 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
             if has_distractor[i]:
                 distractor_centers[i, 0] = (size - 1.0
                                             - distractor_centers[i, 0])
+                d_px = [p[joints_lib.CPM_FLIP_PERM] for p in d_px]
+                for p in d_px:
+                    p[:, 0] = size - 1.0 - p[:, 0]
 
         images[i] = (img * 255).astype(np.uint8)
         joints2d[i] = px
@@ -358,6 +408,15 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
         scales[i] = s_frac
         heatmaps[i] = synthetic.gaussian_heatmaps(px, size, cfg.stride,
                                                   heatmap_sigma)
+        if union_stage1:
+            hm_u = heatmaps[i].copy()
+            for p in d_px:
+                hm_d = synthetic.gaussian_heatmaps(p, size, cfg.stride,
+                                                   heatmap_sigma)
+                hm_u[..., :-1] = np.maximum(hm_u[..., :-1],
+                                            hm_d[..., :-1])
+            hm_u[..., -1] = 1.0 - hm_u[..., :-1].max(-1)
+            heatmaps_s1[i] = hm_u
     out = {
         "images": images, "heatmaps": heatmaps, "joints2d": joints2d,
         "gt_joints3d": j3d.astype(np.float32),
@@ -366,7 +425,10 @@ def make_hard_examples(model, n: int, cfg: CPMConfig = CPMConfig(),
     }
     if distractor_prob > 0.0:
         out["has_distractor"] = has_distractor
+        out["num_distractors"] = num_distractors
         out["distractor_centers"] = distractor_centers
+    if union_stage1:
+        out["heatmaps_stage1"] = heatmaps_s1
     return out
 
 
@@ -541,7 +603,9 @@ def hard_train_batches(model, batch_size: int, num_batches: int,
                        scale_range: Tuple[float, float] = (0.45, 0.95),
                        occlusion_prob: float = 0.4,
                        flip_prob: float = 0.5,
-                       distractor_prob: float = 0.0
+                       distractor_prob: float = 0.0,
+                       max_distractors: int = 1,
+                       union_stage1: bool = False
                        ) -> Iterator[Dict[str, np.ndarray]]:
     """Training batches on the hard set (schema of
     synthetic.cpm_train_batches). Center maps paint at each frame's GT
@@ -553,7 +617,11 @@ def hard_train_batches(model, batch_size: int, num_batches: int,
     fraction of frames with the targets still selecting ONLY the
     centered person (see make_hard_examples) — the training signal that
     teaches the center map to be a person SELECTOR, the Caffe-CPM
-    convention (VERDICT r3 next #1)."""
+    convention (VERDICT r3 next #1). ``max_distractors`` > 1 samples
+    1..N distractors per triggered frame (k≥3 training scenes);
+    ``union_stage1`` adds ``heatmaps_stage1`` union targets for the
+    hint-less stage 1 (see make_hard_examples — feed to
+    ``stage_supervision_loss(stage1_heatmaps=...)``)."""
     from tpu_pose.ops import preprocess as pre
     for b in range(num_batches):
         ex = make_hard_examples(model, batch_size, cfg,
@@ -561,17 +629,22 @@ def hard_train_batches(model, batch_size: int, num_batches: int,
                                 scale_range=scale_range,
                                 occlusion_prob=occlusion_prob,
                                 flip_prob=flip_prob,
-                                distractor_prob=distractor_prob)
+                                distractor_prob=distractor_prob,
+                                max_distractors=max_distractors,
+                                union_stage1=union_stage1)
         cmaps = np.stack([
             np.asarray(pre.gaussian_center_map(
                 cfg.input_size, cfg.center_sigma, center=c))
             for c in ex["centers"]])
-        yield {
+        batch = {
             "images": (ex["images"] if raw_images
                        else ex["images"].astype(np.float32) / 256.0 - 0.5),
             "center_maps": cmaps.astype(np.float32),
             "heatmaps": ex["heatmaps"],
         }
+        if union_stage1:
+            batch["heatmaps_stage1"] = ex["heatmaps_stage1"]
+        yield batch
 
 
 def hard_eval_batches(model, batch_size: int, num_batches: int,

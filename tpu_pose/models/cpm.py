@@ -804,7 +804,8 @@ def select_people(scores: jnp.ndarray, min_score: float = 0.05,
                   score_frac: float = 0.4,
                   joints: jnp.ndarray | None = None,
                   dup_px: float = 30.0,
-                  allow_empty: bool = False) -> jnp.ndarray:
+                  allow_empty: bool = False,
+                  order_by_score: bool = False) -> jnp.ndarray:
     """Person-count selection from hypothesis scores (ROADMAP #4's
     remaining piece: fixed ``max_people`` slots, variable TRUE count).
 
@@ -839,7 +840,24 @@ def select_people(scores: jnp.ndarray, min_score: float = 0.05,
     Static shapes: returns a (B, k) bool mask, not a ragged result —
     downstream consumers mask, they don't reshape (the jit-stable TPU
     idiom for dynamic counts).
+
+    ``order_by_score``: the greedy dedupe keeps the LOWER-indexed of a
+    duplicate pair, which is the stronger one only when hypotheses
+    arrive score-sorted (true for the NMS proposal order). TRACK-ordered
+    inputs (the video paths gather to track slots) are not sorted, so a
+    coasting duplicate in a low slot could kill the real person in a
+    high slot; with this flag the dedupe runs in per-frame descending
+    score order and the mask scatters back to the input slots.
     """
+    if order_by_score:
+        ordr = jnp.argsort(-scores, axis=-1)
+        inv = jnp.argsort(ordr, axis=-1)
+        s_s = jnp.take_along_axis(scores, ordr, -1)
+        j_s = (None if joints is None else
+               jnp.take_along_axis(joints, ordr[..., None, None], -3))
+        m = select_people(s_s, min_score, score_frac, j_s, dup_px,
+                          allow_empty)
+        return jnp.take_along_axis(m, inv, -1)
     is_top = scores >= jnp.max(scores, axis=-1, keepdims=True)
     keep = ((scores >= min_score)
             & (scores >= score_frac * jnp.max(scores, axis=-1,

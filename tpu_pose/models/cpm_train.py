@@ -31,7 +31,8 @@ from tpu_pose.utils.config import CPMConfig
 
 def stage_supervision_loss(params, images, center_maps, target_heatmaps,
                            cfg: CPMConfig,
-                           joint_mask=None) -> jnp.ndarray:
+                           joint_mask=None,
+                           stage1_heatmaps=None) -> jnp.ndarray:
     """Σ_stages ‖b_t − b*‖² (mean over batch/pixels) — every stage gets the
     same ground-truth belief maps, per the CPM paper.
 
@@ -43,13 +44,27 @@ def stage_supervision_loss(params, images, center_maps, target_heatmaps,
     partially-annotated real datasets (MPII labels a subset of joints
     per person; an unlabeled joint's zero target map would otherwise
     actively train the channel to predict absence). All-ones ≡ the
-    unmasked loss."""
+    unmasked loss.
+
+    ``stage1_heatmaps``: optional separate targets for stage 1 ONLY.
+    Stage 1 has no center-map input, so on multi-person frames it
+    cannot select the target; supervising it with target-only maps
+    trains it to suppress people it cannot distinguish, which degrades
+    the stage-1 person-evidence proposals every multi-person path rests
+    on (measured round 4: k=3 id-acc 0.60 → 0.48 as selector training
+    scaled). Pass the UNION maps
+    (synthetic_hard.hard_train_batches(union_stage1=True)) so stage 1
+    detects everyone while the hinted refinement stages stay
+    target-only — the Caffe-CPM detector/selector split."""
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 256.0 - 0.5
     beliefs = cpm_lib.cpm_forward(params, images, center_maps, cfg)
     loss = 0.0
-    for b in beliefs:
-        err = (b - target_heatmaps) ** 2
+    for si, b in enumerate(beliefs):
+        tgt = (stage1_heatmaps
+               if si == 0 and stage1_heatmaps is not None
+               else target_heatmaps)
+        err = (b - tgt) ** 2
         if joint_mask is None:
             loss = loss + jnp.mean(err)
         else:
@@ -103,7 +118,8 @@ def make_train_step(cfg: CPMConfig, optimizer: optax.GradientTransformation,
         return stage_supervision_loss(
             params, batch["images"], batch["center_maps"],
             batch["heatmaps"], cfg,
-            joint_mask=batch.get("joint_mask"))
+            joint_mask=batch.get("joint_mask"),
+            stage1_heatmaps=batch.get("heatmaps_stage1"))
 
     def local_step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)

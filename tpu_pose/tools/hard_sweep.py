@@ -9,11 +9,13 @@ refine_center+flip_tta 2D visible-joint error + PA-MPJPE), saving each
 config's weights so downstream benchmarks (track_bench) can A/B them.
 
 Grid syntax: ``--grid
-name:steps:pool_batches:distractor_prob[:share_trunk[:features]]``
-(comma-separated), e.g.::
+name:steps:pool_batches:distractor_prob[:share_trunk[:features[:union[:max_d]]]]``
+(comma-separated; ``union`` 0/1 switches stage-1 supervision to the
+UNION heatmaps — see cpm_train.stage_supervision_loss; ``max_d``
+samples 1..N distractors per triggered frame), e.g.::
 
   python scripts/hard_sweep.py --out /tmp/hard_sweep \\
-      --grid r3:2400:32:0.0,dis:2400:32:0.35,s4800:4800:32:0.35
+      --grid r3:2400:32:0.0,dis:2400:32:0.35,u2:9600:64:0.35:0:0:1:2
 
 Every config trains from the SAME init (seed 1) on pools drawn with the
 SAME seeds, so rows differ only in the axis under study. Training is
@@ -68,7 +70,9 @@ def main(argv):
             "pool": int(parts[2]), "distractor": float(parts[3]),
             "share_trunk": bool(int(parts[4])) if len(parts) > 4
             else False,
-            "features": int(parts[5]) if len(parts) > 5 else 0})
+            "features": int(parts[5]) if len(parts) > 5 else 0,
+            "union": bool(int(parts[6])) if len(parts) > 6 else False,
+            "max_d": int(parts[7]) if len(parts) > 7 else 1})
 
     model = smpl_data.synthetic_smpl(seed=0)
     prior = priors_lib.synthetic_gmm_prior(0)
@@ -105,7 +109,7 @@ def main(argv):
                 **({"features": c["features"],
                     "refine_width": c["features"]}
                    if c["features"] else {}))
-        pool_key = (c["pool"], c["distractor"])
+        pool_key = (c["pool"], c["distractor"], c["union"], c["max_d"])
         if pool_key not in pools:
             log(f"generating pool {pool_key} "
                 f"({c['pool']}×{FLAGS.train_batch} frames)...")
@@ -114,7 +118,9 @@ def main(argv):
             for b in sh.hard_train_batches(
                     model, FLAGS.train_batch, c["pool"], base_cfg,
                     seed=0, raw_images=True,
-                    distractor_prob=c["distractor"]):
+                    distractor_prob=c["distractor"],
+                    max_distractors=c["max_d"],
+                    union_stage1=c["union"]):
                 pool.append(jax.tree.map(
                     lambda x: jax.device_put(jnp.asarray(x)), b))
             del cmap_dev

@@ -38,6 +38,13 @@ flags.DEFINE_float("hard_distractor_prob", 0.35, "fraction of hard "
                    "training frames that render a second, non-target "
                    "body (the center-map-as-person-SELECTOR training "
                    "signal; 0 reproduces the round-3 recipe)")
+flags.DEFINE_integer("hard_max_distractors", 1, "1..N distractors per "
+                     "triggered frame (N>1 puts k≥3-person scenes in "
+                     "the training distribution)")
+flags.DEFINE_boolean("hard_union_stage1", False, "supervise stage 1 "
+                     "with the UNION heatmaps on distractor frames "
+                     "(detector/selector split — see "
+                     "cpm_train.stage_supervision_loss)")
 flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
 
 
@@ -260,7 +267,9 @@ def main(argv):
         for b in sh.hard_train_batches(
                 model, FLAGS.train_batch, FLAGS.hard_pool, cfg, seed=0,
                 raw_images=True,
-                distractor_prob=FLAGS.hard_distractor_prob):
+                distractor_prob=FLAGS.hard_distractor_prob,
+                max_distractors=FLAGS.hard_max_distractors,
+                union_stage1=FLAGS.hard_union_stage1):
             pool_h.append(jax.tree.map(
                 lambda x: jax.device_put(jnp.asarray(x)), b))
         params_h, opt_state_h, opt_h = cpm_train.init_train_state(
