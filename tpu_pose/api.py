@@ -616,9 +616,11 @@ class PoseEstimator:
                                            track_state=None,
                                            anchors=None,
                                            temporal_hints: bool = True,
+                                           hint_passes: int = 1,
                                            allow_empty: bool = False,
                                            birth_cost: float = 0.05,
                                            death_frames: int = 0,
+                                           anchor_refresh: float = 0.0,
                                            nms_radius_px: float = 96.0,
                                            return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
@@ -654,10 +656,18 @@ class PoseEstimator:
         perm, new_state = tracking.associate_tracks_viterbi(
             geom, app, assoc_scores, score_gate=min_person_score,
             birth_cost=birth_cost, death_frames=death_frames,
+            anchor_refresh=anchor_refresh,
             init_state=track_state, return_state=True)
         tj = tracking.gather_tracks(joints, perm)
         tc = tracking.gather_tracks(conf, perm)
         ts = tracking.gather_tracks(scores, perm)
+        if pad_mask is not None:
+            # Pad frames must carry NO weight anywhere downstream —
+            # in particular the hint-smoothing weights below are
+            # computed from ts, and an unmasked zero-image decode can
+            # score above the absolute floor and drag a track's
+            # smoothed trajectory toward garbage (VERDICT r4 weak #5).
+            ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
         sel_joints, sel_scores = joints, scores
         if temporal_hints:
             # Second decode pass with TEMPORAL center hints: around a
@@ -680,20 +690,41 @@ class PoseEstimator:
             # slot). Zero-weighting duplicate/absent frames lets the
             # trajectory bridge to wherever the track's REAL
             # observations resume — entrances and crossings alike.
-            w_hint = cpm_lib.select_people(
-                ts, min_person_score, person_score_frac, joints=tj,
-                dup_px=dup_px, allow_empty=True, order_by_score=True)
-            hints = tracking.smooth_track_centers(
-                tj.mean(-2), jnp.maximum(ts, 0.0) * w_hint)
-            _, tj, tc, ts = cpm_lib.estimate_2d_multi(
-                cpm_params, frames, cfg=self.cpm_cfg,
-                max_people=max_people, letterbox=self.letterbox,
-                refine_scale=self.refine_scale, flip_tta=self.flip_tta,
-                nms_radius_px=nms_radius_px, center_hints=hints)
+            # ``hint_passes`` > 1 iterates smooth→re-decode (round 5,
+            # VERDICT r4 next #5): after pass 1 the mid-crossing frames
+            # mostly decode ON-person, so the next smoothing round sees
+            # cleaner observations and its hints tighten further. Each
+            # pass costs one more CPM forward. Slots stay track-ordered
+            # from the first hinted pass onward.
+            for _ in range(max(int(hint_passes), 1)):
+                w_hint = cpm_lib.select_people(
+                    ts, min_person_score, person_score_frac, joints=tj,
+                    dup_px=dup_px, allow_empty=True, order_by_score=True)
+                ctr = tj.mean(-2)                         # (T, k, 2)
+                w_s = jnp.maximum(ts, 0.0) * w_hint       # (T, k)
+                if pad_mask is not None:
+                    # smooth_track_centers floors every frame's weight
+                    # at 1e-3 of a vote (its NaN guard), so a zero
+                    # weight alone does not make a pad frame inert —
+                    # its RAW center still tugs the trajectory. Replace
+                    # pad-frame observations with the track's weighted
+                    # mean of REAL frames so the floor tie is
+                    # pad-content-invariant.
+                    wsum = jnp.sum(w_s, 0)                # (k,)
+                    mean_ctr = (jnp.sum(ctr * w_s[..., None], 0)
+                                / (wsum[:, None] + 1e-8))  # (k, 2)
+                    ctr = jnp.where(pad_mask[:, None, None] > 0, ctr,
+                                    mean_ctr[None])
+                hints = tracking.smooth_track_centers(ctr, w_s)
+                _, tj, tc, ts = cpm_lib.estimate_2d_multi(
+                    cpm_params, frames, cfg=self.cpm_cfg,
+                    max_people=max_people, letterbox=self.letterbox,
+                    refine_scale=self.refine_scale,
+                    flip_tta=self.flip_tta,
+                    nms_radius_px=nms_radius_px, center_hints=hints)
+                if pad_mask is not None:
+                    ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
             sel_joints, sel_scores = tj, ts
-            if pad_mask is not None:
-                ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
-                sel_scores = ts
         # With temporal_hints the selection runs on TRACK-ordered slots
         # (hinted pass), so the dedupe must be score-ordered — see
         # select_people(order_by_score=...). Without hints it runs on
@@ -762,9 +793,11 @@ class PoseEstimator:
                                      person_score_frac: float = 0.4,
                                      dup_px: float = 30.0,
                                      temporal_hints: bool = True,
+                                     hint_passes: int = 1,
                                      allow_empty: bool = False,
                                      track_birth_cost: float = 0.05,
                                      track_death_frames: int = 0,
+                                     track_anchor_refresh: float = 0.0,
                                      nms_radius_px: float = 96.0
                                      ) -> MultiPersonVideoResult:
         """Multi-person video, ONE device program: per-frame hypothesis
@@ -793,6 +826,13 @@ class PoseEstimator:
         round-3 behavior). ``allow_empty`` lets frames report zero
         people (person-free stretches) instead of always keeping the
         top hypothesis.
+
+        Round 5: ``hint_passes`` iterates the smooth→re-decode hint
+        loop (each extra pass costs one CPM forward; pass N smooths the
+        cleaner pass-N−1 decodes), and ``track_anchor_refresh`` > 0
+        EMA-refreshes each track's re-ID anchor toward confidently
+        same-person observations (gated at ``track_birth_cost``
+        appearance-MSE — see tracking.associate_tracks_viterbi).
         Memory scales with T·max_people (all hypotheses refine per
         frame); for very long sequences run in windows and stitch on
         track features."""
@@ -803,9 +843,11 @@ class PoseEstimator:
             max_people=max_people, min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
             restarts=max(self.fit_restarts, 1),
-            temporal_hints=temporal_hints, allow_empty=allow_empty,
+            temporal_hints=temporal_hints, hint_passes=hint_passes,
+            allow_empty=allow_empty,
             birth_cost=track_birth_cost,
             death_frames=track_death_frames,
+            anchor_refresh=track_anchor_refresh,
             nms_radius_px=nms_radius_px)
         return fn(self._params_for_batch(frames.shape[0]),
                   self.smpl_model, frames)
@@ -817,9 +859,12 @@ class PoseEstimator:
                                             person_score_frac: float = 0.4,
                                             dup_px: float = 30.0,
                                             temporal_hints: bool = True,
+                                            hint_passes: int = 1,
                                             allow_empty: bool = False,
                                             track_birth_cost: float = 0.05,
-                                            track_death_frames: int = 0
+                                            track_death_frames: int = 0,
+                                            track_anchor_refresh:
+                                            float = 0.0
                                             ) -> MultiPersonVideoResult:
         """Arbitrary-length multi-person video with bounded memory:
         fixed-``chunk`` windows through the fused tracked pipeline, the
@@ -841,16 +886,20 @@ class PoseEstimator:
                 frames, max_people=max_people,
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
-                temporal_hints=temporal_hints, allow_empty=allow_empty,
+                temporal_hints=temporal_hints, hint_passes=hint_passes,
+                allow_empty=allow_empty,
                 track_birth_cost=track_birth_cost,
-                track_death_frames=track_death_frames)
+                track_death_frames=track_death_frames,
+                track_anchor_refresh=track_anchor_refresh)
         sess = MultiPersonVideoSession(
             self, max_people=max_people, chunk=chunk,
             min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
-            temporal_hints=temporal_hints, allow_empty=allow_empty,
+            temporal_hints=temporal_hints, hint_passes=hint_passes,
+            allow_empty=allow_empty,
             track_birth_cost=track_birth_cost,
-            track_death_frames=track_death_frames)
+            track_death_frames=track_death_frames,
+            track_anchor_refresh=track_anchor_refresh)
         outs = [r for r in (sess.push(frames), sess.flush())
                 if r is not None]
         return _concat_video_multi(outs)
@@ -859,9 +908,11 @@ class PoseEstimator:
                                 min_person_score: float,
                                 person_score_frac: float, dup_px: float,
                                 chunk: int, temporal_hints: bool = True,
+                                hint_passes: int = 1,
                                 allow_empty: bool = False,
                                 track_birth_cost: float = 0.05,
-                                track_death_frames: int = 0):
+                                track_death_frames: int = 0,
+                                track_anchor_refresh: float = 0.0):
         """Jitted (first-window, anchored-window) fused programs for the
         tracked streaming path, cached per config tuple."""
         base = dict(max_people=max_people,
@@ -869,9 +920,11 @@ class PoseEstimator:
                     person_score_frac=person_score_frac, dup_px=dup_px,
                     restarts=max(self.fit_restarts, 1),
                     temporal_hints=temporal_hints,
+                    hint_passes=hint_passes,
                     allow_empty=allow_empty,
                     birth_cost=track_birth_cost,
                     death_frames=track_death_frames,
+                    anchor_refresh=track_anchor_refresh,
                     return_carry=True)
         return (self._program("video_multi_stream_first",
                               self._estimate_and_fit_video_multi_impl,
@@ -974,17 +1027,20 @@ class MultiPersonVideoSession:
                  chunk: int = 64, min_person_score: float = 0.05,
                  person_score_frac: float = 0.4, dup_px: float = 30.0,
                  temporal_hints: bool = True,
+                 hint_passes: int = 1,
                  allow_empty: bool = False,
                  track_birth_cost: float = 0.05,
-                 track_death_frames: int = 0):
+                 track_death_frames: int = 0,
+                 track_anchor_refresh: float = 0.0):
         estimator._warn_multi_ignores_scale_tta()
         self._est = estimator
         self.chunk = int(chunk)
         self._first_fn, self._anchored_fn = (
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
-                self.chunk, temporal_hints, allow_empty,
-                track_birth_cost, track_death_frames))
+                self.chunk, temporal_hints, hint_passes, allow_empty,
+                track_birth_cost, track_death_frames,
+                track_anchor_refresh))
         self._params = estimator._params_for_batch(self.chunk)
         self._buf: list = []
         self._buffered = 0

@@ -250,6 +250,16 @@ def fit_video_smooth(
 
     if anchor is not None and shared_beta:
         beta0 = anchor["beta"]           # one body across ALL chunks
+    elif shared_beta and frame_mask is not None:
+        # Masked mean: pad frames' per-frame β hypotheses depend on pad
+        # CONTENT, and averaging them into the shared-β init leaks pads
+        # into every real frame's fit (caught by the pad-invariance
+        # test). An all-masked track (api substitutes an all-ones mask
+        # before calling) never reaches here with sum(mask)=0, but the
+        # epsilon keeps it safe anyway.
+        w = frame_mask.astype(base.beta.dtype)
+        beta0 = ((base.beta * w[:, None]).sum(0)
+                 / (w.sum() + 1e-8))
     else:
         beta0 = base.beta.mean(0) if shared_beta else base.beta
     params = {"theta": base.theta, "beta": beta0, "cam": base.cam}

@@ -274,6 +274,7 @@ def associate_tracks_viterbi(geom_seq: jnp.ndarray,
                              gate_frac: float = 0.75,
                              birth_cost: float = 0.05,
                              death_frames: int = 0,
+                             anchor_refresh: float = 0.0,
                              init_state=None,
                              return_state: bool = False):
     """Globally-optimal identity assignment: Viterbi DP over the k!
@@ -323,6 +324,18 @@ def associate_tracks_viterbi(geom_seq: jnp.ndarray,
         DP state carries the anchor set of its best predecessor — the
         standard survivor-path approximation, exact whenever the
         anchor history is unambiguous.
+      anchor_refresh: > 0 enables GATED anchor refresh (round 5,
+        VERDICT r4 next #5): an anchored track whose live observation
+        sits WITHIN ``birth_cost`` appearance-MSE of its anchor (i.e.
+        confidently the same person — measured same-person MSE is
+        0.003–0.02 vs cross-person 0.05–0.3) EMA-refreshes the anchor
+        toward that observation at this rate. Mid-crossing garbage
+        decodes sit far outside the gate and cannot pollute the anchor
+        (the failure mode that sank the greedy EMA filter), while slow
+        appearance drift (lighting, pose-dependent shading) no longer
+        strands the re-ID anchor at the birth frame. Riding the
+        survivor paths like the anchors themselves. 0 (default) =
+        frozen birth anchors, the round-4 behavior.
       death_frames: > 0 enables track DEATH: a track whose assigned
         slot has been non-live for this many consecutive frames
         releases its anchor — the slot is free for a new person to
@@ -451,6 +464,19 @@ def associate_tracks_viterbi(geom_seq: jnp.ndarray,
             anch_p = anch_p * (1.0 - dead)
             mis_new = mis_new * (1.0 - dead)
         newly = (lp > 0) & (anch_p <= 0)
+        if anchor_refresh > 0.0:
+            # Gated EMA refresh of ESTABLISHED anchors: only when the
+            # live observation is within birth_cost appearance-MSE of
+            # the anchor (confidently the same person), so crossing
+            # garbage stays outside the gate. Runs before the birth
+            # substitution — a newly-claimed slot takes the raw
+            # observation as its anchor regardless.
+            d2u = jnp.mean((ap_ - anc_p) ** 2, -1)           # (P, k)
+            g_upd = (anchor_refresh
+                     * ((lp > 0) & (anch_p > 0)
+                        & (d2u < birth_cost)).astype(jnp.float32))
+            anc_p = (anc_p * (1.0 - g_upd[..., None])
+                     + ap_ * g_upd[..., None])
         anc_new = jnp.where(newly[..., None], ap_, anc_p)
         anch_new = jnp.maximum(anch_p, newly.astype(jnp.float32))
         # Previous-frame features advance only on live slots, so a pad

@@ -14,6 +14,9 @@ Scenarios (``--mode``):
   across rounds.
 - ``k3``        — THREE people, every pair crossing (num_people=3):
   the crowd evidence (3! = 6 assignment candidates per frame).
+- ``k4``        — FOUR people, every pair crossing (num_people=4):
+  4! = 24 assignment candidates per frame — still trivial against the
+  documented k ≤ 5 static-enumeration ceiling (fitting/tracking.py).
 - ``enterleave``— three identities in a 2-slot world: B exits
   permanently, C enters later (make_hard_enterleave_video); measures
   track birth/death (``--death_frames``), presence-count accuracy, and
@@ -37,12 +40,16 @@ from absl import app, flags
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("weights", "", "trained CPM weights npz (REQUIRED)")
-flags.DEFINE_string("mode", "crossing", "comma list: crossing,k3,"
+flags.DEFINE_string("mode", "crossing", "comma list: crossing,k3,k4,"
                     "enterleave")
 flags.DEFINE_integer("seeds", 10, "videos per scenario")
 flags.DEFINE_integer("frames", 26, "frames per video")
 flags.DEFINE_integer("restarts", 2, "fit yaw hypotheses")
 flags.DEFINE_boolean("temporal_hints", True, "hinted second decode")
+flags.DEFINE_integer("hint_passes", 1, "smooth→re-decode hint rounds "
+                     "(each extra pass costs one CPM forward)")
+flags.DEFINE_float("anchor_refresh", 0.0, "gated re-ID anchor EMA rate "
+                   "(0 = frozen birth anchors)")
 flags.DEFINE_integer("death_frames", 8, "track death (enterleave mode; "
                      "0 disables)")
 flags.DEFINE_float("birth_cost", 0.05, "track birth cost (appearance-"
@@ -185,6 +192,8 @@ def main(argv):
         "weights": FLAGS.weights, "seeds": FLAGS.seeds,
         "frames": FLAGS.frames, "restarts": FLAGS.restarts,
         "temporal_hints": FLAGS.temporal_hints,
+        "hint_passes": FLAGS.hint_passes,
+        "anchor_refresh": FLAGS.anchor_refresh,
         "death_frames": FLAGS.death_frames,
         "birth_cost": FLAGS.birth_cost,
         "nms_radius": FLAGS.nms_radius}}
@@ -193,8 +202,8 @@ def main(argv):
     for mode in modes:
         per_seed = []
         for seed in range(FLAGS.seeds):
-            if mode == "crossing" or mode == "k3":
-                k = 3 if mode == "k3" else 2
+            if mode in ("crossing", "k3", "k4"):
+                k = {"crossing": 2, "k3": 3, "k4": 4}[mode]
                 vh = sh.make_hard_multi_video(
                     model, FLAGS.frames, cfg, seed=seed, crossing=True,
                     num_people=k)
@@ -202,7 +211,9 @@ def main(argv):
                     jnp.asarray(vh["images"]), max_people=k,
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
+                    hint_passes=FLAGS.hint_passes,
                     track_birth_cost=FLAGS.birth_cost,
+                    track_anchor_refresh=FLAGS.anchor_refresh,
                     nms_radius_px=FLAGS.nms_radius)
                 profiling.sync(res.theta)
                 m = _match_metrics(res, vh["centers"],
@@ -214,9 +225,11 @@ def main(argv):
                     max_people=2,
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
+                    hint_passes=FLAGS.hint_passes,
                     allow_empty=False,
                     track_birth_cost=FLAGS.birth_cost,
-                    track_death_frames=FLAGS.death_frames)
+                    track_death_frames=FLAGS.death_frames,
+                    track_anchor_refresh=FLAGS.anchor_refresh)
                 if FLAGS.stream:
                     sess = MultiPersonVideoSession(est, chunk=10,
                                                    **kwargs)
