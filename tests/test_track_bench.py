@@ -74,6 +74,29 @@ def test_match_metrics_k3_label_invariance():
                                rtol=1e-5)
 
 
+def test_match_metrics_slack_track_unscored():
+    """n_tracks > n_gt (slack proposal slot): the injection σ must pick
+    the 3 tracks that follow GT and ignore the spare; metrics equal the
+    square case run on just the matching tracks."""
+    res, gc, gj = _video(k=3)
+    t = res.joints2d.shape[0]
+    rng = np.random.RandomState(5)
+    spare_j = rng.uniform(300, 360, (t, 1, 14, 2)).astype(np.float32)
+    res4 = _Res(np.concatenate([res.joints2d[:, :2], spare_j,
+                                res.joints2d[:, 2:]], 1),
+                np.concatenate([res.joints3d[:2],
+                                rng.rand(1, t, 24, 3).astype(np.float32),
+                                res.joints3d[2:]], 0),
+                np.ones((t, 4), bool))
+    m3 = tb._match_metrics(res, gc, gj, _Metrics)
+    m4 = tb._match_metrics(res4, gc, gj, _Metrics)
+    assert m4["id_acc"] == m3["id_acc"] == 1.0
+    np.testing.assert_allclose(m4["center_err_px"], m3["center_err_px"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m4["pa_mpjpe_mm"], m3["pa_mpjpe_mm"],
+                               rtol=1e-5)
+
+
 def test_enterleave_metrics_perfect_and_miscount():
     t = 12
     present = np.zeros((t, 3), np.float32)
@@ -100,8 +123,15 @@ def test_enterleave_metrics_perfect_and_miscount():
     assert m["count_acc"] == 1.0
     assert m["ab_c_distinct_tracks"] is True
     assert m["c_track_reuses_b_slot"] is True
+    assert m["count_over"] == m["count_under"] == 0.0
+    assert m["count_err_transition"] == m["count_err_steady"] == 0.0
     # Presence miscalls hit count_acc but not the exclusive matching.
     res_bad = _Res(tj, None, np.ones((t, 2), bool))
     m2 = tb._enterleave_metrics(res_bad, el)
     assert m2["id_acc"] == 1.0
     assert m2["count_acc"] < 1.0
+    # n_gt = 2,2,2,2,2,2,1,1,2,2,2,2 → all-ones fmask overcounts exactly
+    # frames 6–7, both within the ±1 transition windows (5→6 and 7→8).
+    assert m2["count_over"] == 2 / t and m2["count_under"] == 0.0
+    assert m2["count_err_transition"] == 2 / t
+    assert m2["count_err_steady"] == 0.0

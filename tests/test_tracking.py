@@ -654,3 +654,92 @@ def test_viterbi_anchor_refresh_tracks_appearance_drift():
     anchors = np.asarray(state[4])
     assert np.isfinite(anchors).all()
     assert (anchors >= -0.05).all() and (anchors <= 1.05).all()
+
+
+def test_compose_perms_matches_sequential_gather():
+    """gather(x, compose(p1, p2)) == gather(gather(x, p1), p2) for
+    random per-frame permutations — the law the api's re-association
+    pass (track_reassociate) relies on to keep the returned perm
+    mapping final tracks to original NMS slots."""
+    rng = np.random.RandomState(3)
+    t, k = 7, 4
+    p1 = jnp.asarray(np.stack([rng.permutation(k) for _ in range(t)]))
+    p2 = jnp.asarray(np.stack([rng.permutation(k) for _ in range(t)]))
+    x = jnp.asarray(rng.rand(t, k, 5).astype(np.float32))
+    seq = tracking.gather_tracks(tracking.gather_tracks(x, p1), p2)
+    one = tracking.gather_tracks(x, tracking.compose_perms(p1, p2))
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(one))
+
+
+def test_video_multi_reassociate_executes_and_perm_valid():
+    """track_reassociate threads through the public tracked-video entry:
+    runs, returns a VALID per-frame permutation (the composed perm must
+    still be a bijection onto the NMS slots), finite output, and a
+    distinct cached program from the non-reassociated one."""
+    est = PoseEstimator.create_synthetic(seed=0, cpm_cfg=SMALL,
+                                         fit_cfg=SMALL_FIT)
+    frames = jnp.asarray(np.random.RandomState(21).randint(
+        0, 255, (5, 64, 64, 3)), jnp.uint8)
+    r = est.estimate_and_fit_video_multi(
+        frames, max_people=3, track_reassociate=True,
+        track_anchor_refresh=0.3)
+    assert np.isfinite(np.asarray(r.theta)).all()
+    perm = np.asarray(r.perm)
+    assert perm.shape == (5, 3)
+    for row in perm:
+        assert sorted(row.tolist()) == [0, 1, 2], row
+    keys = [k_ for k_ in est._programs if k_[0] == "video_multi"]
+    assert any(dict(kk[2:]).get("reassociate") for kk in keys)
+
+
+def test_presence_hysteresis_semantics():
+    """The latch law: present[t] = strong[t] | (present[t-1] & weak[t]).
+    A strong birth latches through weak-only frames, one weak-failing
+    frame resets the latch (no coasting), and init seeds frame 0 —
+    the carry contract the streamed path relies on."""
+    strong = jnp.asarray([[1, 0, 0, 0, 0, 1, 0],
+                          [0, 0, 0, 0, 0, 0, 0]], bool).T   # (7, 2)
+    weak = jnp.asarray([[1, 1, 1, 0, 1, 1, 1],
+                        [1, 1, 0, 1, 1, 1, 1]], bool).T
+    out = np.asarray(tracking.presence_hysteresis(
+        strong, weak, jnp.asarray([False, True])))
+    # Track 0: birth at 0, held by weak 1-2, dropped at 3 (weak fails),
+    # NOT resurrected at 4 (weak alone cannot birth), reborn at 5.
+    np.testing.assert_array_equal(out[:, 0],
+                                  [1, 1, 1, 0, 0, 1, 1])
+    # Track 1: init=True carries through weak frames 0-1, dies at 2.
+    np.testing.assert_array_equal(out[:, 1],
+                                  [1, 1, 0, 0, 0, 0, 0])
+
+
+def test_video_multi_presence_keep_frac_stream_and_monotone():
+    """presence_keep_frac < 1 through the public paths: the session
+    must reproduce the windowed one-shot call exactly (the hysteresis
+    carry — last presence row riding the anchor dict — flows through
+    push/flush), and on a fixed program the hysteresis can only ADD
+    presence relative to the strong gate (same decodes, latch on top).
+    One-shot vs windowed are NOT compared: windowed fits/hints differ
+    by design (anchored windows), as for every other knob."""
+    from tpu_pose.api import MultiPersonVideoSession
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False)
+    frames = np.random.RandomState(11).randint(
+        0, 255, (7, 64, 64, 3)).astype(np.uint8)
+    kw = dict(max_people=2, presence_keep_frac=0.5, allow_empty=True)
+    streamed = est.estimate_and_fit_video_multi_stream(
+        jnp.asarray(frames), chunk=3, **kw)
+    sess = MultiPersonVideoSession(est, chunk=3, **kw)
+    outs = [r for r in (sess.push(frames), sess.flush())
+            if r is not None]
+    fm = np.concatenate([np.asarray(o.frame_mask) for o in outs], 0)
+    th = np.concatenate([np.asarray(o.theta) for o in outs], 1)
+    np.testing.assert_array_equal(fm, np.asarray(streamed.frame_mask))
+    np.testing.assert_allclose(th, np.asarray(streamed.theta),
+                               atol=1e-6)
+    # Monotonicity on the ONE-SHOT program (identical decodes).
+    one = est.estimate_and_fit_video_multi(jnp.asarray(frames), **kw)
+    base = est.estimate_and_fit_video_multi(
+        jnp.asarray(frames), max_people=2, allow_empty=True)
+    fm_h = np.asarray(one.frame_mask)
+    fm_b = np.asarray(base.frame_mask)
+    assert (fm_h | fm_b).tolist() == fm_h.tolist()

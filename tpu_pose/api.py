@@ -617,13 +617,23 @@ class PoseEstimator:
                                            anchors=None,
                                            temporal_hints: bool = True,
                                            hint_passes: int = 1,
+                                           reassociate: bool = False,
                                            allow_empty: bool = False,
                                            birth_cost: float = 0.05,
                                            death_frames: int = 0,
                                            anchor_refresh: float = 0.0,
                                            nms_radius_px: float = 96.0,
+                                           presence_keep_frac:
+                                           float = 1.0,
                                            return_carry: bool = False):
         from tpu_pose.fitting import temporal, tracking
+        prev_presence = None
+        if anchors is not None and "presence" in anchors:
+            # Presence hysteresis carry rides the anchor dict but must
+            # not reach the vmapped fit (fit_video_smooth knows only
+            # theta/beta/cam) — split it off before the fit below.
+            anchors = dict(anchors)
+            prev_presence = anchors.pop("presence")
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, frames, cfg=self.cpm_cfg, max_people=max_people,
             letterbox=self.letterbox, refine_scale=self.refine_scale,
@@ -725,6 +735,34 @@ class PoseEstimator:
                 if pad_mask is not None:
                     ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
             sel_joints, sel_scores = tj, ts
+            if reassociate:
+                # Second association pass over the HINTED decodes
+                # (round 5): the first Viterbi only ever saw the noisy
+                # pass-1 NMS proposals — through a k≥3 multi-person
+                # pile-up those are garbage/duplicates for ~8+ frames,
+                # and a mistake there becomes a PERMANENT post-crossing
+                # swap that the hinted passes faithfully preserve
+                # (slots stay track-ordered). Re-running the DP on the
+                # hinted joints' appearance/geometry — strictly cleaner
+                # observations — lets the anchors re-claim their people
+                # after the pile-up. Association cost is negligible
+                # next to one CPM forward. Seeded by the SAME carried
+                # window state; the NEXT window chains on this pass's
+                # carry (same feature space both ways).
+                app2 = tracking.appearance_features(xnet, tj)
+                geom2 = tj.reshape(t, k, -1) / size
+                perm2, new_state = tracking.associate_tracks_viterbi(
+                    geom2, app2, ts, score_gate=min_person_score,
+                    birth_cost=birth_cost, death_frames=death_frames,
+                    anchor_refresh=anchor_refresh,
+                    init_state=track_state, return_state=True)
+                tj = tracking.gather_tracks(tj, perm2)
+                tc = tracking.gather_tracks(tc, perm2)
+                ts = tracking.gather_tracks(ts, perm2)
+                # Final track j = hinted slot perm2[t,j] = first-pass
+                # track perm2[t,j] = NMS slot perm[t, perm2[t,j]].
+                perm = tracking.compose_perms(perm, perm2)
+                sel_joints, sel_scores = tj, ts
         # With temporal_hints the selection runs on TRACK-ordered slots
         # (hinted pass), so the dedupe must be score-ordered — see
         # select_people(order_by_score=...). Without hints it runs on
@@ -738,6 +776,33 @@ class PoseEstimator:
             fmask = tracking.gather_tracks(fmask, perm)     # (T, k)
         if pad_mask is not None:
             fmask = fmask & (pad_mask[:, None] > 0)
+        if presence_keep_frac < 1.0:
+            # Presence HYSTERESIS (round 5): the strong gate above
+            # decides per frame independently, so a track whose score
+            # dips for a few frames (partial occlusion, edge entry)
+            # flickers absent — measured on the enter/leave benchmark
+            # as the dominant count error (under-count 0.196 vs
+            # over-count 0.123, death_frames-insensitive). A track
+            # already present stays present while it clears the WEAK
+            # gate (both thresholds scaled by ``presence_keep_frac``);
+            # births still require the strong gate, so raising the
+            # birth floor against ghosts no longer costs keep-alive.
+            # Dedupe runs in the weak gate too — a coasting slot that
+            # duplicates another person is still killed, not coasted.
+            # The scan is CAUSAL so the streamed path stays bit-equal
+            # to the one-shot run: the carry is the last presence row.
+            weak = cpm_lib.select_people(
+                sel_scores, min_person_score * presence_keep_frac,
+                person_score_frac * presence_keep_frac,
+                joints=sel_joints, dup_px=dup_px, allow_empty=True,
+                order_by_score=temporal_hints)
+            if not temporal_hints:
+                weak = tracking.gather_tracks(weak, perm)
+            if pad_mask is not None:
+                weak = weak & (pad_mask[:, None] > 0)
+            init = (prev_presence if prev_presence is not None
+                    else jnp.zeros((k,), bool))
+            fmask = tracking.presence_hysteresis(fmask, weak, init)
         track_mask = jnp.mean(fmask.astype(jnp.float32), axis=0) >= 0.5
 
         # Per-track whole-sequence smooth fit (temporal.fit_video_smooth
@@ -785,6 +850,8 @@ class PoseEstimator:
         # index -1 is a real frame whenever the carry is consumed.
         new_anchors = {"theta": res.theta[:, -1], "beta": res.beta[:, -1],
                        "cam": res.cam[:, -1]}
+        if presence_keep_frac < 1.0:
+            new_anchors["presence"] = fmask[-1]
         return result, new_state, new_anchors
 
     def estimate_and_fit_video_multi(self, frames: jnp.ndarray,
@@ -794,10 +861,12 @@ class PoseEstimator:
                                      dup_px: float = 30.0,
                                      temporal_hints: bool = True,
                                      hint_passes: int = 1,
+                                     track_reassociate: bool = False,
                                      allow_empty: bool = False,
                                      track_birth_cost: float = 0.05,
                                      track_death_frames: int = 0,
                                      track_anchor_refresh: float = 0.0,
+                                     presence_keep_frac: float = 1.0,
                                      nms_radius_px: float = 96.0
                                      ) -> MultiPersonVideoResult:
         """Multi-person video, ONE device program: per-frame hypothesis
@@ -829,13 +898,21 @@ class PoseEstimator:
 
         Round 5: ``hint_passes`` iterates the smooth→re-decode hint
         loop (each extra pass costs one CPM forward; pass N smooths the
-        cleaner pass-N−1 decodes), and ``track_anchor_refresh`` > 0
+        cleaner pass-N−1 decodes), ``track_anchor_refresh`` > 0
         EMA-refreshes each track's re-ID anchor toward confidently
         same-person observations (gated at ``track_birth_cost``
-        appearance-MSE — see tracking.associate_tracks_viterbi).
-        Memory scales with T·max_people (all hypotheses refine per
-        frame); for very long sequences run in windows and stitch on
-        track features."""
+        appearance-MSE — see tracking.associate_tracks_viterbi), and
+        ``track_reassociate`` re-runs the Viterbi assignment on the
+        final HINTED decodes (the first pass only ever sees the noisy
+        NMS proposals; through a k≥3 pile-up a mistake there becomes a
+        permanent swap) — near-free, needs ``temporal_hints``.
+        ``presence_keep_frac`` < 1 adds presence HYSTERESIS: a track
+        already present stays present while it clears the thresholds
+        scaled by this fraction (births still pay the full gate) —
+        targets presence flicker from score dips, the measured dominant
+        enter/leave count error. Memory scales with T·max_people (all
+        hypotheses refine per frame); for very long sequences run in
+        windows and stitch on track features."""
         _check_frames(frames, "frames")
         self._warn_multi_ignores_scale_tta()
         fn = self._program(
@@ -844,10 +921,12 @@ class PoseEstimator:
             person_score_frac=person_score_frac, dup_px=dup_px,
             restarts=max(self.fit_restarts, 1),
             temporal_hints=temporal_hints, hint_passes=hint_passes,
+            reassociate=track_reassociate and temporal_hints,
             allow_empty=allow_empty,
             birth_cost=track_birth_cost,
             death_frames=track_death_frames,
             anchor_refresh=track_anchor_refresh,
+            presence_keep_frac=presence_keep_frac,
             nms_radius_px=nms_radius_px)
         return fn(self._params_for_batch(frames.shape[0]),
                   self.smpl_model, frames)
@@ -860,11 +939,15 @@ class PoseEstimator:
                                             dup_px: float = 30.0,
                                             temporal_hints: bool = True,
                                             hint_passes: int = 1,
+                                            track_reassociate:
+                                            bool = False,
                                             allow_empty: bool = False,
                                             track_birth_cost: float = 0.05,
                                             track_death_frames: int = 0,
                                             track_anchor_refresh:
-                                            float = 0.0
+                                            float = 0.0,
+                                            presence_keep_frac:
+                                            float = 1.0
                                             ) -> MultiPersonVideoResult:
         """Arbitrary-length multi-person video with bounded memory:
         fixed-``chunk`` windows through the fused tracked pipeline, the
@@ -887,19 +970,23 @@ class PoseEstimator:
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 temporal_hints=temporal_hints, hint_passes=hint_passes,
+                track_reassociate=track_reassociate,
                 allow_empty=allow_empty,
                 track_birth_cost=track_birth_cost,
                 track_death_frames=track_death_frames,
-                track_anchor_refresh=track_anchor_refresh)
+                track_anchor_refresh=track_anchor_refresh,
+                presence_keep_frac=presence_keep_frac)
         sess = MultiPersonVideoSession(
             self, max_people=max_people, chunk=chunk,
             min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
             temporal_hints=temporal_hints, hint_passes=hint_passes,
+            track_reassociate=track_reassociate,
             allow_empty=allow_empty,
             track_birth_cost=track_birth_cost,
             track_death_frames=track_death_frames,
-            track_anchor_refresh=track_anchor_refresh)
+            track_anchor_refresh=track_anchor_refresh,
+            presence_keep_frac=presence_keep_frac)
         outs = [r for r in (sess.push(frames), sess.flush())
                 if r is not None]
         return _concat_video_multi(outs)
@@ -909,9 +996,11 @@ class PoseEstimator:
                                 person_score_frac: float, dup_px: float,
                                 chunk: int, temporal_hints: bool = True,
                                 hint_passes: int = 1,
+                                track_reassociate: bool = False,
                                 allow_empty: bool = False,
                                 track_birth_cost: float = 0.05,
                                 track_death_frames: int = 0,
+                                presence_keep_frac: float = 1.0,
                                 track_anchor_refresh: float = 0.0):
         """Jitted (first-window, anchored-window) fused programs for the
         tracked streaming path, cached per config tuple."""
@@ -921,10 +1010,12 @@ class PoseEstimator:
                     restarts=max(self.fit_restarts, 1),
                     temporal_hints=temporal_hints,
                     hint_passes=hint_passes,
+                    reassociate=track_reassociate and temporal_hints,
                     allow_empty=allow_empty,
                     birth_cost=track_birth_cost,
                     death_frames=track_death_frames,
                     anchor_refresh=track_anchor_refresh,
+                    presence_keep_frac=presence_keep_frac,
                     return_carry=True)
         return (self._program("video_multi_stream_first",
                               self._estimate_and_fit_video_multi_impl,
@@ -1028,19 +1119,23 @@ class MultiPersonVideoSession:
                  person_score_frac: float = 0.4, dup_px: float = 30.0,
                  temporal_hints: bool = True,
                  hint_passes: int = 1,
+                 track_reassociate: bool = False,
                  allow_empty: bool = False,
                  track_birth_cost: float = 0.05,
                  track_death_frames: int = 0,
-                 track_anchor_refresh: float = 0.0):
+                 track_anchor_refresh: float = 0.0,
+                 presence_keep_frac: float = 1.0):
         estimator._warn_multi_ignores_scale_tta()
         self._est = estimator
         self.chunk = int(chunk)
         self._first_fn, self._anchored_fn = (
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
-                self.chunk, temporal_hints, hint_passes, allow_empty,
+                self.chunk, temporal_hints, hint_passes,
+                track_reassociate, allow_empty,
                 track_birth_cost, track_death_frames,
-                track_anchor_refresh))
+                presence_keep_frac=presence_keep_frac,
+                track_anchor_refresh=track_anchor_refresh))
         self._params = estimator._params_for_batch(self.chunk)
         self._buf: list = []
         self._buffered = 0

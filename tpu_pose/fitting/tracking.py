@@ -200,6 +200,35 @@ def gather_tracks(x_seq: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda x, p: x[p])(x_seq, perm)
 
 
+def compose_perms(first: jnp.ndarray, second: jnp.ndarray) -> jnp.ndarray:
+    """Compose two per-frame slot permutations (T, k): applying the
+    result with :func:`gather_tracks` equals applying ``first`` then
+    ``second`` — gather(x, compose(p1, p2)) == gather(gather(x, p1), p2).
+    Used by the api's re-association pass (track_reassociate): ``first``
+    maps tracks→NMS slots, ``second`` maps final tracks→hinted slots
+    (= first-pass tracks), so the composition maps final tracks→NMS
+    slots and MultiPersonVideoResult.perm keeps its contract."""
+    return jnp.take_along_axis(first, second, axis=1)
+
+
+def presence_hysteresis(strong: jnp.ndarray, weak: jnp.ndarray,
+                        init: jnp.ndarray) -> jnp.ndarray:
+    """Causal presence hysteresis over (T, k) boolean gates: a track is
+    present where the STRONG gate fires, and STAYS present while the
+    WEAK gate holds — present[t] = strong[t] | (present[t-1] & weak[t]),
+    seeded by ``init`` (k,) (the previous window's last row, so the
+    streamed path is bit-equal to the one-shot run). Targets presence
+    flicker from per-frame score dips (partial occlusion, edge entry)
+    without letting a dead track coast: the weak gate includes dedupe,
+    and absence for one weak-failing frame resets the latch."""
+    def _step(prev, sw):
+        cur = sw[0] | (prev & sw[1])
+        return cur, cur
+
+    _, out = jax.lax.scan(_step, init, (strong, weak))
+    return out
+
+
 def smooth_track_centers(centers: jnp.ndarray, weights: jnp.ndarray,
                          lam: float = 8.0, robust_sigma_px: float = 30.0,
                          robust_iters: int = 2) -> jnp.ndarray:

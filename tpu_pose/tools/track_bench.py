@@ -59,6 +59,18 @@ flags.DEFINE_float("min_person_score", 0.05, "absolute person-evidence "
 flags.DEFINE_float("nms_radius", 96.0, "NMS suppression radius px for "
                    "the person-peak proposals (crowded k=3 scenes sit "
                    "near the 96 px default)")
+flags.DEFINE_float("presence_keep_frac", 1.0, "presence hysteresis: a "
+                   "track already present stays present while it clears "
+                   "the score gates scaled by this fraction (<1 "
+                   "enables; births pay the full gate)")
+flags.DEFINE_boolean("reassociate", False, "re-run the Viterbi "
+                     "association on the final hinted decodes "
+                     "(track_reassociate; needs temporal_hints)")
+flags.DEFINE_integer("slack_slots", 0, "extra proposal/track slots "
+                     "beyond the scene's k (crossing/k3/k4 modes): "
+                     "max_people=k+slack gives the decoder headroom "
+                     "when NMS merges crowded peaks; scoring uses the "
+                     "injective σ (spare tracks unscored)")
 flags.DEFINE_boolean("stream", False, "run enterleave through "
                      "MultiPersonVideoSession windows (chunk=10) instead "
                      "of one program — exercises the birth/death carry")
@@ -74,27 +86,34 @@ def _best_perm(costs):
 def _match_metrics(res, gt_centers, gt_j3d, metrics_mod):
     """Global σ: track→identity matching over the whole sequence, then
     per-frame identity accuracy under it (a swap shows up as frames
-    preferring a different permutation), center error and per-person
-    PA-MPJPE under σ. Generalizes selfcheck §7d to any k."""
+    preferring a different assignment), center error and per-person
+    PA-MPJPE under σ. Generalizes selfcheck §7d to any k.
+
+    Round 5: supports MORE tracks than GT identities (slack proposal
+    slots, ``max_people > num_people``): σ becomes the best INJECTION
+    of GT identities into tracks (n_tracks·P·n_gt candidates); spare
+    tracks are unscored — frame_mask is expected to kill them, which
+    the enterleave/count metrics (not this one) grade. Square case is
+    bit-identical to the round-4 bijection scoring."""
     import numpy as np
-    tc = np.asarray(res.joints2d).mean(-2)           # (T, k, 2)
-    k = tc.shape[1]
-    perms = list(itertools.permutations(range(k)))
-    totals = [np.linalg.norm(tc - gt_centers[:, p], axis=-1).sum()
-              for p in perms]
-    sigma = perms[_best_perm(totals)]
-    ga = gt_centers[:, sigma]                        # (T, k, 2)
+    tc = np.asarray(res.joints2d).mean(-2)           # (T, kt, 2)
+    kt = tc.shape[1]
+    n_gt = gt_centers.shape[1]
+    injs = list(itertools.permutations(range(kt), n_gt))
+    totals = [np.linalg.norm(tc[:, list(p)] - gt_centers,
+                             axis=-1).sum() for p in injs]
+    sigma = list(injs[_best_perm(totals)])           # gt id → track
     frame_costs = np.stack(
-        [np.linalg.norm(tc - ga[:, p], axis=-1).sum(-1) for p in perms],
-        -1)                                          # (T, k!)
-    ident = perms.index(tuple(range(k)))
+        [np.linalg.norm(tc[:, list(p)] - gt_centers, axis=-1).sum(-1)
+         for p in injs], -1)                         # (T, |injs|)
+    ident = injs.index(tuple(sigma))
     id_acc = float((frame_costs.argmin(-1) == ident).mean())
-    center_err = float(np.linalg.norm(tc - ga, axis=-1).mean())
-    gj = gt_j3d[:, sigma]                            # (T, k, 24, 3)
+    center_err = float(
+        np.linalg.norm(tc[:, sigma] - gt_centers, axis=-1).mean())
     pa = float(np.mean([
-        np.mean(metrics_mod.pa_mpjpe_np(np.asarray(res.joints3d)[q],
-                                        gj[:, q]))
-        for q in range(k)])) * 1000
+        np.mean(metrics_mod.pa_mpjpe_np(
+            np.asarray(res.joints3d)[sigma[q]], gt_j3d[:, q]))
+        for q in range(n_gt)])) * 1000
     return {"id_acc": id_acc, "center_err_px": center_err,
             "pa_mpjpe_mm": pa}
 
@@ -115,7 +134,23 @@ def _enterleave_metrics(res, el):
     present = el["present"]                          # (T, 3)
     t_frames, k = fmask.shape
     n_id = present.shape[1]
-    count_acc = float((fmask.sum(-1) == present.sum(-1)).mean())
+    n_pred = fmask.sum(-1)
+    n_gt = present.sum(-1)
+    count_acc = float((n_pred == n_gt).mean())
+    # Error decomposition (round 5): over- vs under-counts, and whether
+    # each error sits within ±1 frame of a GT presence TRANSITION (the
+    # 60%-of-joints-in-frame threshold is semi-arbitrary there — the
+    # detector legitimately fires a frame early/late on a half-visible
+    # person) or in steady state (a real dup/ghost/miss).
+    err = n_pred != n_gt
+    change = np.zeros(t_frames, bool)
+    chg = np.nonzero(np.diff(n_gt) != 0)[0]
+    for c in chg:
+        change[max(c - 1, 0):min(c + 3, t_frames)] = True
+    count_over = float((n_pred > n_gt).mean())
+    count_under = float((n_pred < n_gt).mean())
+    count_err_transition = float((err & change).mean())
+    count_err_steady = float((err & ~change).mean())
     # match[t, ident] = exclusively assigned track (or -1 if absent).
     match = -np.ones((t_frames, n_id), np.int64)
     for t in range(t_frames):
@@ -149,6 +184,9 @@ def _enterleave_metrics(res, el):
     distinct = (majority.get(1, -1) != majority.get(0, -2)
                 and majority.get(2, -1) != majority.get(0, -2))
     return {"count_acc": count_acc,
+            "count_over": count_over, "count_under": count_under,
+            "count_err_transition": count_err_transition,
+            "count_err_steady": count_err_steady,
             "id_acc": id_correct / max(id_total, 1),
             "seg_consistency_min": float(min(seg_consistency)),
             "ab_c_distinct_tracks": bool(distinct),
@@ -193,6 +231,8 @@ def main(argv):
         "frames": FLAGS.frames, "restarts": FLAGS.restarts,
         "temporal_hints": FLAGS.temporal_hints,
         "hint_passes": FLAGS.hint_passes,
+        "reassociate": FLAGS.reassociate,
+        "presence_keep_frac": FLAGS.presence_keep_frac,
         "anchor_refresh": FLAGS.anchor_refresh,
         "death_frames": FLAGS.death_frames,
         "birth_cost": FLAGS.birth_cost,
@@ -208,10 +248,12 @@ def main(argv):
                     model, FLAGS.frames, cfg, seed=seed, crossing=True,
                     num_people=k)
                 res = est.estimate_and_fit_video_multi(
-                    jnp.asarray(vh["images"]), max_people=k,
+                    jnp.asarray(vh["images"]),
+                    max_people=k + FLAGS.slack_slots,
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
+                    track_reassociate=FLAGS.reassociate,
                     track_birth_cost=FLAGS.birth_cost,
                     track_anchor_refresh=FLAGS.anchor_refresh,
                     nms_radius_px=FLAGS.nms_radius)
@@ -226,6 +268,8 @@ def main(argv):
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
+                    track_reassociate=FLAGS.reassociate,
+                    presence_keep_frac=FLAGS.presence_keep_frac,
                     allow_empty=False,
                     track_birth_cost=FLAGS.birth_cost,
                     track_death_frames=FLAGS.death_frames,
