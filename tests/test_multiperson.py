@@ -338,3 +338,143 @@ def test_multi_warns_once_when_scale_tta_ignored():
         warnings.simplefilter("always")
         tpu_pose.api.MultiPersonVideoSession(est2, max_people=2, chunk=4)
     assert len([x for x in w2 if "scale_tta" in str(x.message)]) == 1
+
+
+def test_hint_crop_centers_crop_on_hint_not_decode(monkeypatch):
+    """hint_crop's entire contract is WHERE the crop window sits: the
+    crop affine must map the caller's HINT to the frame center
+    (t = S/2 − (hint + 0.5)·s — crop_affine_from_geometry's documented
+    relation), regardless of where the hypothesis decode landed.
+    Capture (s, t) from the crop pass and check the relation per
+    hypothesis; refine_scale (decode-geometry centering) must NOT
+    satisfy it on random-weight decodes."""
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jnp.asarray(
+        np.random.RandomState(3).randint(0, 255, (2, 64, 64, 3)),
+        jnp.uint8)
+    hints = jnp.asarray([[[12.0, 20.0], [50.0, 40.0]],
+                         [[30.0, 10.0], [22.0, 55.0]]])
+    captured = []
+    orig = cpm._crop_zoom
+
+    def spy(images_net, s, t, **kw):
+        captured.append((np.asarray(s), np.asarray(t)))
+        return orig(images_net, s, t, **kw)
+
+    monkeypatch.setattr(cpm, "_crop_zoom", spy)
+    cpm.estimate_2d_multi(params, imgs, SMALL, max_people=2,
+                          center_hints=hints, hint_crop=True)
+    assert len(captured) == 1
+    s, t = captured[0]
+    want_t = 32.0 - (np.asarray(hints).reshape(4, 2) + 0.5) * s[:, None]
+    np.testing.assert_allclose(t, want_t, rtol=1e-5, atol=1e-4)
+
+    captured.clear()
+    cpm.estimate_2d_multi(params, imgs, SMALL, max_people=2,
+                          center_hints=hints, refine_scale=True)
+    s2, t2 = captured[0]
+    assert not np.allclose(
+        t2, 32.0 - (np.asarray(hints).reshape(4, 2) + 0.5)
+        * s2[:, None], atol=1.0)
+
+
+def test_hint_crop_noop_without_hints_and_jits():
+    """hint_crop without center_hints must be a bit-exact no-op (no
+    crop pass), and the active path jits with finite in-frame output,
+    composing with flip_tta (mirrored hints, same slot order)."""
+    params = cpm.init_cpm_params(jax.random.PRNGKey(0), SMALL)
+    imgs = jnp.asarray(
+        np.random.RandomState(5).randint(0, 255, (2, 64, 64, 3)),
+        jnp.uint8)
+    _, j_base, _, _ = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2))(params, imgs)
+    _, j_noop, _, _ = jax.jit(lambda p, i: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, hint_crop=True))(params, imgs)
+    np.testing.assert_array_equal(np.asarray(j_base), np.asarray(j_noop))
+
+    hints = jnp.asarray([[[12.0, 20.0], [50.0, 40.0]],
+                         [[30.0, 10.0], [22.0, 55.0]]])
+    run = jax.jit(lambda p, i, h: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, center_hints=h, hint_crop=True,
+        flip_tta=True))
+    _, j_hc, c_hc, s_hc = run(params, imgs, hints)
+    assert j_hc.shape == (2, 2, 14, 2)
+    assert np.isfinite(np.asarray(j_hc)).all()
+    # The crop pass must actually change the decode vs the plain
+    # hinted pass (it re-runs the net on hint-centered crops).
+    _, j_plain, _, _ = jax.jit(lambda p, i, h: cpm.estimate_2d_multi(
+        p, i, SMALL, max_people=2, center_hints=h, flip_tta=True))(
+            params, imgs, hints)
+    assert not np.allclose(np.asarray(j_hc), np.asarray(j_plain),
+                           atol=1e-3)
+
+
+def test_video_multi_hint_crop_runs_and_streams():
+    """hint_crop through the tracked-video API: the one-shot program
+    runs with finite output, and the session/stream form accepts the
+    knob (window programs compile with the crop pass baked in)."""
+    est = PoseEstimator.create_synthetic(
+        seed=0, cpm_cfg=SMALL, fit_cfg=SMALL_FIT, with_prior=False,
+        fit_restarts=1)
+    frames = jnp.asarray(
+        np.random.RandomState(9).randint(0, 255, (4, 64, 64, 3)),
+        jnp.uint8)
+    res = est.estimate_and_fit_video_multi(frames, max_people=2,
+                                           hint_crop=True)
+    assert res.joints2d.shape == (4, 2, 14, 2)
+    assert np.isfinite(np.asarray(res.theta)).all()
+    # Differs from the uncropped hinted pipeline (same program family,
+    # different decode) — the knob reaches the hinted decode.
+    res0 = est.estimate_and_fit_video_multi(frames, max_people=2)
+    assert not np.allclose(np.asarray(res.joints2d),
+                           np.asarray(res0.joints2d), atol=1e-3)
+
+    sess = tpu_pose.api.MultiPersonVideoSession(
+        est, max_people=2, chunk=3, hint_crop=True)
+    outs = [r for r in (sess.push(frames), sess.flush())
+            if r is not None]
+    tot = sum(int(r.joints2d.shape[0]) for r in outs)
+    assert tot == 4
+
+
+def test_select_people_dup_joint_frac():
+    """Partial-overlap dedupe: a clutter-split hypothesis shares most
+    joints with the person slot but sits far in part-ALIGNED mean
+    distance (the round-5 measured failure: 49–84 px aligned, 0.64–1.0
+    joints within 30 px nearest). dup_joint_frac kills it; a genuinely
+    distinct person (zero overlap) survives; 0.0 is bit-identical to
+    the round-4 behavior."""
+    rng = np.random.RandomState(0)
+    person = rng.uniform(40, 200, (14, 2)).astype(np.float32)
+    # Split hypothesis: joints are the person's joints SHUFFLED (every
+    # joint within 0 px of SOME person joint → overlap 1.0) — but the
+    # part-aligned mean distance is large.
+    split = person[::-1].copy()
+    other = person + np.array([300.0, 0.0], np.float32)
+    joints = jnp.asarray(np.stack([
+        np.stack([person, split, other]),      # frame 0
+    ]))                                        # (1, 3, 14, 2)
+    scores = jnp.asarray([[1.0, 0.8, 0.6]])
+    aligned_d = np.linalg.norm(person - split, axis=-1).mean()
+    assert aligned_d > 30.0                    # invisible to mean dedupe
+    m_old = np.asarray(cpm.select_people(scores, 0.05, 0.4,
+                                         joints=joints, dup_px=30.0))
+    assert m_old.tolist() == [[True, True, True]]
+    m_new = np.asarray(cpm.select_people(scores, 0.05, 0.4,
+                                         joints=joints, dup_px=30.0,
+                                         dup_joint_frac=0.5))
+    assert m_new.tolist() == [[True, False, True]]
+    # 0.0 → bit-identical to the old mask on random inputs.
+    jr = jnp.asarray(rng.uniform(0, 256, (4, 3, 14, 2)).astype(np.float32))
+    sr = jnp.asarray(rng.uniform(0, 1, (4, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(cpm.select_people(sr, 0.1, 0.4, joints=jr)),
+        np.asarray(cpm.select_people(sr, 0.1, 0.4, joints=jr,
+                                     dup_joint_frac=0.0)))
+    # order_by_score path carries the knob (weaker-first slot order).
+    joints_rev = joints[:, ::-1]
+    scores_rev = scores[:, ::-1]
+    m_rev = np.asarray(cpm.select_people(
+        scores_rev, 0.05, 0.4, joints=joints_rev, dup_px=30.0,
+        dup_joint_frac=0.5, order_by_score=True))
+    assert m_rev.tolist() == [[True, False, True]]

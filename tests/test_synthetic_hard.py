@@ -340,3 +340,25 @@ def test_train_batches_union_schema(model):
     assert b["heatmaps_stage1"].shape == b["heatmaps"].shape
     assert (b["heatmaps_stage1"][..., :-1]
             >= b["heatmaps"][..., :-1] - 1e-6).all()
+
+
+def test_multi_video_x_span_controls_start_spread(model):
+    """x_span>0 overrides the horizontal start layout (fair-k4 knob);
+    0 keeps the default layout bit-identical (benchmark continuity)."""
+    v0 = sh.make_hard_multi_video(model, 4, CFG, seed=2, crossing=True,
+                                  num_people=4)
+    v0b = sh.make_hard_multi_video(model, 4, CFG, seed=2, crossing=True,
+                                   num_people=4, x_span=0.0)
+    np.testing.assert_array_equal(v0["images"], v0b["images"])
+    vw = sh.make_hard_multi_video(model, 4, CFG, seed=2, crossing=True,
+                                  num_people=4, x_span=0.8)
+    cx0 = np.sort(v0["centers"][0, :, 0])
+    cxw = np.sort(vw["centers"][0, :, 0])
+    gap0 = np.diff(cx0).min() / 128.0
+    gapw = np.diff(cxw).min() / 128.0
+    # Default adjacent spacing 0.56/3 ≈ 0.187; x_span=0.8 → 0.8/3 ≈ 0.267.
+    assert abs(gap0 - 0.56 / 3) < 0.02
+    assert abs(gapw - 0.8 / 3) < 0.02
+    # Mirror-crossing still holds under the override.
+    cx = vw["centers"][..., 0]
+    assert cx[0, 0] < cx[0, -1] and cx[-1, 0] > cx[-1, -1]

@@ -135,3 +135,16 @@ def test_enterleave_metrics_perfect_and_miscount():
     assert m2["count_over"] == 2 / t and m2["count_under"] == 0.0
     assert m2["count_err_transition"] == 2 / t
     assert m2["count_err_steady"] == 0.0
+
+
+def test_match_metrics_cover40():
+    """cover40 = fraction of frames with a full bijective 40 px
+    track→person cover of the FINAL decodes. Perfect tracks cover every
+    frame; pushing one track 60 px off its person for half the frames
+    drops exactly those frames (the other track cannot cover both)."""
+    res, gc, gj = _video(t=10)
+    assert tb._match_metrics(res, gc, gj, _Metrics)["cover40"] == 1.0
+    j2 = np.asarray(res.joints2d).copy()
+    j2[5:, 0] += np.array([60.0, 0.0])
+    res2 = _Res(j2, np.asarray(res.joints3d), res.frame_mask)
+    assert tb._match_metrics(res2, gc, gj, _Metrics)["cover40"] == 0.5

@@ -533,7 +533,8 @@ class PoseEstimator:
                                      float, person_score_frac: float,
                                      dup_px: float,
                                      allow_empty: bool = False,
-                                     nms_radius_px: float = 96.0):
+                                     nms_radius_px: float = 96.0,
+                                     dup_joint_frac: float = 0.0):
         _, joints, conf, scores = cpm_lib.estimate_2d_multi(
             cpm_params, images, cfg=self.cpm_cfg, max_people=max_people,
             letterbox=self.letterbox, refine_scale=self.refine_scale,
@@ -541,7 +542,8 @@ class PoseEstimator:
         mask = cpm_lib.select_people(scores, min_person_score,
                                      person_score_frac, joints=joints,
                                      dup_px=dup_px,
-                                     allow_empty=allow_empty)
+                                     allow_empty=allow_empty,
+                                     dup_joint_frac=dup_joint_frac)
         b, k = joints.shape[:2]
         flat = lambda t: t.reshape((b * k,) + t.shape[2:])  # noqa: E731
         # Per-hypothesis fits are FIRST-CLASS (VERDICT r2 weak #2): the
@@ -588,7 +590,8 @@ class PoseEstimator:
                                person_score_frac: float = 0.4,
                                dup_px: float = 30.0,
                                allow_empty: bool = False,
-                               nms_radius_px: float = 96.0
+                               nms_radius_px: float = 96.0,
+                               dup_joint_frac: float = 0.0
                                ) -> MultiPersonResult:
         """Multi-person fused path: stage-1 trunk once per image, NMS'd
         foreground peaks propose up to ``max_people`` centers, refinement
@@ -596,14 +599,21 @@ class PoseEstimator:
         estimate_2d_multi). All ``max_people`` slots are fitted (static
         shapes); ``person_mask`` marks which hypotheses are judged real
         people (cpm.select_people: absolute + frame-relative score
-        thresholds, top-1 always kept) and ``person_scores`` ranks them."""
+        thresholds, top-1 always kept) and ``person_scores`` ranks them.
+
+        For ``allow_empty`` serving/counting on cluttered scenes set
+        ``dup_joint_frac=0.5``: the partial-overlap dedupe that kills
+        clutter-split duplicate hypotheses the mean-distance dedupe
+        cannot see (select_people docstring; measured operating point
+        in PARITY.md "empty-frame operating point")."""
         _check_frames(images)
         self._warn_multi_ignores_scale_tta()
         fn = self._program(
             "multi", self._estimate_and_fit_multi_impl,
             max_people=max_people, min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
-            allow_empty=allow_empty, nms_radius_px=nms_radius_px)
+            allow_empty=allow_empty, nms_radius_px=nms_radius_px,
+            dup_joint_frac=dup_joint_frac)
         return fn(self._params_for_batch(images.shape[0]),
                   self.smpl_model, images)
 
@@ -617,6 +627,7 @@ class PoseEstimator:
                                            anchors=None,
                                            temporal_hints: bool = True,
                                            hint_passes: int = 1,
+                                           hint_crop: bool = False,
                                            reassociate: bool = False,
                                            allow_empty: bool = False,
                                            birth_cost: float = 0.05,
@@ -731,7 +742,8 @@ class PoseEstimator:
                     max_people=max_people, letterbox=self.letterbox,
                     refine_scale=self.refine_scale,
                     flip_tta=self.flip_tta,
-                    nms_radius_px=nms_radius_px, center_hints=hints)
+                    nms_radius_px=nms_radius_px, center_hints=hints,
+                    hint_crop=hint_crop)
                 if pad_mask is not None:
                     ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
             sel_joints, sel_scores = tj, ts
@@ -861,6 +873,7 @@ class PoseEstimator:
                                      dup_px: float = 30.0,
                                      temporal_hints: bool = True,
                                      hint_passes: int = 1,
+                                     hint_crop: bool = False,
                                      track_reassociate: bool = False,
                                      allow_empty: bool = False,
                                      track_birth_cost: float = 0.05,
@@ -910,9 +923,16 @@ class PoseEstimator:
         already present stays present while it clears the thresholds
         scaled by this fraction (births still pay the full gate) —
         targets presence flicker from score dips, the measured dominant
-        enter/leave count error. Memory scales with T·max_people (all
-        hypotheses refine per frame); for very long sequences run in
-        windows and stitch on track features."""
+        enter/leave count error. ``hint_crop`` re-decodes each hinted
+        slot in a zoomed crop CENTERED ON ITS HINT (not on the decode's
+        geometry — cpm.estimate_2d_multi docstring): the zoom magnifies
+        the separation between the track's trajectory and a nearby
+        established person relative to the center-map sigma, attacking
+        the decode-placement ceiling the k≥3 and enter/leave benchmarks
+        measured (duplicate decodes on the established person). One
+        extra full CPM pass per hinted decode. Memory scales with
+        T·max_people (all hypotheses refine per frame); for very long
+        sequences run in windows and stitch on track features."""
         _check_frames(frames, "frames")
         self._warn_multi_ignores_scale_tta()
         fn = self._program(
@@ -921,6 +941,7 @@ class PoseEstimator:
             person_score_frac=person_score_frac, dup_px=dup_px,
             restarts=max(self.fit_restarts, 1),
             temporal_hints=temporal_hints, hint_passes=hint_passes,
+            hint_crop=hint_crop,
             reassociate=track_reassociate and temporal_hints,
             allow_empty=allow_empty,
             birth_cost=track_birth_cost,
@@ -939,6 +960,7 @@ class PoseEstimator:
                                             dup_px: float = 30.0,
                                             temporal_hints: bool = True,
                                             hint_passes: int = 1,
+                                            hint_crop: bool = False,
                                             track_reassociate:
                                             bool = False,
                                             allow_empty: bool = False,
@@ -970,6 +992,7 @@ class PoseEstimator:
                 min_person_score=min_person_score,
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 temporal_hints=temporal_hints, hint_passes=hint_passes,
+                hint_crop=hint_crop,
                 track_reassociate=track_reassociate,
                 allow_empty=allow_empty,
                 track_birth_cost=track_birth_cost,
@@ -981,6 +1004,7 @@ class PoseEstimator:
             min_person_score=min_person_score,
             person_score_frac=person_score_frac, dup_px=dup_px,
             temporal_hints=temporal_hints, hint_passes=hint_passes,
+            hint_crop=hint_crop,
             track_reassociate=track_reassociate,
             allow_empty=allow_empty,
             track_birth_cost=track_birth_cost,
@@ -996,6 +1020,7 @@ class PoseEstimator:
                                 person_score_frac: float, dup_px: float,
                                 chunk: int, temporal_hints: bool = True,
                                 hint_passes: int = 1,
+                                hint_crop: bool = False,
                                 track_reassociate: bool = False,
                                 allow_empty: bool = False,
                                 track_birth_cost: float = 0.05,
@@ -1010,6 +1035,7 @@ class PoseEstimator:
                     restarts=max(self.fit_restarts, 1),
                     temporal_hints=temporal_hints,
                     hint_passes=hint_passes,
+                    hint_crop=hint_crop,
                     reassociate=track_reassociate and temporal_hints,
                     allow_empty=allow_empty,
                     birth_cost=track_birth_cost,
@@ -1119,6 +1145,7 @@ class MultiPersonVideoSession:
                  person_score_frac: float = 0.4, dup_px: float = 30.0,
                  temporal_hints: bool = True,
                  hint_passes: int = 1,
+                 hint_crop: bool = False,
                  track_reassociate: bool = False,
                  allow_empty: bool = False,
                  track_birth_cost: float = 0.05,
@@ -1132,7 +1159,7 @@ class MultiPersonVideoSession:
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
                 self.chunk, temporal_hints, hint_passes,
-                track_reassociate, allow_empty,
+                hint_crop, track_reassociate, allow_empty,
                 track_birth_cost, track_death_frames,
                 presence_keep_frac=presence_keep_frac,
                 track_anchor_refresh=track_anchor_refresh))

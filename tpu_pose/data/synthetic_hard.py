@@ -504,7 +504,8 @@ def make_hard_multi_video(model, num_frames: int,
                           scale_range: Tuple[float, float] = (0.4, 0.55),
                           clutter: int = 4, crossing: bool = True,
                           keyframe_every: int = 8,
-                          num_people: int = 2) -> Dict[str, np.ndarray]:
+                          num_people: int = 2,
+                          x_span: float = 0.0) -> Dict[str, np.ndarray]:
     """Two-person hard VIDEO for the track-association benchmark
     (api.estimate_and_fit_video_multi / fitting/tracking.py).
 
@@ -524,6 +525,14 @@ def make_hard_multi_video(model, num_frames: int,
     benchmark bit-identically (same rng call order). Each person's
     clothing colors are frame-constant and person-distinct (render rng
     seeded per person), so appearance re-ID has a real signal.
+
+    ``x_span`` > 0 overrides the horizontal START spread: people start
+    at ``linspace(0.5 − x_span/2, 0.5 + x_span/2, k)`` of the frame.
+    The default layout puts k=4 adjacent people 69 px apart — inside
+    the 96 px NMS radius before anyone moves, which measures the NMS
+    geometry, not tracking (round-5 k4 figure 0.169). A fair k≥4 run
+    uses e.g. ``x_span=0.8`` (adjacent ≈98 px) with a matched
+    ``nms_radius_px``. 0 keeps every earlier benchmark bit-identical.
 
     Returns images (T,S,S,3) u8 + GT in stable PERSON-IDENTITY order on
     axis 1 (the whole point of the benchmark): joints2d (T,k,14,2),
@@ -558,8 +567,11 @@ def make_hard_multi_video(model, num_frames: int,
     # Linear center paths; crossing walks each person to the mirror
     # slot over the sequence, so every pair swaps sides.
     u = t_idx / max(num_frames - 1, 1)                 # 0→1
-    pos = np.array((0.28, 0.72) if k == 2
-                   else np.linspace(0.22, 0.78, k))
+    if x_span > 0:
+        pos = np.linspace(0.5 - x_span / 2.0, 0.5 + x_span / 2.0, k)
+    else:
+        pos = np.array((0.28, 0.72) if k == 2
+                       else np.linspace(0.22, 0.78, k))
     xs_path = []
     for p in range(k):
         x_from, x_to = pos[p], (pos[k - 1 - p] if crossing else pos[p])

@@ -437,9 +437,14 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                               person_score_frac: float = 0.4,
                               dup_px: float = 30.0,
                               temporal_hints: bool = True,
+                              hint_passes: int = 1,
+                              hint_crop: bool = False,
+                              track_reassociate: bool = False,
                               allow_empty: bool = False,
                               track_birth_cost: float = 0.05,
-                              track_death_frames: int = 0) -> dict:
+                              track_death_frames: int = 0,
+                              track_anchor_refresh: float = 0.0,
+                              presence_keep_frac: float = 1.0) -> dict:
     """Export the TRACKED STREAMING video pipeline: the same two fused
     window programs :class:`api.MultiPersonVideoSession` runs (first
     window; anchored continuation carrying tracker state + per-track
@@ -463,9 +468,13 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 restarts=max(est.fit_restarts, 1),
                 temporal_hints=temporal_hints,
+                hint_passes=hint_passes, hint_crop=hint_crop,
+                reassociate=track_reassociate and temporal_hints,
                 allow_empty=allow_empty,
                 birth_cost=track_birth_cost,
-                death_frames=track_death_frames)
+                death_frames=track_death_frames,
+                anchor_refresh=track_anchor_refresh,
+                presence_keep_frac=presence_keep_frac)
 
     # The association state is an opaque pytree (the Viterbi carry:
     # cost vector, last live features, re-ID anchor); flatten it into
@@ -479,6 +488,8 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         d["carry_theta"] = anchors["theta"]
         d["carry_beta"] = anchors["beta"]
         d["carry_cam"] = anchors["cam"]
+        if "presence" in anchors:     # presence_keep_frac < 1 hysteresis
+            d["carry_presence"] = anchors["presence"]
         return d
 
     def fn_first(frames, pad_mask):
@@ -496,15 +507,18 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
         frame_spec, mask_spec))
     n_assoc = state_treedef.num_leaves
     carry_keys = tuple(f"carry_assoc_{i}" for i in range(n_assoc)) + (
-        "carry_theta", "carry_beta", "carry_cam")
+        "carry_theta", "carry_beta", "carry_cam") + (
+        ("carry_presence",) if presence_keep_frac < 1.0 else ())
 
     def fn_anchored(frames, pad_mask, *carry):
         state = jax.tree.unflatten(state_treedef, carry[:n_assoc])
-        theta, beta, cam = carry[n_assoc:]
+        theta, beta, cam = carry[n_assoc:n_assoc + 3]
+        anchors = {"theta": theta, "beta": beta, "cam": cam}
+        if presence_keep_frac < 1.0:
+            anchors["presence"] = carry[n_assoc + 3]
         r, s, a = est2._estimate_and_fit_video_multi_impl(
             params, est2.smpl_model, frames, pad_mask=pad_mask,
-            track_state=state,
-            anchors={"theta": theta, "beta": beta, "cam": cam},
+            track_state=state, anchors=anchors,
             return_carry=True, **base)
         return pack(r, s, a)
 
@@ -528,9 +542,14 @@ def export_video_multi_stream(est, path: str, chunk: int = 64,
                       "person_score_frac": person_score_frac,
                       "dup_px": dup_px,
                       "temporal_hints": temporal_hints,
+                      "hint_passes": hint_passes,
+                      "hint_crop": hint_crop,
+                      "track_reassociate": track_reassociate,
                       "allow_empty": allow_empty,
                       "track_birth_cost": track_birth_cost,
-                      "track_death_frames": track_death_frames},
+                      "track_death_frames": track_death_frames,
+                      "track_anchor_refresh": track_anchor_refresh,
+                      "presence_keep_frac": presence_keep_frac},
         "platforms": list(platforms),
         "decode_impl": decode_impl,
         "chunk": int(chunk),

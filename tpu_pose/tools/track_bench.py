@@ -63,9 +63,17 @@ flags.DEFINE_float("presence_keep_frac", 1.0, "presence hysteresis: a "
                    "track already present stays present while it clears "
                    "the score gates scaled by this fraction (<1 "
                    "enables; births pay the full gate)")
+flags.DEFINE_boolean("hint_crop", False, "hint-centered crop/zoom "
+                     "re-decode on every hinted pass (decode-placement "
+                     "correction; cpm.estimate_2d_multi docstring)")
 flags.DEFINE_boolean("reassociate", False, "re-run the Viterbi "
                      "association on the final hinted decodes "
                      "(track_reassociate; needs temporal_hints)")
+flags.DEFINE_float("x_span", 0.0, "override the crossing/k-mode "
+                   "START spread (fraction of frame width; 0 = the "
+                   "generator default — k4's 69 px adjacent spacing "
+                   "sits inside NMS 96, so a fair k4 run pairs e.g. "
+                   "--x_span=0.8 with --nms_radius=80)")
 flags.DEFINE_integer("slack_slots", 0, "extra proposal/track slots "
                      "beyond the scene's k (crossing/k3/k4 modes): "
                      "max_people=k+slack gives the decoder headroom "
@@ -114,8 +122,18 @@ def _match_metrics(res, gt_centers, gt_j3d, metrics_mod):
         np.mean(metrics_mod.pa_mpjpe_np(
             np.asarray(res.joints3d)[sigma[q]], gt_j3d[:, q]))
         for q in range(n_gt)])) * 1000
+    # Decode-PLACEMENT coverage of the FINAL decodes: fraction of
+    # frames where SOME injection puts every GT person within 40 px of
+    # a distinct track — the direct counterpart of the round-5 pass-1
+    # proposal-coverage diagnostic (24% on k3; PARITY.md), so
+    # placement fixes (hint_crop) can be graded mechanistically, not
+    # just through id_acc.
+    d_all = np.stack(
+        [np.linalg.norm(tc[:, list(p)] - gt_centers, axis=-1).max(-1)
+         for p in injs], -1)                         # (T, |injs|)
+    cover40 = float((d_all.min(-1) < 40.0).mean())
     return {"id_acc": id_acc, "center_err_px": center_err,
-            "pa_mpjpe_mm": pa}
+            "pa_mpjpe_mm": pa, "cover40": cover40}
 
 
 def _enterleave_metrics(res, el):
@@ -231,12 +249,14 @@ def main(argv):
         "frames": FLAGS.frames, "restarts": FLAGS.restarts,
         "temporal_hints": FLAGS.temporal_hints,
         "hint_passes": FLAGS.hint_passes,
+        "hint_crop": FLAGS.hint_crop,
         "reassociate": FLAGS.reassociate,
         "presence_keep_frac": FLAGS.presence_keep_frac,
         "anchor_refresh": FLAGS.anchor_refresh,
         "death_frames": FLAGS.death_frames,
         "birth_cost": FLAGS.birth_cost,
-        "nms_radius": FLAGS.nms_radius}}
+        "nms_radius": FLAGS.nms_radius,
+        "x_span": FLAGS.x_span}}
     modes = [m.strip() for m in FLAGS.mode.split(",") if m.strip()]
 
     for mode in modes:
@@ -246,13 +266,14 @@ def main(argv):
                 k = {"crossing": 2, "k3": 3, "k4": 4}[mode]
                 vh = sh.make_hard_multi_video(
                     model, FLAGS.frames, cfg, seed=seed, crossing=True,
-                    num_people=k)
+                    num_people=k, x_span=FLAGS.x_span)
                 res = est.estimate_and_fit_video_multi(
                     jnp.asarray(vh["images"]),
                     max_people=k + FLAGS.slack_slots,
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
+                    hint_crop=FLAGS.hint_crop,
                     track_reassociate=FLAGS.reassociate,
                     track_birth_cost=FLAGS.birth_cost,
                     track_anchor_refresh=FLAGS.anchor_refresh,
@@ -268,6 +289,7 @@ def main(argv):
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
+                    hint_crop=FLAGS.hint_crop,
                     track_reassociate=FLAGS.reassociate,
                     presence_keep_frac=FLAGS.presence_keep_frac,
                     allow_empty=False,
