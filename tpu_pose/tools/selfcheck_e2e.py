@@ -8,7 +8,9 @@
 
 This exercises every subsystem in one run: data generation, DP training,
 checkpointing, quantization (optional), fused inference+fit, temporal
-fitting, metrics. Takes ~15 min on one v5e (mostly training steps).
+fitting, metrics. Takes ~45 min on one v5e at the default u64 hard
+recipe (mostly the 9600 hard training steps; `--hard_weights` reruns
+the eval ladder from a prior run's npz without retraining).
 
   python scripts/selfcheck_e2e.py --steps 800 --out /tmp/selfcheck
 """
@@ -28,9 +30,9 @@ flags.DEFINE_integer("train_batch", 16, "training batch size")
 flags.DEFINE_integer("eval_frames", 64, "eval frames (fused pipeline)")
 flags.DEFINE_integer("video_frames", 32, "temporal-fit sequence length")
 flags.DEFINE_integer("restarts", 4, "fit hypotheses for the eval")
-flags.DEFINE_integer("hard_steps", 2400, "CPM training steps on the HARD "
+flags.DEFINE_integer("hard_steps", 9600, "CPM training steps on the HARD "
                      "set (0 skips the hard section)")
-flags.DEFINE_integer("hard_pool", 32, "HARD training pool size in batches "
+flags.DEFINE_integer("hard_pool", 64, "HARD training pool size in batches "
                      "(scripts/hard_sweep.py is the tool that picks this; "
                      "the selfcheck just re-pins the chosen recipe)")
 flags.DEFINE_integer("hard_eval_frames", 48, "hard-set eval frames")
@@ -38,13 +40,17 @@ flags.DEFINE_float("hard_distractor_prob", 0.35, "fraction of hard "
                    "training frames that render a second, non-target "
                    "body (the center-map-as-person-SELECTOR training "
                    "signal; 0 reproduces the round-3 recipe)")
-flags.DEFINE_integer("hard_max_distractors", 1, "1..N distractors per "
+flags.DEFINE_integer("hard_max_distractors", 2, "1..N distractors per "
                      "triggered frame (N>1 puts k≥3-person scenes in "
                      "the training distribution)")
-flags.DEFINE_boolean("hard_union_stage1", False, "supervise stage 1 "
+flags.DEFINE_boolean("hard_union_stage1", True, "supervise stage 1 "
                      "with the UNION heatmaps on distractor frames "
                      "(detector/selector split — see "
                      "cpm_train.stage_supervision_loss)")
+flags.DEFINE_string("hard_weights", "", "load hard-set CPM weights from "
+                    "this npz (a prior run's cpm_weights_hard.npz) "
+                    "instead of retraining — reruns of the eval ladder "
+                    "without the ~9600-step training cost")
 flags.DEFINE_string("out", "/tmp/tpu_pose_selfcheck", "output dir")
 
 
@@ -256,33 +262,47 @@ def main(argv):
     # two-person per-person accuracy.
     if FLAGS.hard_steps > 0:
         from tpu_pose.data import synthetic_hard as sh
-        log("generating HARD training pool (mesh render, clutter, "
-            "scale/offset jitter, occlusion)...")
-        pool_h = []
-        # 32 batches × 2400 steps with flip augmentation: measured
-        # recipe (2026-08-17) — 16×1200 underfit the flip-augmented
-        # distribution (36.3 plain); 32×2400 dominates every hard row
-        # (32.2 plain, 19.3 rc+flip_tta vs the 23.1 pre-flip best).
-        # Round-4 steps/pool/width frontier: scripts/hard_sweep.py.
-        for b in sh.hard_train_batches(
-                model, FLAGS.train_batch, FLAGS.hard_pool, cfg, seed=0,
-                raw_images=True,
-                distractor_prob=FLAGS.hard_distractor_prob,
-                max_distractors=FLAGS.hard_max_distractors,
-                union_stage1=FLAGS.hard_union_stage1):
-            pool_h.append(jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x)), b))
-        params_h, opt_state_h, opt_h = cpm_train.init_train_state(
-            jax.random.PRNGKey(1), cfg, lr=2e-4,
-            total_steps=FLAGS.hard_steps)
-        step_h = cpm_train.make_train_step(cfg, opt_h)
-        log(f"training {FLAGS.hard_steps} steps on the hard set...")
-        for s in range(FLAGS.hard_steps):
-            params_h, opt_state_h, loss_h = step_h(
-                params_h, opt_state_h, pool_h[s % len(pool_h)])
-            if (s + 1) % 200 == 0:
-                log(f"hard step {s + 1}: loss {float(loss_h):.5f}")
-        results["hard_train_final_loss"] = float(loss_h)
+        if FLAGS.hard_weights:
+            from tpu_pose.utils import tf_converter
+            log(f"loading hard-set weights from {FLAGS.hard_weights} "
+                "(skipping training)...")
+            params_h = jax.tree.map(
+                jnp.asarray, tf_converter.load_params_npz(
+                    FLAGS.hard_weights))
+        else:
+            log("generating HARD training pool (mesh render, clutter, "
+                "scale/offset jitter, occlusion)...")
+            pool_h = []
+            # Default recipe = the round-4/5 sweep winner u64
+            # (scripts/hard_sweep.py): 64 batches × 9600 steps,
+            # distractors 0.35×(1..2), union stage-1 supervision —
+            # 17.71 px rc+flip vs 18.4 for p64 and 19.3 for the
+            # round-3 32×2400 recipe (PARITY.md hard table).
+            for b in sh.hard_train_batches(
+                    model, FLAGS.train_batch, FLAGS.hard_pool, cfg,
+                    seed=0, raw_images=True,
+                    distractor_prob=FLAGS.hard_distractor_prob,
+                    max_distractors=FLAGS.hard_max_distractors,
+                    union_stage1=FLAGS.hard_union_stage1):
+                pool_h.append(jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x)), b))
+            params_h, opt_state_h, opt_h = cpm_train.init_train_state(
+                jax.random.PRNGKey(1), cfg, lr=2e-4,
+                total_steps=FLAGS.hard_steps)
+            step_h = cpm_train.make_train_step(cfg, opt_h)
+            log(f"training {FLAGS.hard_steps} steps on the hard set...")
+            for s in range(FLAGS.hard_steps):
+                params_h, opt_state_h, loss_h = step_h(
+                    params_h, opt_state_h, pool_h[s % len(pool_h)])
+                if (s + 1) % 200 == 0:
+                    log(f"hard step {s + 1}: loss {float(loss_h):.5f}")
+            results["hard_train_final_loss"] = float(loss_h)
+            # Save BEFORE the eval ladder so a mid-ladder failure (or a
+            # later --hard_weights rerun) never repays the training.
+            ckpt_lib.save_cpm_params(
+                os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
+                jax.tree.map(np.asarray, params_h))
+            del pool_h
 
         def hard_eval(tag, scale_range, truncation=0.0, **est_kw):
             exh = sh.make_hard_examples(
@@ -389,8 +409,12 @@ def main(argv):
         # (api.estimate_and_fit_video_multi / fitting/tracking.py).
         vh = sh.make_hard_multi_video(model, 24, cfg, seed=7,
                                       crossing=True)
+        # Recommended k=2 tracking recipe (round-5 10-seed A/B,
+        # PARITY.md: crossing id acc 0.9038 vs 0.8615 base): gated
+        # appearance-anchor refresh + two smooth→re-decode hint passes.
         rvm = est_mh.estimate_and_fit_video_multi(
-            jnp.asarray(vh["images"]), max_people=2)
+            jnp.asarray(vh["images"]), max_people=2,
+            track_anchor_refresh=0.3, hint_passes=2)
         profiling.sync(rvm.theta)
         tc = np.asarray(rvm.joints2d).mean(-2)        # (T, 2, 2)
         gc = vh["centers"]
@@ -442,31 +466,43 @@ def main(argv):
         # 0/1/2-person frames (mask from the full multi path).
         est_sel = PoseEstimator(params_h, model, prior=fitted_prior,
                                 cpm_cfg=cfg)
-        c0 = np.asarray(est_sel.estimate_and_fit_multi(
-            jnp.asarray(emp["images"][:16]), max_people=2,
-            min_person_score=floor,
-            allow_empty=True).person_mask.sum(-1))
-        c1 = np.asarray(est_sel.estimate_and_fit_multi(
-            jnp.asarray(per["images"][:16]), max_people=2,
-            min_person_score=floor,
-            allow_empty=True).person_mask.sum(-1))
-        c2 = np.asarray(est_sel.estimate_and_fit_multi(
-            jnp.asarray(mh["images"]), max_people=2,
-            min_person_score=floor,
-            allow_empty=True).person_mask.sum(-1))
+
+        def counts(imgs, dup_joint_frac):
+            return np.asarray(est_sel.estimate_and_fit_multi(
+                jnp.asarray(imgs), max_people=2,
+                min_person_score=floor, allow_empty=True,
+                dup_joint_frac=dup_joint_frac).person_mask.sum(-1))
+
+        # Count accuracy at the floor, with the mean-distance dedupe
+        # alone vs + the partial-overlap dedupe (dup_joint_frac=0.5 —
+        # the round-5 fix for clutter-split duplicate hypotheses that
+        # sit 49–84 px part-aligned from the person slot yet share
+        # 0.64–1.00 of their joints with it; select_people docstring).
+        c0, c1, c2 = (counts(emp["images"][:16], 0.0),
+                      counts(per["images"][:16], 0.0),
+                      counts(mh["images"], 0.0))
+        c0o, c1o, c2o = (counts(emp["images"][:16], 0.5),
+                         counts(per["images"][:16], 0.5),
+                         counts(mh["images"], 0.5))
         profiling.sync(jnp.asarray(0))
         results["empty_frame_operating_point"] = {
             "floor": floor, "empty_top1_max": lo, "person_top1_min": hi,
             "fp_rate_empty": fp, "tp_retention": tp,
             "count_acc_0p": float((c0 == 0).mean()),
             "count_acc_1p": float((c1 == 1).mean()),
-            "count_acc_2p": float((c2 == 2).mean())}
+            "count_acc_2p": float((c2 == 2).mean()),
+            "count_acc_0p_ovl": float((c0o == 0).mean()),
+            "count_acc_1p_ovl": float((c1o == 1).mean()),
+            "count_acc_2p_ovl": float((c2o == 2).mean())}
         log(f"empty-frame operating point: floor {floor:.3f} "
             f"(empty max {lo:.3f} vs person min {hi:.3f}) -> FP "
             f"{fp:.2f}, TP {tp:.2f}; allow_empty count acc "
             f"0p {float((c0 == 0).mean()):.2f} / 1p "
             f"{float((c1 == 1).mean()):.2f} / 2p "
-            f"{float((c2 == 2).mean()):.2f}")
+            f"{float((c2 == 2).mean()):.2f}; with dup_joint_frac=0.5: "
+            f"0p {float((c0o == 0).mean()):.2f} / 1p "
+            f"{float((c1o == 1).mean()):.2f} / 2p "
+            f"{float((c2o == 2).mean()):.2f}")
 
         # (f) k=3 crowd stills (VERDICT r3 next #3): per-person PA +
         # count accuracy at max_people=3 (3! = 6 assignment candidates).
@@ -501,10 +537,6 @@ def main(argv):
             f"per-person PA {np.mean(pas3) * 1000:.1f} mm over "
             f"{len(pas3)} masked fits, count acc "
             f"{float((counts3 == 3).mean()):.2f}")
-        ckpt_lib.save_cpm_params(
-            os.path.join(FLAGS.out, "cpm_weights_hard.npz"),
-            jax.tree.map(np.asarray, params_h))
-
     # ---- 8. deployment artifact round-trip ------------------------------
     # Export the trained fused path (jax.export, weights baked in),
     # reload it with no estimator in scope, and check it against the
