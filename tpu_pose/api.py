@@ -628,6 +628,8 @@ class PoseEstimator:
                                            temporal_hints: bool = True,
                                            hint_passes: int = 1,
                                            hint_crop: bool = False,
+                                           hint_crop_min_conf:
+                                           float = 0.0,
                                            reassociate: bool = False,
                                            allow_empty: bool = False,
                                            birth_cost: float = 0.05,
@@ -743,7 +745,8 @@ class PoseEstimator:
                     refine_scale=self.refine_scale,
                     flip_tta=self.flip_tta,
                     nms_radius_px=nms_radius_px, center_hints=hints,
-                    hint_crop=hint_crop)
+                    hint_crop=hint_crop,
+                    hint_crop_min_conf=hint_crop_min_conf)
                 if pad_mask is not None:
                     ts = jnp.where(pad_mask[:, None] > 0, ts, -1e9)
             sel_joints, sel_scores = tj, ts
@@ -874,6 +877,7 @@ class PoseEstimator:
                                      temporal_hints: bool = True,
                                      hint_passes: int = 1,
                                      hint_crop: bool = False,
+                                     hint_crop_min_conf: float = 0.0,
                                      track_reassociate: bool = False,
                                      allow_empty: bool = False,
                                      track_birth_cost: float = 0.05,
@@ -942,6 +946,7 @@ class PoseEstimator:
             restarts=max(self.fit_restarts, 1),
             temporal_hints=temporal_hints, hint_passes=hint_passes,
             hint_crop=hint_crop,
+            hint_crop_min_conf=hint_crop_min_conf,
             reassociate=track_reassociate and temporal_hints,
             allow_empty=allow_empty,
             birth_cost=track_birth_cost,
@@ -961,6 +966,8 @@ class PoseEstimator:
                                             temporal_hints: bool = True,
                                             hint_passes: int = 1,
                                             hint_crop: bool = False,
+                                            hint_crop_min_conf:
+                                            float = 0.0,
                                             track_reassociate:
                                             bool = False,
                                             allow_empty: bool = False,
@@ -993,6 +1000,7 @@ class PoseEstimator:
                 person_score_frac=person_score_frac, dup_px=dup_px,
                 temporal_hints=temporal_hints, hint_passes=hint_passes,
                 hint_crop=hint_crop,
+                hint_crop_min_conf=hint_crop_min_conf,
                 track_reassociate=track_reassociate,
                 allow_empty=allow_empty,
                 track_birth_cost=track_birth_cost,
@@ -1005,6 +1013,7 @@ class PoseEstimator:
             person_score_frac=person_score_frac, dup_px=dup_px,
             temporal_hints=temporal_hints, hint_passes=hint_passes,
             hint_crop=hint_crop,
+            hint_crop_min_conf=hint_crop_min_conf,
             track_reassociate=track_reassociate,
             allow_empty=allow_empty,
             track_birth_cost=track_birth_cost,
@@ -1021,6 +1030,7 @@ class PoseEstimator:
                                 chunk: int, temporal_hints: bool = True,
                                 hint_passes: int = 1,
                                 hint_crop: bool = False,
+                                hint_crop_min_conf: float = 0.0,
                                 track_reassociate: bool = False,
                                 allow_empty: bool = False,
                                 track_birth_cost: float = 0.05,
@@ -1036,6 +1046,7 @@ class PoseEstimator:
                     temporal_hints=temporal_hints,
                     hint_passes=hint_passes,
                     hint_crop=hint_crop,
+                    hint_crop_min_conf=hint_crop_min_conf,
                     reassociate=track_reassociate and temporal_hints,
                     allow_empty=allow_empty,
                     birth_cost=track_birth_cost,
@@ -1146,6 +1157,7 @@ class MultiPersonVideoSession:
                  temporal_hints: bool = True,
                  hint_passes: int = 1,
                  hint_crop: bool = False,
+                 hint_crop_min_conf: float = 0.0,
                  track_reassociate: bool = False,
                  allow_empty: bool = False,
                  track_birth_cost: float = 0.05,
@@ -1159,7 +1171,8 @@ class MultiPersonVideoSession:
             estimator._stream_window_programs(
                 max_people, min_person_score, person_score_frac, dup_px,
                 self.chunk, temporal_hints, hint_passes,
-                hint_crop, track_reassociate, allow_empty,
+                hint_crop, hint_crop_min_conf,
+                track_reassociate, allow_empty,
                 track_birth_cost, track_death_frames,
                 presence_keep_frac=presence_keep_frac,
                 track_anchor_refresh=track_anchor_refresh))

@@ -920,7 +920,9 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                       max_zoom: float = 3.0,
                       flip_tta: bool = False,
                       center_hints: jnp.ndarray | None = None,
-                      hint_crop: bool = False):
+                      hint_crop: bool | str = False,
+                      hint_crop_dup_px: float = 30.0,
+                      hint_crop_min_conf: float = 0.0):
     """Multi-person 2D estimation, one traced program (TPU-native
     extension beyond the single-person reference; VERDICT r1 item 9).
 
@@ -963,6 +965,11 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
     geometry — people are similar-sized, so scale survives a placement
     miss. Costs one full per-hypothesis pass, same as refine_scale
     (which it overrides on the hinted call when both are set).
+    True/"dup" (default) substitutes the crop decode ONLY for slots
+    whose plain hinted decode lies within ``hint_crop_dup_px`` mean
+    joint distance of a stronger slot's (the measured failure mode);
+    "all" replaces every slot — A/B-measured worse (see the in-code
+    comment at the selective substitution).
 
     Returns: heatmaps (B, k, H, H, P+1), joints_px (B, k, P, 2),
     conf (B, k, P), person_scores (B, k).
@@ -1011,7 +1018,8 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
         hm = (beliefs[-1] if beliefs else rep(b1_n))
         joints, conf = _decode(hm, cfg, beta)
 
-        if refine_scale or (hint_crop and center_hints is not None):
+        do_hc = bool(hint_crop) and center_hints is not None
+        if refine_scale or do_hc:
             # Per-hypothesis scale normalization (the multi-person half
             # of VERDICT r2 next #1): geometry from each hypothesis's
             # REFINED decode (reliable even for the non-dominant person,
@@ -1021,7 +1029,7 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
             # crop centers its person.
             g_centers, g_extent = person_geometry_from_joints(joints,
                                                               conf)
-            if hint_crop and center_hints is not None:
+            if do_hc:
                 # Placement override: center the crop on the track's
                 # HINT (its smoothed trajectory point), not on wherever
                 # this slot's decode landed (docstring: hint_crop).
@@ -1039,9 +1047,51 @@ def estimate_2d_multi(params: Params, images: jnp.ndarray,
                 cfg.stride).astype(dtype)
             beliefs2 = _refine_stages(conv, dtype, fc, b1c, cmap_c_lo,
                                       cfg, cfg.num_stages)
-            hm = beliefs2[-1] if beliefs2 else b1c
-            joints, conf = _decode(hm, cfg, beta)
-            joints = joints_from_crop_frame(joints, s, t)
+            hm2 = beliefs2[-1] if beliefs2 else b1c
+            joints2, conf2 = _decode(hm2, cfg, beta)
+            joints2 = joints_from_crop_frame(joints2, s, t)
+            if do_hc and hint_crop != "all":
+                # SELECTIVE substitution (the default, "dup"): use the
+                # crop decode only for slots whose PLAIN hinted decode
+                # duplicates a stronger slot — the measured failure
+                # mode (a slot sliding onto an established person).
+                # Unconditional replacement ("all") was A/B-measured
+                # WORSE on the 10-seed k3/crossing benchmarks (k3 id
+                # acc 0.523→0.504, cover40 0.577→0.519): crop-resample
+                # noise on the majority of already-correct slots
+                # outweighs the gains on the few duplicated ones.
+                jb = joints.reshape(b, k, -1, 2)
+                d = jnp.mean(jnp.linalg.norm(
+                    jb[:, :, None] - jb[:, None, :], axis=-1), axis=-1)
+                sc = person_scores                        # (B, k)
+                idx = jnp.arange(k)
+                stronger = ((sc[:, None, :] > sc[:, :, None])
+                            | ((sc[:, None, :] == sc[:, :, None])
+                               & (idx[None, None, :] < idx[None, :, None])))
+                dup = jnp.any(stronger & (d < hint_crop_dup_px),
+                              axis=-1)                    # (B, k)
+                if hint_crop_min_conf > 0:
+                    # Ghost gate: substituting un-duplicates the slot,
+                    # which also disarms the dedupe that (correctly)
+                    # killed it when its person is truly ABSENT —
+                    # measured on the enter/leave benchmark as
+                    # over-counts 0.123→0.189. A crop decode over
+                    # background carries low belief (0.10–0.54 of a
+                    # person's on these weights), so require the crop
+                    # decode's mean conf to clear this fraction of the
+                    # frame's best PLAIN slot conf before substituting;
+                    # otherwise keep the duplicate and let the dedupe
+                    # make the absence call.
+                    cm = conf2.reshape(b, k, -1).mean(-1)
+                    pm = conf.reshape(b, k, -1).mean(-1)
+                    ref = jnp.max(pm, axis=-1, keepdims=True)
+                    dup = dup & (cm >= hint_crop_min_conf * ref)
+                m = dup.reshape(b * k)
+                joints = jnp.where(m[:, None, None], joints2, joints)
+                conf = jnp.where(m[:, None], conf2, conf)
+                hm = jnp.where(m[:, None, None, None], hm2, hm)
+            else:
+                hm, joints, conf = hm2, joints2, conf2
         return hm, joints, conf
 
     hm, joints, conf = run_multi(x, centers, trunk1, b1)

@@ -66,6 +66,14 @@ flags.DEFINE_float("presence_keep_frac", 1.0, "presence hysteresis: a "
 flags.DEFINE_boolean("hint_crop", False, "hint-centered crop/zoom "
                      "re-decode on every hinted pass (decode-placement "
                      "correction; cpm.estimate_2d_multi docstring)")
+flags.DEFINE_boolean("hint_crop_all", False, "hint_crop='all': "
+                     "unconditional crop substitution (A/B-measured "
+                     "worse than the selective default; kept for "
+                     "comparison runs)")
+flags.DEFINE_float("hint_crop_min_conf", 0.0, "ghost gate for the "
+                   "selective hint_crop: substitute the crop decode "
+                   "only when its mean conf clears this fraction of "
+                   "the frame's best plain-slot conf (0 = no gate)")
 flags.DEFINE_boolean("reassociate", False, "re-run the Viterbi "
                      "association on the final hinted decodes "
                      "(track_reassociate; needs temporal_hints)")
@@ -250,6 +258,8 @@ def main(argv):
         "temporal_hints": FLAGS.temporal_hints,
         "hint_passes": FLAGS.hint_passes,
         "hint_crop": FLAGS.hint_crop,
+        "hint_crop_all": FLAGS.hint_crop_all,
+        "hint_crop_min_conf": FLAGS.hint_crop_min_conf,
         "reassociate": FLAGS.reassociate,
         "presence_keep_frac": FLAGS.presence_keep_frac,
         "anchor_refresh": FLAGS.anchor_refresh,
@@ -273,7 +283,9 @@ def main(argv):
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
-                    hint_crop=FLAGS.hint_crop,
+                    hint_crop=("all" if FLAGS.hint_crop_all
+                               else FLAGS.hint_crop),
+                    hint_crop_min_conf=FLAGS.hint_crop_min_conf,
                     track_reassociate=FLAGS.reassociate,
                     track_birth_cost=FLAGS.birth_cost,
                     track_anchor_refresh=FLAGS.anchor_refresh,
@@ -289,7 +301,9 @@ def main(argv):
                     min_person_score=FLAGS.min_person_score,
                     temporal_hints=FLAGS.temporal_hints,
                     hint_passes=FLAGS.hint_passes,
-                    hint_crop=FLAGS.hint_crop,
+                    hint_crop=("all" if FLAGS.hint_crop_all
+                               else FLAGS.hint_crop),
+                    hint_crop_min_conf=FLAGS.hint_crop_min_conf,
                     track_reassociate=FLAGS.reassociate,
                     presence_keep_frac=FLAGS.presence_keep_frac,
                     allow_empty=False,
